@@ -1,0 +1,14 @@
+"""Operator registry — importing this package registers every query.
+
+``QUERIES``: name -> (spark, sf_dir) -> DataFrame
+``ORACLES``: name -> DuckDB-compatible ANSI SQL (differential oracle)
+"""
+
+from map_reduce_subnet_spark.operators.registry import ORACLES, QUERIES
+
+from map_reduce_subnet_spark.operators import (  # noqa: F401  (import = register)
+    aggregations,
+    scans,
+)
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,307 @@
+"""Family D — aggregations (SURVEY.md §2.2.D).
+
+Grounding: reduce = "aggregate the chunks … send the sum of total
+chunks" (reference README.md:20); partial-then-final aggregation is the
+reference's factor-K bandwidth claim (reference README.md:22); L1
+normalization (reference neurons/validator.py:151); EMA score fold
+(reference neurons/validator.py:109,146).
+
+All sums/avgs go through the decimal-exact helpers in
+functions/stable.py so the value-hash is order-independent — Spark's
+partial+final HashAggregate stays fully distributed (map-side combine
+preserved, the factor-K win).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_subnet_spark.functions.stable import (
+    davg,
+    dstddev,
+    dsum,
+    sql_davg,
+    sql_dstddev,
+    sql_dsum,
+)
+from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
+
+
+@query(
+    "agg_reduce_sum",
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_reduce_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: TPC-H Q1-shaped keyed reduce (scan → filter →
+    project → partial agg → shuffle on (returnflag, linestatus) → final
+    agg). This is the reference's map (chunk/scatter ≈ partition/
+    shuffle, README.md:20) and reduce (keyed sum) in one plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       {sql_davg('l_discount')} AS avg_disc
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand totals, no grouping (the normalize denominator)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        davg("l_discount", "avg_disc"),
+    )
+
+
+@query(
+    "agg_minmax_stats",
+    oracle=f"""
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_dstddev('l_extendedprice')} AS std_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev per group (metagraph health-stats shape)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            davg("l_extendedprice", "avg_price"),
+            dstddev("l_extendedprice", "std_price"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group (expands to a two-phase agg in Spark)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketch ≠ exact oracle
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path where exact distinct
+    would shuffle every key. Sketches merge map-side (no full shuffle).
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, {sql_dsum('o_totalprice')} AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING {sql_dsum('o_totalprice')} > 1500000.0
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group + post-aggregation filter (HAVING)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spent"))
+        .where(F.col("total_spent") > 1500000.0)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (chunk → peer → grand total, README.md:20)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       {sql_dsum('o_totalprice')} AS sum_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over two dims."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice", "sum_price"), F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (via Spark SQL over a temp view)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    sum_price = (
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, {sum_price}
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_distinct_arg",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_distinct_qty,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(DISTINCT ...) — dedup of redundant chunks before the reduce."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum_distinct(F.col("l_quantity").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_distinct_qty"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "agg_normalize_l1",
+    oracle=f"""
+SELECT o_orderkey,
+       o_custkey,
+       ROUND(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+             OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+FROM orders
+""",
+)
+def agg_normalize_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row share of its group total — the reference's L1 weight
+    normalization (validator.py:151) keyed per peer group. Partitioned
+    window (no global single-partition window), so it scales.
+    """
+    w = Window.partitionBy("o_custkey")
+    denom = F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w).cast("double")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") / denom, 6).alias("share"),
+    )
+
+
+@query("agg_ema")  # rows-only: order-sensitive float recurrence (SURVEY §2.2.D)
+def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EMA of event values ordered by ts, α=0.9 (the
+    reference's score fold, validator.py:146: s ← α·s + (1−α)·x,
+    seeded with 1.0 like torch.ones_like at validator.py:110).
+
+    Closed form per group via collect_list + F.aggregate: stays JVM-side
+    (no Python UDF), shuffles once on user_id. Groups are bounded
+    (per-key event history), so collect_list per group is safe at scale;
+    the unbounded-stream variant is streaming/jobs.py::stateful_ema.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    ema = F.aggregate(
+        pairs,
+        F.lit(1.0).cast("double"),
+        lambda acc, x: acc * F.lit(0.9) + x["value"] * F.lit(0.1),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(ema, 6).alias("ema"), F.count("*").alias("n_events"))
+    )

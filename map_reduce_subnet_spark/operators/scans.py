@@ -1,0 +1,98 @@
+"""Family A — scans, sources, sinks (SURVEY.md §2.2.A).
+
+Grounding: full state-snapshot scans (reference neurons/validator.py:95,168),
+column projection of the metagraph (reference neurons/miner.py:181-188),
+header-stage filtering before deserialization (reference
+neurons/miner.py:108-113), payload deserialization (reference
+template/protocol.py:59-75), periodic sink (reference
+neurons/validator.py:155-161).
+
+Scale notes: projections and filters here are expressed declaratively so
+Catalyst pushes them into the Parquet scan (PushedFilters / ReadSchema —
+asserted in tests/test_plans.py). At 100 TB the same plans prune row
+groups and, on a date-partitioned layout, whole partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
+
+
+@query(
+    "scan_full",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan + count (parquet footer statistics short-circuit this)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "scan_prune_columns",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_prune_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read 2 of 11 lineitem columns — Catalyst prunes the scan schema."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "scan_filter_pushdown",
+    oracle="""
+SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+""",
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate pushed to Parquet row-group statistics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+@query(
+    "scan_json_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+""",
+)
+def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deserialize the JSON payload column into a typed field."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@query("sink_roundtrip")  # rows-only: filesystem side effect, not SQL-expressible
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate to Parquet, read it back (periodic sink pattern).
+
+    Rows-only oracle. Uses a scratch dir; at scale this is the same
+    ``df.write.parquet`` path with partitioning options.
+    """
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    out = os.path.join(tempfile.gettempdir(), "mrs_spark_sink_roundtrip")
+    agg.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are chosen for the driver's local[*] harness but every knob is
+the one you would also set on a real multi-executor cluster at 100 TB:
+AQE for runtime coalescing / skew splitting / broadcast conversion,
+Arrow for any Python<->JVM batch transfer, and a shuffle-partition count
+sized to the input rather than Spark's static 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "map-reduce-subnet-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    At cluster scale the same settings apply unchanged: AQE coalesces the
+    statically-over-provisioned shuffle partitions down to what the data
+    actually needs, converts sort-merge joins to broadcast when the
+    runtime size of a side is below the threshold, and splits skewed
+    shuffle partitions (the salting fallback is in operators/joins.py).
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- Adaptive execution: the scale story -------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- Shuffle sizing ---------------------------------------------
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))),
+        )
+        # --- Arrow for every pandas_udf / applyInPandas boundary --------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Read timestamp_ntz as-is; fixtures use naive timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Parquet TIMESTAMP(NANOS) columns surface as LongType (epoch
+        # nanos); sources/tables.py truncates them to microsecond
+        # timestamps, matching DuckDB's ns→us truncation on read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: dims (region/nation/customer/supplier/part)
+        # stay broadcastable well past sf0.1; AQE upgrades at runtime too.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Quieter Ivy/UI in the harness.
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,85 @@
+"""Shared fixtures: one SparkSession, one DuckDB connection, and the
+differential comparator that mimics the driver's correctness gate
+(row-count + schema-width + order-insensitive value compare).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from map_reduce_subnet_spark.session import get_spark
+from map_reduce_subnet_spark.sources.tables import TABLES
+
+SF_DIR = os.environ.get("MRS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="mrs-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize cell values, sort rows —
+    the order-insensitive canonical form the driver hashes.
+    """
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            df[c] = col.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(col):
+            df[c] = col.astype(np.float64)
+        elif col.dtype == object:
+            df[c] = col.astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            both_nan = np.isnan(av) & np.isnan(bv)
+            exact = (av == bv) | both_nan
+            if not exact.all():
+                bad = np.where(~exact)[0][:5]
+                raise AssertionError(
+                    f"{name}: float col {c!r} differs at rows {bad.tolist()}: "
+                    f"spark={av[bad].tolist()} oracle={bv[bad].tolist()}"
+                )
+        else:
+            if not a[c].equals(b[c]):
+                diff = a[c][a[c].astype(str) != b[c].astype(str)]
+                raise AssertionError(
+                    f"{name}: col {c!r} differs, first rows:\n"
+                    f"spark: {a[c].head(5).tolist()}\noracle: {b[c].head(5).tolist()}\n"
+                    f"n_diff={len(diff)}"
+                )

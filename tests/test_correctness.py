@@ -1,0 +1,44 @@
+"""Differential oracle tests — every SQL-oracled query, Spark vs DuckDB.
+
+This mirrors the driver's t2 gate (and the reference's validator-vs-miner
+exact-match oracle, reference neurons/validator.py:138-141): the same
+parquet is read by both engines and results must match exactly after
+order-insensitive canonicalization.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import SF_DIR, assert_frames_match
+
+SQL_ORACLED = sorted(ORACLES)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", SQL_ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = ddb.sql(ORACLES[name]).df()
+    assert_frames_match(sdf, odf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_registry_consistency():
+    unknown = set(ORACLES) - set(QUERIES)
+    assert not unknown, f"oracles without queries: {unknown}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
