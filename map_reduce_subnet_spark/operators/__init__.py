@@ -8,7 +8,12 @@ from map_reduce_subnet_spark.operators.registry import ORACLES, QUERIES
 
 from map_reduce_subnet_spark.operators import (  # noqa: F401  (import = register)
     aggregations,
+    joins,
+    projections,
     scans,
+    setops,
+    sorts,
+    windows,
 )
 
 __all__ = ["QUERIES", "ORACLES"]

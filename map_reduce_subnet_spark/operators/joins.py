@@ -1,0 +1,282 @@
+"""Family C — joins (SURVEY.md §2.2.C).
+
+Grounding: broadcast fan-out to all peers (reference
+neurons/validator.py:120-127 ≈ broadcast-hash join / TorrentBroadcast),
+chunk gather by origin key (reference README.md:20 ≈ shuffle join),
+N×B bipartite topology (reference README.md:18 ≈ cross join), allow/
+deny-list membership (reference neurons/miner.py:113,116 ≈ semi/anti),
+"latest state at-or-before" resync (reference neurons/validator.py:168
+≈ as-of join).
+
+Scale posture: dims are explicitly ``F.broadcast``-hinted (no shuffle
+of the fact side); fact-fact joins shuffle on the join key and AQE
+handles skew; the as-of join uses the union+window formulation — one
+shuffle on (key), no candidate-pair blowup — which is the formulation
+that survives 100 TB (a range self-join would not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
+from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+SELECT r_name, n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims: the fan-out-to-all-peers topology. The
+    three dim tables ship to every task; lineitem never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    na = F.broadcast(load_table(spark, sf_dir, "nation"))
+    re = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_shuffle_equi",
+    oracle="""
+SELECT l_orderkey, l_linenumber, o_orderstatus, o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+)
+def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join: both sides shuffle on the key (sort-merge;
+    AQE may convert to shuffled-hash / broadcast when a side is small)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle=f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star (the N×B topology as a join DAG): dims broadcast,
+    facts shuffle once on orderkey."""
+    re = F.broadcast(load_table(spark, sf_dir, "region"))
+    na = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cu = F.broadcast(load_table(spark, sf_dir, "customer"))
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        re.join(na, na.n_regionkey == re.r_regionkey)
+        .join(cu, cu.c_nationkey == na.n_nationkey)
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_custkey") == cu.c_custkey,
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 0.0)
+           AS total_spent
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping orderless customers (peers that never
+    responded still get a row — scored 0, validator.py:134-141)."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        cu.join(o, o.o_custkey == cu.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: membership without duplication (allow-list)."""
+    cu = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return cu.join(big, big.o_custkey == cu.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: the blacklist reject side."""
+    cu = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return cu.join(f_orders, f_orders.o_custkey == cu.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join (pairs of events within an hour, per user).
+    The equi component (user_id) keys the shuffle; the range predicate
+    filters within each co-partition — no cross-join blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        F.col("a.user_id").alias("user_id"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       (SELECT c.event_id
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC
+        LIMIT 1) AS last_click_id
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase → latest click at-or-before it, per
+    user ("latest state" resync semantics, validator.py:168).
+
+    Scalable formulation: union both sides with a marker, one window
+    pass per user ordered by ts carrying the last click forward
+    (``last(..., ignorenulls)``) — a single shuffle on user_id and
+    O(n log n) per partition, vs the O(n·m) range-join alternative.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("side"),
+    )
+    unioned = clicks.unionByName(purchases)
+    # Click sorts before purchase at equal ts (side asc) so "<=" holds;
+    # among equal-ts clicks, the highest click_id wins (matches the
+    # oracle's ORDER BY ts DESC, event_id DESC).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .where(F.col("side") == 1)
+        .select(
+            F.col("p_event_id").alias("event_id"), "user_id", "last_click_id"
+        )
+    )
+
+
+@query(
+    "join_cross_bipartite",
+    oracle="""
+SELECT s_suppkey, r_regionkey, s_name, r_name
+FROM supplier CROSS JOIN region
+""",
+)
+def join_cross_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N×B bipartite edge grid (README.md:18) as an explicit cross
+    join — only ever used dim×dim; never fact×fact."""
+    su = load_table(spark, sf_dir, "supplier")
+    re = F.broadcast(load_table(spark, sf_dir, "region"))
+    return su.crossJoin(re).select("s_suppkey", "r_regionkey", "s_name", "r_name")

@@ -1,0 +1,223 @@
+"""Family E — window functions (SURVEY.md §2.2.E).
+
+Grounding: priority ordering by stake (reference neurons/miner.py:
+127-137), uid position lookup (reference neurons/miner.py:101),
+prior-score reads and cumulative score folds (reference
+neurons/validator.py:146), weight normalization percentiles (reference
+neurons/validator.py:151), every-N-steps cadence frames (reference
+neurons/validator.py:149,170).
+
+All windows are PARTITIONED (per-nation / per-customer / per-user) —
+no global single-partition window appears on a fact table, so each
+plan scales: the only data movement is one shuffle on the partition
+key. Window sums go through decimal casts (functions/stable.py
+rationale) so sliding-frame summation order can't drift the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_subnet_spark.functions.stable import SUM_DECIMAL
+from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
+
+
+@query(
+    "window_rank_stake",
+    oracle="""
+SELECT s_suppkey, s_name,
+       RANK() OVER (ORDER BY s_acctbal DESC) AS rnk
+FROM supplier
+""",
+)
+def window_rank_stake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority rank by account balance (stake-priority queue). Global
+    window is safe here: supplier is a bounded dim table."""
+    su = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"))
+    return su.select("s_suppkey", "s_name", F.rank().over(w).alias("rnk"))
+
+
+@query(
+    "window_row_number",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS uid
+FROM customer
+""",
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-partition numbering (hotkeys.index → uid)."""
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return cu.select(
+        "c_custkey", "c_nationkey", F.row_number().over(w).alias("uid")
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer ("higher values processed first").
+    o_orderkey tiebreak makes the selection deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+SELECT event_id, user_id,
+       value - LAG(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+""",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vs previous event per user (prior-score read)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer (scores accumulating across
+    steps)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(SUM_DECIMAL))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       AS mavg
+FROM events
+""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of event values (EMA-smoothing intent).
+    Expressed as decimal-sum / count so sliding-frame arithmetic is
+    engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mavg = (
+        F.sum(F.col("value").cast(SUM_DECIMAL)).over(w).cast("double")
+        / F.count("value").over(w)
+    )
+    return ev.select("event_id", "user_id", mavg.alias("mavg"))
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY d
+                  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS sum_7d
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS d
+      FROM orders)
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day RANGE frame per customer (blocktime-window cadence).
+    Dates are mapped to integer day offsets so the range bound is a
+    plain numeric frame in both engines."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-7, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        F.sum(F.col("o_totalprice").cast(SUM_DECIMAL))
+        .over(w)
+        .cast("double")
+        .alias("sum_7d"),
+    )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey), 6) AS pct,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+""",
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile + quartile of per-nation balances (weight
+    normalization as a distribution)."""
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -49,6 +49,8 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = col.astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(col):
             df[c] = col.astype(np.float64)
+        elif pd.api.types.is_integer_dtype(col):
+            df[c] = col.astype(np.int64)
         elif col.dtype == object:
             df[c] = col.astype(str)
     if len(df):
