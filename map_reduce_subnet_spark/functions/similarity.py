@@ -1,0 +1,55 @@
+"""Vector-similarity column builders (embedding column = array<float>).
+
+Used by the family-K similarity/dedup queries. Everything here is
+built-in higher-order functions over array columns — JVM-side, no
+Python UDFs — so the dot products run inside codegen and scale with
+partitioning, not with driver memory.
+
+Scale design (100 TB): brute-force cosine is the correctness baseline;
+the LSH/IVF variants bucket vectors so candidate generation is a
+hash-partition join on bucket id instead of a cross join. See
+operators/llm.py for the query-level composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns (double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm of a float-array column."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_sketch(a: Column, n_bits: int = 16) -> Column:
+    """Sign-bit sketch of the first ``n_bits`` components — a
+    deterministic random-hyperplane LSH stand-in (axis-aligned
+    hyperplanes). Vectors with high cosine share most sign bits, so
+    bucketing on bands of this sketch yields near-dup candidates
+    without a cross join."""
+    bit = lambda i: F.when(F.element_at(a, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    out = F.lit(0)
+    for i in range(n_bits):
+        out = F.shiftleft(out, 1) + bit(i)
+    return out.cast("int")

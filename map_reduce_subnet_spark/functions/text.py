@@ -1,0 +1,97 @@
+"""Text-analysis column builders for the LLM-data-pipeline surface.
+
+All builders return pyspark Columns composed of built-in functions —
+JVM-side, codegen-friendly, no Python in the hot path. They are shared
+by the family-K queries (operators/llm.py) and usable standalone.
+
+Grounding: the reference validates "consistency" by exact content
+comparison (reference README.md:22, neurons/validator.py:138-141);
+these builders generalize that to content fingerprinting, shingling
+and quality scoring over a document corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A deliberately small, deterministic stopword list (shared with oracle
+# SQL strings — keep in sync with STOPWORDS_SQL).
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+STOPWORDS_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+# BPE-ish tokenizer: word runs or single non-space punctuation.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus)."""
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text)).cast("long")
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish regex token count (word pieces + punctuation)."""
+    c = text if isinstance(text, Column) else F.col(text)
+    # idx=0: full matches (Spark defaults to group 1, DuckDB to 0)
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def stopword_count(text: Column | str) -> Column:
+    """How many tokens are stopwords (quality-signal numerator)."""
+    return F.size(
+        F.filter(words(text), lambda w: w.isin(*STOPWORDS))
+    ).cast("long")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length
+    documents and a natural stopword ratio. Built-ins only.
+
+    Deliberately NOT rounded: the identical double expression tree is
+    evaluated on both engines, so the result is bit-exact, whereas
+    ROUND itself diverges on exact-half rationals (Spark rounds the
+    shortest decimal repr, DuckDB the full binary value)."""
+    n = token_count_ws(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / n
+    length_term = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_term = F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4))
+    return F.lit(0.5) * length_term + F.lit(0.5) * stop_term
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted
+    distinct token set (near-dup-robust against token reordering)."""
+    sorted_words = F.array_sort(F.array_distinct(words(text)))
+    return F.md5(F.concat_ws(" ", sorted_words))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array column, built JVM-side:
+    transform(sequence(1, n-k+1), i -> words[i..i+k-1] joined)."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(k)]
+        ),
+    )
+
+
+def langid(text: Column | str) -> Column:
+    """Marker-token language heuristic (n-gram-style rule cascade).
+    A real model is out of scope; the operator shape — cascaded
+    deterministic text predicates — is what a pipeline needs."""
+    t = F.concat(F.lit(" "), text if isinstance(text, Column) else F.col(text), F.lit(" "))
+    return (
+        F.when(t.contains(" the ") | t.contains(" and "), "en")
+        .when(t.contains(" le ") | t.contains(" la "), "fr")
+        .when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" el ") | t.contains(" los "), "es")
+        .otherwise("und")
+    )

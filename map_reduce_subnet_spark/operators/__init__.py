@@ -9,10 +9,14 @@ from map_reduce_subnet_spark.operators.registry import ORACLES, QUERIES
 from map_reduce_subnet_spark.operators import (  # noqa: F401  (import = register)
     aggregations,
     joins,
+    llm,
     projections,
+    scalars,
     scans,
     setops,
     sorts,
+    streaming_batch,
+    udfs,
     windows,
 )
 

@@ -1,0 +1,507 @@
+"""Family K — LLM-data-pipeline extensions (SURVEY.md §2.2.K).
+
+Deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash), text
+analysis (stats, term frequency, quality, language-id, fingerprint,
+token counting), similarity search (brute-force cosine top-k, IVF and
+sign-LSH approximate variants), and the multimodal join.
+
+Grounding: consistency hashing / redundant-chunk dedup (reference
+README.md:18,22); the rest is the declared north star (BASELINE.json:
+"dedup, similarity search, multimodal columns, text analysis").
+
+Scale design notes (100 TB):
+- exact dedup and fingerprints are hash-groupBys — one shuffle on the
+  hash, no pairwise work;
+- near-dup candidate generation is ALWAYS bucketed (MinHash bands,
+  sign-sketch bands, shingle inverted index) — candidate pairs come
+  from equi-joins on bucket keys, never from a cross join;
+- brute-force cosine exists as the correctness baseline and for
+  single-probe top-k (one broadcast of the probe, a map + TakeOrdered
+  — no shuffle of the corpus);
+- everything stays in built-in HOFs (zip_with/aggregate/transform) —
+  no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_subnet_spark.functions import similarity as sim
+from map_reduce_subnet_spark.functions import text as tx
+from map_reduce_subnet_spark.functions.stable import davg, sql_davg
+from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, h
+FROM (
+    SELECT doc_id, md5(text) AS h,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per content hash. One
+    shuffle on the 128-bit hash; survivor choice is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "h")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]))) AS shingle
+    FROM documents
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via a shingle inverted
+    index: explode distinct shingles, equi-join on shingle (candidate
+    generation is hash-partitioned, not pairwise), count intersections,
+    filter on the Jaccard threshold.
+
+    Scale note: hot shingles create quadratic buckets — production
+    would drop top-frequency shingles (stop-shingles) first; the
+    MinHash variant below bounds work per doc regardless.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles("text", 3))).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .where(jac >= 0.1)
+        .select("a_id", "b_id", jac.alias("jaccard"))
+    )
+
+
+@query("dedup_near_minhash")  # rows-only: xxhash64 has no DuckDB counterpart
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates: 12 permutations
+    (xxhash64 with distinct salts) over 3-gram shingles, 4 bands × 3
+    rows; docs sharing a band signature become candidate pairs.
+
+    The scale path: per-doc work is O(shingles × 12), candidate
+    generation is an equi-join on (band, signature) — no pairwise
+    scan. Pinned by a golden test (tests/test_llm.py) since DuckDB
+    lacks xxhash64.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(tx.shingles("text", 3)).alias("sh")
+    )
+    n_perm, band_rows = 12, 3
+    minhashes = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
+        ).alias(f"mh{j}")
+        for j in range(n_perm)
+    ]
+    sig = sh.select("doc_id", *minhashes)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * band_rows + r}").cast("string")
+                                for r in range(band_rows)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(n_perm // band_rows)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
+@query("dedup_simhash")  # rows-only: murmur3 word hashing is Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document, computed entirely with
+    nested higher-order functions (no explode: per-doc cost is
+    O(words × 32) inside one task, no 32× row blowup)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.array_distinct(tx.words("text"))
+    # bit positions are Python ints (shift amounts must be literals)
+    bit_votes = F.aggregate(
+        w,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, word: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.hash(word), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(32)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    votes = d.select("doc_id", bit_votes.alias("votes"))
+    simhash_terms = [
+        F.when(F.element_at(F.col("votes"), i + 1) >= 0, F.lit(1 << i).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(32)
+    ]
+    simhash = simhash_terms[0]
+    for t in simhash_terms[1:]:
+        simhash = simhash + t
+    return votes.select("doc_id", simhash.alias("simhash32"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       {sql_davg("len(string_split(text, ' '))")} AS avg_tokens,
+       {sql_davg('n_chars')} AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language: doc counts, token/char averages."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg(tx.token_count_ws("text"), "avg_tokens"),
+        davg("n_chars", "avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "text_term_freq",
+    oracle="""
+SELECT word, COUNT(*) AS tf
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency across the corpus (explode + count — partial
+    aggregation collapses each partition's counts before the shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tx.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       0.5 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0, 1.0)
+           + 0.5 * (1.0 - ABS(
+                 CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN {tx.STOPWORDS_SQL})) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4))
+           AS quality
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score: length term + stopword-ratio term (deterministic
+    heuristic; the operator shape for corpus filtering)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+@query(
+    "text_langid",
+    oracle="""
+SELECT doc_id, lang AS lang_true,
+       CASE WHEN ' ' || text || ' ' LIKE '% the %'
+              OR ' ' || text || ' ' LIKE '% and %' THEN 'en'
+            WHEN ' ' || text || ' ' LIKE '% le %'
+              OR ' ' || text || ' ' LIKE '% la %' THEN 'fr'
+            WHEN ' ' || text || ' ' LIKE '% der %'
+              OR ' ' || text || ' ' LIKE '% und %' THEN 'de'
+            WHEN ' ' || text || ' ' LIKE '% el %'
+              OR ' ' || text || ' ' LIKE '% los %' THEN 'es'
+            ELSE 'und' END AS lang_pred
+FROM documents
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language id (rule cascade) next to the gold label."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        tx.langid("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive token-set fingerprint (md5 of the sorted
+    distinct token set) — robust to token reordering."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace and BPE-ish regex tokenizers."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("n_ws"),
+        tx.token_count_bpe("text").alias("n_bpe"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search + multimodal
+# --------------------------------------------------------------------------
+
+
+@query("sim_cosine_topk")  # rows-only: HOF float accumulation is dialect-specific
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against a probe vector (vec_id 0):
+    broadcast the probe, one map over the corpus, TakeOrdered for the
+    top-k — no shuffle of the corpus, the exact-search baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
+    )
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            sim.cosine(F.col("embedding"), F.col("probe")).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@query("sim_ann_ivf")  # rows-only: multi-stage ANN, not SQL-expressible
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: assign every vector to
+    its nearest of 8 deterministic centroids (vec_id 0..7), then search
+    only the probe's cell.
+
+    The scale path: assignment is a broadcast map (centroids are tiny),
+    the search probes one cell ≈ 1/8 of the corpus; real IVF trains
+    centroids — here they're pinned for determinism.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        e.crossJoin(cents)
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            sim.cosine(F.col("embedding"), F.col("cent")).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    probe_cell = assigned.where(F.col("vec_id") == 42).select(
+        F.col("cent_id").alias("probe_cell"),
+        F.col("embedding").alias("probe"),
+    )
+    return (
+        assigned.join(
+            F.broadcast(probe_cell), F.col("cent_id") == F.col("probe_cell")
+        )
+        .where(F.col("vec_id") != 42)
+        .select(
+            "vec_id",
+            F.round(sim.cosine(F.col("embedding"), F.col("probe")), 6).alias(
+                "cos_sim"
+            ),
+            "cent_id",
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@query("embed_neardup_cosine")  # rows-only: LSH banding + float cosine
+def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-sketch LSH: 16 sign
+    bits → 4 bands of 4 bits; pairs sharing any band are candidates,
+    then exact cosine filters at 0.8. Candidate generation is an
+    equi-join on (band, nibble) — never a cross join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sk = e.select(
+        "vec_id", "embedding", sim.sign_sketch(F.col("embedding"), 16).alias("sk")
+    )
+    bands = sk.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sk"), b * 4)
+                        .bitwiseAND(F.lit(0xF))
+                        .alias("nib"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bn"),
+    ).select("vec_id", "embedding", "bn.band", "bn.nib")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .distinct()
+    )
+    cos = sim.cosine(F.col("ea"), F.col("eb"))
+    return (
+        cand.select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.8)
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+SELECT d.doc_id, d.lang, d.n_chars, e.label, len(e.embedding) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents ⋈ embeddings: text + vector columns in one frame
+    (the multimodal-columns north star); only scalar columns surface
+    into the oracle hash."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+    )

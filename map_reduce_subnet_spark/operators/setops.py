@@ -90,16 +90,18 @@ SELECT l_orderkey, l_linenumber, l_partkey
 FROM (
     SELECT l_orderkey, l_linenumber, l_partkey,
            ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                              ORDER BY l_linenumber) AS rn
+                              ORDER BY l_linenumber, l_partkey) AS rn
     FROM lineitem
 ) WHERE rn = 1
 """,
 )
 def setop_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep exactly one row per key, deterministically (redundant-chunk
-    dedup: first linenumber wins)."""
+    dedup). The sort key covers every output column: even when rows tie
+    on the full key, the surviving values are identical — survivor
+    choice can never depend on shuffle order."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     return (
         li.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

@@ -1,0 +1,179 @@
+"""Family I — streaming semantics, batch-mode equivalents
+(SURVEY.md §2.2.I).
+
+Grounding: every-2-steps weight sink (reference neurons/validator.py:
+149 → tumbling window), resync cadence (reference neurons/miner.py:179
+→ sliding window), axon request sessions (reference neurons/miner.py:
+151-169 → session window), staleness/resync (reference
+neurons/validator.py:166-170 → watermark), redundant chunks (reference
+README.md:18 → stream dedup).
+
+These run the *same semantics* as the Structured Streaming jobs in
+map_reduce_subnet_spark/streaming/jobs.py, expressed as batch plans so
+the DuckDB oracle can verify values. Window starts are emitted as
+epoch seconds (BIGINT) — timestamp-representation-free hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
+from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+SELECT CAST(floor(epoch(ts) / 120) AS BIGINT) * 120 AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-minute tumbling windows (weights-every-2-steps cadence).
+    F.window is epoch-aligned for minute durations, matching the
+    floor(epoch/120)*120 arithmetic exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+WITH panes AS (
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start, value
+    FROM events
+    UNION ALL
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300 AS win_start, value
+    FROM events
+)
+SELECT win_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM panes
+GROUP BY win_start
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 (resync cadence): every event
+    lands in exactly two panes; the oracle materializes both."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR date_diff('microseconds', LAG(ts) OVER w, ts) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts, event_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       epoch_us(MIN(ts)) AS start_us,
+       COUNT(*) AS n_events,
+       date_diff('microseconds', MIN(ts), MAX(ts)) AS duration_us
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (axon request
+    sessions) — the gaps-and-islands batch form of F.session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@query(
+    "stream_watermark_late",
+    oracle="""
+SELECT event_id, user_id
+FROM (
+    SELECT event_id, user_id, ts,
+           MAX(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS max_seen
+    FROM events
+)
+WHERE ts >= max_seen - INTERVAL 10 MINUTE
+""",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics as a batch simulation: drop events more than
+    10 minutes behind the max event-time seen so far in arrival order
+    (event_id = arrival).
+
+    The global ordered window models the stream's single logical clock
+    — a deliberate fixture-scale simulation; the production form is
+    streaming/jobs.py (withWatermark) where the engine maintains the
+    clock without a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("max_seen", F.max("ts").over(w))
+        .where(F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 10 MINUTES"))
+        .select("event_id", "user_id")
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT DISTINCT event_id, user_id, value
+FROM (
+    SELECT event_id, user_id, value FROM events
+    UNION ALL
+    SELECT event_id, user_id, value FROM events
+)
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once delivery over an at-least-once stream: redundant
+    chunks (README.md:18) collapse to one row per event_id. Duplicate
+    rows are identical, so dropDuplicates is deterministic here."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    doubled = ev.unionByName(ev)
+    return doubled.dropDuplicates(["event_id"])

@@ -1,0 +1,118 @@
+"""Family J — UDF / UDAF / UDTF surface (SURVEY.md §2.2.J).
+
+Grounding: the reference's extension point is ``axon.attach(forward_fn,
+blacklist_fn, priority_fn)`` (reference neurons/miner.py:156-160) —
+arbitrary Python callables plugged into the pipeline. The Spark
+equivalents are Arrow-batched pandas UDFs: scalar (forward_fn,
+reference neurons/miner.py:140-147), grouped-aggregate (the keyed
+reduce, reference README.md:20) and grouped-map (per-peer scoring,
+reference neurons/validator.py:134-146).
+
+Performance: every UDF here is Arrow-vectorized (pandas_udf /
+applyInPandas) — one Python roundtrip per batch, never per row. They
+exist to exercise the extension surface; equivalent built-in paths are
+registered in families B/D and are what a cost-conscious caller uses.
+
+Note: pandas_udf objects are created inside the query functions, not
+at module import — parsing the return-type DDL requires an active
+SparkSession, and this package must import session-free.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty_x2
+FROM lineitem
+""",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF ×2 — per-row double arithmetic is exact, so
+    the plain-SQL oracle hash-matches."""
+
+    @pandas_udf("double")
+    def times_two(x: pd.Series) -> pd.Series:
+        # the reference's forward transform: output = input * 2
+        # (reference neurons/miner.py:146)
+        return x * 2.0
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", times_two("l_quantity").alias("qty_x2")
+    )
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 4)
+           AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: quantity-weighted mean price.
+    Rounded to 4 decimals on both sides — the UDF's float sum and the
+    oracle's exact decimal quotient agree well past that precision."""
+
+    @pandas_udf("double")
+    def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(weighted_mean("l_extendedprice", "l_quantity").alias("wavg"))
+        .select("l_returnflag", F.round("wavg", 4).alias("weighted_avg_price"))
+    )
+
+
+@query(
+    "udtf_grouped_map",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice /
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE), 2), 6)
+           AS share
+FROM orders
+""",
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-group L1 normalization, verified
+    against the built-in window formulation.
+
+    The UDF is a closure, NOT a module-level function: cloudpickle
+    ships closures by value, while module-level functions are pickled
+    by reference and executors would need this package on their
+    sys.path (the grading driver's workers don't have it).
+    """
+
+    def normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # per-peer score normalization (reference neurons/validator.py:
+        # 151). Prices carry 2 decimals, so rounding the float total to
+        # 2 recovers the exact decimal total — the denominator matches
+        # the oracle's decimal-exact sum regardless of summation order.
+        total = round(float(pdf["o_totalprice"].astype("float64").sum()), 2)
+        out = pdf[["o_orderkey", "o_custkey"]].copy()
+        out["share"] = (pdf["o_totalprice"] / total).round(6)
+        return out
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        normalize_group, schema="o_orderkey long, o_custkey long, share double"
+    )

@@ -203,8 +203,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_percent_rank",
     oracle="""
 SELECT c_custkey, c_nationkey,
-       ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
-                                  ORDER BY c_acctbal, c_custkey), 6) AS pct,
+       PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS pct,
        NTILE(4) OVER (PARTITION BY c_nationkey
                       ORDER BY c_acctbal, c_custkey) AS quartile
 FROM customer
@@ -218,6 +218,8 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct"),
+        # not rounded: k/(n-1) is the same double on both engines,
+        # while ROUND diverges on exact-half rationals
+        F.percent_rank().over(w).alias("pct"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )

@@ -44,8 +44,6 @@ def get_spark(
         )
         # --- Arrow for every pandas_udf / applyInPandas boundary --------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Read timestamp_ntz as-is; fixtures use naive timestamps.
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Parquet TIMESTAMP(NANOS) columns surface as LongType (epoch
         # nanos); sources/tables.py truncates them to microsecond
         # timestamps, matching DuckDB's ns→us truncation on read.

@@ -1,0 +1,126 @@
+"""Golden/property tests for rows-only queries (no SQL oracle).
+
+Mirrors SURVEY §5.2.3: rows-only queries are pinned against
+independently-computed Python references (the same differential-oracle
+discipline, with numpy/pandas as the second engine), or against
+invariants where the hash function itself is Spark-specific.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from map_reduce_subnet_spark.operators import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _events() -> pd.DataFrame:
+    df = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    # engine truncates ns -> us like DuckDB
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+def _embeddings() -> pd.DataFrame:
+    return pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+
+
+def test_agg_ema_matches_python(spark):
+    got = (
+        QUERIES["agg_ema"](spark, SF_DIR)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = _events().sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        s = 1.0  # seeded like torch.ones_like (validator.py:110)
+        for v in grp["value"]:
+            s = s * 0.9 + float(v) * 0.1
+        assert got.loc[uid, "ema"] == pytest.approx(round(s, 6), abs=1e-6)
+        assert got.loc[uid, "n_events"] == len(grp)
+
+
+def test_sim_cosine_topk_matches_numpy(spark):
+    got = QUERIES["sim_cosine_topk"](spark, SF_DIR).toPandas()
+    emb = _embeddings().set_index("vec_id")["embedding"]
+    probe = np.asarray(emb.loc[0], dtype=np.float64)
+    sims = {
+        int(vid): float(
+            np.dot(v, probe)
+            / (np.linalg.norm(v) * np.linalg.norm(probe))
+        )
+        for vid, v in emb.items()
+        if vid != 0
+        for v in [np.asarray(v, dtype=np.float64)]
+    }
+    expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["vec_id"]) == [vid for vid, _ in expect]
+    for (_, sim_val), got_val in zip(expect, got["cos_sim"]):
+        assert got_val == pytest.approx(sim_val, abs=1e-5)
+
+
+def test_array_hof_matches_python(spark):
+    got = QUERIES["array_hof"](spark, SF_DIR).toPandas().set_index("vec_id")
+    emb = _embeddings().set_index("vec_id")["embedding"]
+    for vid in list(emb.index)[:50]:
+        v = emb.loc[vid]
+        acc = 0.0
+        for x in v:  # left-to-right fold, matching F.aggregate
+            acc += abs(float(np.float32(x)))
+        assert got.loc[vid, "l1_norm"] == pytest.approx(round(acc, 6), abs=1e-6)
+        assert got.loc[vid, "n_positive"] == int((np.asarray(v) > 0).sum())
+        assert got.loc[vid, "dim"] == len(v)
+
+
+def test_minhash_candidates_properties(spark):
+    df = QUERIES["dedup_near_minhash"](spark, SF_DIR).toPandas()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    n = len(docs)
+    if len(df):
+        assert (df["a_id"] < df["b_id"]).all()
+        assert df[["a_id", "b_id"]].duplicated().sum() == 0
+        assert df["a_id"].between(0, n * 100).all()
+    # determinism: identical plan, identical result
+    df2 = QUERIES["dedup_near_minhash"](spark, SF_DIR).toPandas()
+    a = df.sort_values(list(df.columns)).reset_index(drop=True)
+    b = df2.sort_values(list(df.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_properties(spark):
+    df = QUERIES["dedup_simhash"](spark, SF_DIR).toPandas()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    assert len(df) == len(docs)
+    assert df["simhash32"].between(0, 2**32 - 1).all()
+    df2 = QUERIES["dedup_simhash"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_ann_ivf_is_subset_of_exact(spark):
+    """IVF results must be true cosines (values match numpy) even if
+    the candidate set is approximate."""
+    got = QUERIES["sim_ann_ivf"](spark, SF_DIR).toPandas()
+    emb = _embeddings().set_index("vec_id")["embedding"]
+    probe = np.asarray(emb.loc[42], dtype=np.float64)
+    assert len(got) == 5
+    for _, row in got.iterrows():
+        v = np.asarray(emb.loc[row["vec_id"]], dtype=np.float64)
+        cos = float(np.dot(v, probe) / (np.linalg.norm(v) * np.linalg.norm(probe)))
+        assert row["cos_sim"] == pytest.approx(cos, abs=1e-5)
+
+
+def test_embed_neardup_pairs_are_high_cosine(spark):
+    got = QUERIES["embed_neardup_cosine"](spark, SF_DIR).toPandas()
+    emb = _embeddings().set_index("vec_id")["embedding"]
+    for _, row in got.iterrows():
+        a = np.asarray(emb.loc[row["a_id"]], dtype=np.float64)
+        b = np.asarray(emb.loc[row["b_id"]], dtype=np.float64)
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.8 - 1e-6
