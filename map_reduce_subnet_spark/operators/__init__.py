@@ -19,5 +19,6 @@ from map_reduce_subnet_spark.operators import (  # noqa: F401  (import = registe
     udfs,
     windows,
 )
+from map_reduce_subnet_spark.streaming import jobs  # noqa: F401,E402  (register)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -485,6 +485,44 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_features")  # rows-only: binary featurizer (mapInPandas)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text → binary payload (stand-in for an
+    image/audio blob) → Arrow-batched mapInPandas featurizer.
+
+    The decode step proper is a documented stub (codec libs absent —
+    functions/multimodal.py::decode_media); the deterministic fake
+    featurizer exercises the real contract: BinaryType column, declared
+    output schema, batch iteration. The UDF is a closure (shipped by
+    value — executors never import this package).
+    """
+    from map_reduce_subnet_spark.functions.multimodal import (
+        MEDIA_FEATURE_SCHEMA,
+    )
+
+    def featurize(batches):
+        import pandas as pd  # worker-local import
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "byte_sum": payloads.map(
+                        lambda b: sum(b) % (1 << 31)
+                    ).astype("int64"),
+                    "head_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return blobs.mapInPandas(featurize, schema=MEDIA_FEATURE_SCHEMA)
+
+
 @query(
     "multimodal_join",
     oracle="""

@@ -1,0 +1,63 @@
+"""True Structured Streaming jobs vs their batch equivalents.
+
+With trigger(availableNow) over a static fixture, every streaming
+result must equal its batch counterpart — the streaming analog of the
+differential oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from map_reduce_subnet_spark.operators import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_stream_tumbling_matches_batch(spark):
+    """Append-mode semantics: windows still inside the final watermark
+    (max event time − 10 min) never close, so the stream emits exactly
+    the closed subset of the batch result."""
+    stream = QUERIES["stream_tumbling_true"](spark, SF_DIR).toPandas()
+    batch = (
+        QUERIES["stream_tumbling"](spark, SF_DIR)
+        .toPandas()[["win_start", "event_type", "n_events"]]
+    )
+    import pyarrow.parquet as pq
+
+    ts = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])["ts"]
+    max_epoch = max(t.value for t in ts.to_pylist()) / 1e9
+    watermark = max_epoch - 600
+    closed = batch[batch["win_start"] + 120 <= watermark]
+    # every closed window must be emitted, values identical
+    merged = _sorted(stream).merge(
+        _sorted(batch), how="left", indicator=True
+    )
+    assert (merged["_merge"] == "both").all(), "stream emitted unknown rows"
+    assert len(stream) >= len(closed), (
+        f"stream missed closed windows: {len(stream)} < {len(closed)}"
+    )
+
+
+def test_stream_dedup_matches_batch(spark):
+    stream = QUERIES["stream_dedup_true"](spark, SF_DIR).toPandas()
+    batch = QUERIES["stream_dedup"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(_sorted(stream), _sorted(batch))
+
+
+def test_stream_stateful_ema_matches_batch(spark):
+    stream = QUERIES["stream_stateful_ema"](spark, SF_DIR).toPandas()
+    batch = QUERIES["agg_ema"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(_sorted(stream), _sorted(batch))
+
+
+def test_multimodal_features_deterministic(spark):
+    a = QUERIES["multimodal_features"](spark, SF_DIR).toPandas()
+    b = QUERIES["multimodal_features"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+    assert (a["n_bytes"] > 0).all()
+    assert a["head_hex"].str.len().eq(8).all()
