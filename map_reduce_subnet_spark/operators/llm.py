@@ -437,50 +437,53 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embed_neardup_cosine")  # rows-only: LSH banding + float cosine
 def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via sign-sketch LSH: 16 sign
-    bits → 4 bands of 4 bits; pairs sharing any band are candidates,
-    then exact cosine filters at 0.8. Candidate generation is an
-    equi-join on (band, nibble) — never a cross join."""
+    bits → 2 bands of 8 bits (256 buckets per band — selectivity is
+    what keeps candidate counts subquadratic); pairs sharing any band
+    are candidates, then exact cosine filters at 0.8.
+
+    Cost discipline: candidate pairs are deduped on (a_id, b_id) ONLY —
+    never on the embedding arrays (array comparisons in a wide shuffle
+    are the expensive mistake) — and each embedding is joined back
+    exactly once for a single cosine evaluation per pair."""
     e = load_table(spark, sf_dir, "embeddings")
     sk = e.select(
-        "vec_id", "embedding", sim.sign_sketch(F.col("embedding"), 16).alias("sk")
+        "vec_id", sim.sign_sketch(F.col("embedding"), 16).alias("sk")
     )
     bands = sk.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("sk"), b * 4)
-                        .bitwiseAND(F.lit(0xF))
-                        .alias("nib"),
+                        F.shiftright(F.col("sk"), b * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("bucket"),
                     )
-                    for b in range(4)
+                    for b in range(2)
                 ]
             )
         ).alias("bn"),
-    ).select("vec_id", "embedding", "bn.band", "bn.nib")
+    ).select("vec_id", "bn.band", "bn.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
     cos = sim.cosine(F.col("ea"), F.col("eb"))
     return (
-        cand.select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.8)
     )
 
