@@ -1,0 +1,48 @@
+"""Skew mitigation: key salting for hot-key aggregations and joins.
+
+AQE's skew-join splitting handles most cases at runtime
+(spark.sql.adaptive.skewJoin.enabled, on in session.py); salting is
+the explicit fallback when one key dominates so heavily that even
+split shuffle blocks overload (the classic power-law hot key at
+100 TB).
+
+Pattern: aggregate in two stages — first on (key, salt) so the hot
+key's rows spread over N reducers, then on key to combine the partial
+results. Works for any algebraic aggregate; the decimal-exact sums
+(functions/stable.py) stay exact through both stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
+    """Add a deterministic salt in [0, n_salts): hash of the full row's
+    monotonically-increasing id is NOT used (nondeterministic across
+    runs); instead we hash stable input columns."""
+    return df.withColumn(
+        col_name, F.pmod(F.hash(*df.columns), F.lit(n_salts))
+    )
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    out: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage exact sum over a (possibly) hot key: spread each key
+    over n_salts reducers, then combine. Decimal-exact, so the result
+    is identical to the direct groupBy regardless of split."""
+    salted = with_salt(df, n_salts)
+    stage1 = (
+        salted.groupBy(key, "_salt")
+        .agg(F.sum(value.cast("decimal(27,6)")).alias("_partial"))
+    )
+    return (
+        stage1.groupBy(key)
+        .agg(F.sum("_partial").cast("double").alias(out))
+    )

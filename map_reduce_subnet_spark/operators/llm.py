@@ -488,6 +488,65 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_chunking",
+    oracle="""
+SELECT doc_id, chunk_start,
+       array_to_string(string_split(text, ' ')[chunk_start:chunk_start+49], ' ')
+           AS chunk
+FROM (
+    SELECT doc_id, text,
+           unnest(range(1, len(string_split(text, ' ')) + 1, 40)) AS chunk_start
+    FROM documents
+)
+""",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 50-token chunks, stride 40
+    (10-token overlap) — the standard pre-tokenization split for
+    long-document training corpora. Pure array ops (sequence + slice),
+    one explode; no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tx.words("text")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(40))
+    return (
+        d.select("doc_id", w.alias("w"), F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("chunk_start"), F.lit(50))).alias(
+                "chunk"
+            ),
+        )
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+               '\d{3}[- ]\d{3,4}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: email and phone patterns replaced before a
+    corpus ships to training. Spark regexp_replace is global by
+    default; the oracle passes the 'g' flag for parity. Output is the
+    md5 of the scrubbed text (hash-friendly)."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+        ),
+        r"\d{3}[- ]\d{3,4}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", F.md5(scrubbed).alias("scrubbed_md5"))
+
+
 @query("multimodal_features")  # rows-only: binary featurizer (mapInPandas)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: text → binary payload (stand-in for an

@@ -81,6 +81,37 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sink_csv_roundtrip")  # rows-only: filesystem side effect
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema-declared CSV source (header, explicit schema —
+    inference is never used in the engine proper)."""
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    out = os.path.join(tempfile.gettempdir(), "mrs_spark_sink_csv")
+    agg.write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.schema("o_orderstatus STRING, n_orders LONG")
+        .option("header", True)
+        .csv(out)
+    )
+
+
+@query("sink_json_roundtrip")  # rows-only: filesystem side effect
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-declared JSON source."""
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = os.path.join(tempfile.gettempdir(), "mrs_spark_sink_json")
+    agg.write.mode("overwrite").json(out)
+    return spark.read.schema("event_type STRING, n_events LONG").json(out)
+
+
 @query("sink_roundtrip")  # rows-only: filesystem side effect, not SQL-expressible
 def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an aggregate to Parquet, read it back (periodic sink pattern).

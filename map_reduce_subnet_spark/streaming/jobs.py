@@ -108,6 +108,26 @@ def stream_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_session_true")  # rows-only: live streaming session window
+def stream_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-minute gap) with watermark
+    — the engine-managed form of the batch gaps-and-islands
+    (`stream_session`). Only sessions closed by the final watermark are
+    emitted in append mode."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, spark)
+
+
 @query("stream_stateful_ema")  # rows-only: custom stateful operator
 def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user EMA carried across

@@ -1,0 +1,96 @@
+"""Layout + skew tests: partition pruning actually prunes, bucketed
+joins actually avoid the shuffle, salted aggregation is exact."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_subnet_spark.functions.skew import salted_sum
+from map_reduce_subnet_spark.plans import count_exchanges, formatted_plan
+from map_reduce_subnet_spark.sources.layout import (
+    read_pruned,
+    write_date_partitioned,
+)
+from map_reduce_subnet_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def partitioned_orders(spark):
+    path = os.path.join(tempfile.gettempdir(), "mrs_layout_orders")
+    write_date_partitioned(
+        load_table(spark, SF_DIR, "orders"), path, "o_orderdate", "year"
+    )
+    return path
+
+
+def test_partition_pruning_selects_subset(spark, partitioned_orders):
+    df = read_pruned(spark, partitioned_orders, ["1996", "1997"])
+    plan = formatted_plan(df)
+    # the scan must carry a partition filter, and the row count must
+    # equal the direct date-range count
+    assert "PartitionFilters" in plan
+    got = df.count()
+    want = (
+        load_table(spark, SF_DIR, "orders")
+        .where(F.year("o_orderdate").isin(1996, 1997))
+        .count()
+    )
+    assert got == want > 0
+
+
+def test_partitioned_roundtrip_preserves_rows(spark, partitioned_orders):
+    n = spark.read.parquet(partitioned_orders).count()
+    assert n == load_table(spark, SF_DIR, "orders").count()
+
+
+def test_salted_sum_is_exact(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    direct = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total")
+        )
+        .toPandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    salted = (
+        salted_sum(o, "o_custkey", F.col("o_totalprice"), "total", n_salts=8)
+        .toPandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    assert direct["total"].equals(salted["total"])
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables joined on the bucket key: zero shuffle
+    exchanges in the join plan."""
+    from map_reduce_subnet_spark.sources.layout import write_bucketed
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(o, "b_orders", "o_orderkey", 8, "o_orderkey")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8, "l_orderkey")
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus"
+    )
+    # disable broadcast so the test exercises the shuffle decision
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert count_exchanges(joined) == 0
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

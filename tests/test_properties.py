@@ -1,0 +1,160 @@
+"""Property-style differential tests: randomized query parameters,
+Spark ≡ DuckDB on every draw.
+
+This is the reference's validation pattern — fresh inputs every round
+rather than a fixed corpus (the ever-advancing ``step`` input,
+reference neurons/validator.py:124) — applied to the differential
+oracle: each seed generates filter constants / group keys / window
+sizes, and both engines must agree exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from map_reduce_subnet_spark.functions.stable import sql_dsum
+from map_reduce_subnet_spark.sources.tables import load_table
+from tests.conftest import SF_DIR, assert_frames_match
+
+import pyspark.sql.functions as F
+
+SEEDS = [7, 42, 1337, 2024, 99991]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_filter_agg_matches(spark, ddb, seed):
+    """Random shipdate range + quantity threshold + group key choice."""
+    rng = random.Random(seed)
+    y0 = rng.randint(1995, 2000)
+    y1 = rng.randint(y0, 2001)
+    qty = rng.randint(5, 45)
+    key = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey"])
+    lo, hi = f"{y0}-01-01", f"{y1}-07-01"
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    got = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            & (F.col("l_quantity") <= qty)
+        )
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .toPandas()
+    )
+    want = ddb.sql(
+        f"""
+        SELECT {key}, COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS total
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}'
+          AND l_quantity <= {qty}
+        GROUP BY {key}
+        """
+    ).df()
+    assert_frames_match(got, want, f"random_filter_agg seed={seed}")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_topk_per_group_matches(spark, ddb, seed):
+    """Random k and random ordering column for per-group top-k."""
+    rng = random.Random(seed)
+    k = rng.randint(1, 5)
+    col = rng.choice(["o_totalprice", "o_orderdate"])
+
+    o = load_table(spark, SF_DIR, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(col), F.asc("o_orderkey")
+    )
+    got = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey")
+        .toPandas()
+    )
+    want = ddb.sql(
+        f"""
+        SELECT o_custkey, o_orderkey FROM (
+            SELECT o_custkey, o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY {col} DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= {k}
+        """
+    ).df()
+    assert_frames_match(got, want, f"random_topk seed={seed}")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_membership_join_matches(spark, ddb, seed):
+    """Random segment subset semi-join."""
+    rng = random.Random(seed)
+    segs = rng.sample(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        rng.randint(1, 4),
+    )
+    seg_sql = ", ".join(f"'{s}'" for s in segs)
+
+    cu = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    picked = cu.where(F.col("c_mktsegment").isin(*segs))
+    got = (
+        o.join(picked, o.o_custkey == picked.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    want = ddb.sql(
+        f"""
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment IN ({seg_sql}))
+        GROUP BY o_orderstatus
+        """
+    ).df()
+    assert_frames_match(got, want, f"random_membership seed={seed}")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_window_frame_matches(spark, ddb, seed):
+    """Random rows-frame width for a per-user running decimal sum."""
+    rng = random.Random(seed)
+    width = rng.randint(1, 6)
+
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-width, 0)
+    )
+    got = ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s"),
+    ).toPandas()
+    want = ddb.sql(
+        f"""
+        SELECT event_id,
+               CAST(SUM(CAST(value AS DECIMAL(27,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {width} PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS s
+        FROM events
+        """
+    ).df()
+    assert_frames_match(got, want, f"random_window seed={seed}")

@@ -55,6 +55,18 @@ def test_stream_stateful_ema_matches_batch(spark):
     pd.testing.assert_frame_equal(_sorted(stream), _sorted(batch))
 
 
+def test_stream_session_matches_batch_closed_sessions(spark):
+    """Every emitted streaming session must exist in the batch
+    gaps-and-islands result with identical (user, start, count)."""
+    stream = QUERIES["stream_session_true"](spark, SF_DIR).toPandas()
+    batch = QUERIES["stream_session"](spark, SF_DIR).toPandas()[
+        ["user_id", "start_us", "n_events"]
+    ]
+    merged = _sorted(stream).merge(_sorted(batch), how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    assert len(stream) > 0
+
+
 def test_multimodal_features_deterministic(spark):
     a = QUERIES["multimodal_features"](spark, SF_DIR).toPandas()
     b = QUERIES["multimodal_features"](spark, SF_DIR).toPandas()
