@@ -18,19 +18,24 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two float-array columns (double accumulation)."""
+    """Dot product of two float-array columns.
+
+    Elements are cast to double BEFORE the multiply (float×float
+    truncates the product to float32 and diverges from engines that
+    promote first — DuckDB's list_dot_product does); accumulation is a
+    left-to-right double fold."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def norm(a: Column) -> Column:
-    """L2 norm of a float-array column."""
+    """L2 norm of a float-array column (double promotion first)."""
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -360,11 +360,36 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("sim_cosine_topk")  # rows-only: HOF float accumulation is dialect-specific
+@query(
+    "sim_cosine_topk",
+    oracle="""
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(probe.p[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(probe.p) + 1),
+                i -> CAST(probe.p[i] AS DOUBLE) * CAST(probe.p[i] AS DOUBLE)))))
+         AS cos_sim
+  FROM embeddings e, probe
+  WHERE vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against a probe vector (vec_id 0):
     broadcast the probe, one map over the corpus, TakeOrdered for the
-    top-k — no shuffle of the corpus, the exact-search baseline."""
+    top-k — no shuffle of the corpus, the exact-search baseline.
+
+    SQL-oracled bit-exact: both engines promote each float32 element
+    to double BEFORE multiplying and fold left-to-right (DuckDB's
+    native list_dot_product multiplies in float32 and drifts ~1e-8 —
+    the oracle spells out the promoted form instead)."""
     e = load_table(spark, sf_dir, "embeddings")
     probe = F.broadcast(
         e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("probe"))
@@ -377,10 +402,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.cosine(F.col("embedding"), F.col("probe")).alias("cos"),
         )
     )
+    # unrounded: the fold order matches DuckDB's list_dot_product, so
+    # the raw double is bit-exact — ROUND would reintroduce the
+    # exact-half divergence
     return (
         scored.orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+        .select("vec_id", F.col("cos").alias("cos_sim"))
     )
 
 

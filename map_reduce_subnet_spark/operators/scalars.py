@@ -212,7 +212,16 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("array_hof")  # rows-only: float32 HOF accumulation differs across dialects
+@query(
+    "array_hof",
+    oracle="""
+SELECT vec_id,
+       list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       len(embedding) AS dim
+FROM embeddings
+""",
+)
 def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order functions over the embedding vector: transform /
     filter / aggregate (the vectorized tensor ops of validator.py:146,
@@ -226,9 +235,10 @@ def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     n_pos = F.size(F.filter(emb, lambda x: x > 0))
+    # unrounded: identical fold order on both engines → bit-exact
     return e.select(
         "vec_id",
-        F.round(l1, 6).alias("l1_norm"),
+        l1.alias("l1_norm"),
         n_pos.cast("long").alias("n_positive"),
         F.size(emb).cast("long").alias("dim"),
     )
