@@ -281,7 +281,17 @@ def agg_normalize_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_ema")  # rows-only: order-sensitive float recurrence (SURVEY §2.2.D)
+@query(
+    "agg_ema",
+    oracle="""
+SELECT user_id,
+       ROUND(list_reduce(list_prepend(1.0, list(value ORDER BY ts, event_id)),
+                         (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ema,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
 def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EMA of event values ordered by ts, α=0.9 (the
     reference's score fold, validator.py:146: s ← α·s + (1−α)·x,
@@ -291,6 +301,11 @@ def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no Python UDF), shuffles once on user_id. Groups are bounded
     (per-key event history), so collect_list per group is safe at scale;
     the unbounded-stream variant is streaming/jobs.py::stateful_ema.
+
+    SQL-oracled bit-exact: DuckDB list_reduce folds the same ordered
+    list left-to-right with the same seed (verified at all three SFs) —
+    the order-sensitive recurrence IS deterministic once the sort key
+    (ts, event_id) is total.
     """
     ev = load_table(spark, sf_dir, "events")
     pairs = F.array_sort(
