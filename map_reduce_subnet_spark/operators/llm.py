@@ -105,17 +105,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(tx.shingles("text", 3))).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # intersection counts via groupBy(shingle) + in-bucket pair
+    # expansion — one pass over the shingle index, vs a self-join that
+    # recomputes the exploded index twice and shuffles both copies
+    ids = F.col("ids")
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair_col = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
+        buckets.select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.alias("sa")
@@ -174,18 +184,30 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Candidate pairs via groupBy + in-bucket expansion, NOT a self-join:
+    # a self-join re-computes the whole shingle+minhash subtree for each
+    # side (Spark does not auto-cache) and shuffles twice. One groupBy
+    # materializes each bucket once; sorted ids make a_id < b_id
+    # structural. Bucket lists are bounded by band selectivity (the LSH
+    # contract); a pathological bucket would need a stop-signature cap.
+    ids = F.col("ids")
+    buckets = (
+        bands.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 
