@@ -8,6 +8,7 @@ from map_reduce_subnet_spark.operators.registry import ORACLES, QUERIES
 
 from map_reduce_subnet_spark.operators import (  # noqa: F401  (import = register)
     aggregations,
+    analytics,
     joins,
     llm,
     projections,

@@ -1,0 +1,136 @@
+"""Analytics extensions beyond the literal SURVEY §2.2 inventory:
+pivot/unpivot reshaping, exact percentiles, ordered string aggregation,
+and correlation — the remainder of a production analytics surface.
+
+Grounding: these are the closure of the reference's columnar state
+table (reference neurons/miner.py:181-188 — metagraph columns reshaped
+per-uid) and score-statistics reporting (reference
+neurons/validator.py:144-151) over standard warehouse reshaping ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_subnet_spark.functions.stable import dsum
+from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                     AS DECIMAL(27,6))) AS DOUBLE) AS F,
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                     AS DECIMAL(27,6))) AS DOUBLE) AS O,
+       CAST(SUM(CAST(CASE WHEN l_linestatus = 'P' THEN l_quantity END
+                     AS DECIMAL(27,6))) AS DOUBLE) AS P
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per linestatus, decimal-exact sums. Pivot
+    values are DECLARED (not discovered) — at scale, discovery would
+    need an extra pass and produce an unbounded schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double"))
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric,
+       l_extendedprice AS val
+FROM lineitem
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metrics → long (metric, val) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+        "metric",
+        "val",
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99). Both engines use
+    linear interpolation on the sorted values — bit-exact parity.
+    The approximate path for unbounded cardinality is
+    approx_percentile (same shape as agg_approx_distinct's HLL)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+SELECT l_orderkey,
+       string_agg(CAST(l_linenumber AS VARCHAR), ','
+                  ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect, SORT (determinism under
+    shuffle), join — the portable listagg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))),
+        ).alias("lines")
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 9) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance per group. Engines agree to ~1 ulp
+    (same co-moment recurrence); rounded well inside that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
