@@ -18,6 +18,7 @@ from map_reduce_subnet_spark.operators import (  # noqa: F401  (import = registe
     sorts,
     streaming_batch,
     udfs,
+    warehouse,
     windows,
 )
 from map_reduce_subnet_spark.streaming import jobs  # noqa: F401,E402  (register)
