@@ -218,19 +218,15 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets (via Spark SQL over a temp view)."""
+    """Explicit grouping sets via the native DataFrame API (no temp
+    view — a fixed view name would collide if the harness ever runs
+    queries concurrently on one session)."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("gs_lineitem")
-    sum_price = (
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price"
-    )
-    return spark.sql(
-        f"""
-        SELECT l_returnflag, l_linestatus, {sum_price}
-        FROM gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(dsum("l_extendedprice", "sum_price"))
 
 
 @query(
