@@ -17,13 +17,13 @@ any wide operation).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-
 MEDIA_FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, byte_sum long, head_hex string"
 )
+# The featurizer itself lives as a closure inside
+# operators/llm.py::multimodal_features — shipped UDFs must be
+# closure-serialized, so a module-level copy here would be dead code
+# that drifts from the one actually executed.
 
 
 def decode_media(payload: bytes, media_type: str):
@@ -41,21 +41,3 @@ def decode_media(payload: bytes, media_type: str):
     )
 
 
-def fake_features_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """Deterministic stand-in featurizer over binary payloads:
-    byte length, byte sum, first-4-bytes hex. Pure-Python + pandas —
-    shippable by value (defined at call sites as a closure wrapper)."""
-    for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "byte_sum": payloads.map(lambda b: sum(b) % (1 << 31)).astype(
-                    "int64"
-                ),
-                "head_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
-            }
-        )

@@ -53,7 +53,9 @@ def sign_sketch(a: Column, n_bits: int = 16) -> Column:
     hyperplanes). Vectors with high cosine share most sign bits, so
     bucketing on bands of this sketch yields near-dup candidates
     without a cross join."""
-    bit = lambda i: F.when(F.element_at(a, i + 1) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    # try_element_at: out-of-range gives NULL (ANSI element_at raises),
+    # so short/empty vectors degrade to 0-bits instead of crashing
+    bit = lambda i: F.when(F.try_element_at(a, F.lit(i + 1)) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
     out = F.lit(0)
     for i in range(n_bits):
         out = F.shiftleft(out, 1) + bit(i)

@@ -72,15 +72,19 @@ def fingerprint(text: Column | str) -> Column:
 
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles as an array column, built JVM-side:
-    transform(sequence(1, n-k+1), i -> words[i..i+k-1] joined)."""
+    transform(sequence(1, n-k+1), i -> words[i..i+k-1] joined).
+
+    Documents with fewer than k words yield an EMPTY array — the
+    guard matters: Spark's sequence(1, 0) counts DOWN ([1, 0]) and
+    would drive element_at out of bounds (a crash under ANSI mode)."""
     w = words(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(k)]
-        ),
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(k)]
     )
+    return F.when(
+        F.size(w) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(w) - (k - 1)), shingle_at),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def langid(text: Column | str) -> Column:

@@ -39,6 +39,21 @@ from map_reduce_subnet_spark.sources.tables import load_table
 # --------------------------------------------------------------------------
 
 
+def _bucket_pairs(ids_col):
+    """Expand a sorted-id bucket array into its (a_id, b_id) pairs,
+    a_id < b_id structural. Shared by every bucketed candidate
+    generator so the slice arithmetic lives in exactly one place."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + F.lit(2), F.size(ids_col)),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -104,27 +119,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(tx.shingles("text", 3))).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # per-doc shingle counts via a narrow map (no explode, no shuffle —
+    # deriving them from the exploded index would recompute it)
+    sizes = d.select(
+        "doc_id",
+        F.size(F.array_distinct(tx.shingles("text", 3))).alias("n_sh"),
+    )
     # intersection counts via groupBy(shingle) + in-bucket pair
     # expansion — one pass over the shingle index, vs a self-join that
     # recomputes the exploded index twice and shuffles both copies
-    ids = F.col("ids")
     buckets = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    pair_col = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
-        )
-    )
     inter = (
-        buckets.select(F.explode(pair_col).alias("p"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -190,23 +200,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes each bucket once; sorted ids make a_id < b_id
     # structural. Bucket lists are bounded by band selectivity (the LSH
     # contract); a pathological bucket would need a stop-signature cap.
-    ids = F.col("ids")
     buckets = (
         bands.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.a_id", "p.b_id")
         .distinct()
     )

@@ -129,10 +129,13 @@ class SubnetPipeline:
             total = new_scores.agg(
                 F.sum(F.col("ema").cast("decimal(27,6)")).cast("double")
             ).collect()[0][0]
-            weights = new_scores.select(
-                "uid", (F.col("ema") / F.lit(total)).alias("weight")
-            )
-            self.sunk_weights.append(weights)  # set_weights sink
+            # empty metagraph (all peers deregistered) → no total; skip
+            # the sink rather than emitting all-NULL weights
+            if total:
+                weights = new_scores.select(
+                    "uid", (F.col("ema") / F.lit(total)).alias("weight")
+                )
+                self.sunk_weights.append(weights)  # set_weights sink
         return new_scores, weights
 
 

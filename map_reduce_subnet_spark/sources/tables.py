@@ -63,9 +63,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, verifying the declared column contract."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    # Dynamic confs: must hold on ANY caller-provided session (the
+    # driver builds its own), not just ones from session.get_spark.
+    # UTC pins timestamp literal parsing / rendering to the oracle's
+    # naive-as-UTC reading of the parquet timestamps; without it a
+    # non-UTC driver session shifts midnight dates by a day.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name in NS_TIMESTAMP_COLS:
-        # Dynamic conf: must hold on ANY caller-provided session (the
-        # driver builds its own), not just ones from session.get_spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     missing = [c for c in TABLES[name] if c not in df.columns]

@@ -73,7 +73,12 @@ def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} did not drain within 300s; "
+            "partial memory-sink contents discarded"
+        )
     return spark.table(name)
 
 
@@ -177,5 +182,9 @@ def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"stateful EMA stream {name} did not drain within 300s"
+        )
     return spark.table(name)
