@@ -5,8 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per-query time = full plan execution to a driver-side count (no
-collect of row data, so the measured cost is the distributed plan).
+Per-query time = full plan execution into the no-op sink: every output
+column is materialized (a bare count() would let Catalyst prune the
+projection expressions, timing map-only queries as empty scans) but no
+rows cross to the driver.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 4)
         except Exception as ex:  # keep benching even if one query breaks
             times[name] = -1.0

@@ -43,8 +43,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity of two float-array columns.
+
+    try_divide: a zero-norm vector would otherwise RAISE
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode (not produce
+    NaN) and abort the whole job; NULL instead, which every
+    threshold/ordering consumer drops naturally."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def sign_sketch(a: Column, n_bits: int = 16) -> Column:

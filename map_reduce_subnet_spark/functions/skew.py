@@ -19,11 +19,17 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
-    """Add a deterministic salt in [0, n_salts): hash of the full row's
-    monotonically-increasing id is NOT used (nondeterministic across
-    runs); instead we hash stable input columns."""
+    """Add a salt in [0, n_salts) that spreads EVERY row, including
+    identical duplicates of a hot key.
+
+    Hashing row contents would map duplicate rows (the defining shape
+    of a pathological hot key) to one salt bucket and defeat the
+    spread; a per-row id does not. The id is partition-dependent, so
+    salt VALUES vary between runs — callers must only use the salt as
+    an opaque spreading key (salted_sum's result is salt-invariant:
+    decimal addition is associative/commutative)."""
     return df.withColumn(
-        col_name, F.pmod(F.hash(*df.columns), F.lit(n_salts))
+        col_name, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
 
 

@@ -173,7 +173,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{j}")
         for j in range(n_perm)
     ]
-    sig = sh.select("doc_id", *minhashes)
+    # docs with no shingles (<k words) must not reach banding: their 12
+    # NULL minhashes would concat to an identical empty signature and
+    # pair every short doc with every other (a quadratic junk bucket)
+    sig = sh.where(F.size("sh") > 0).select("doc_id", *minhashes)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -399,6 +402,7 @@ scored AS (
   WHERE vec_id <> 0
 )
 SELECT vec_id, cos_sim FROM scored
+WHERE NOT isnan(cos_sim)
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """,
@@ -423,6 +427,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             sim.cosine(F.col("embedding"), F.col("probe")).alias("cos"),
         )
+        # NaN (zero-norm vector) sorts above every real similarity under
+        # F.desc — exclude it or garbage floats to the top-k
+        .where(~F.isnan("cos"))
     )
     # unrounded: the fold order matches DuckDB's list_dot_product, so
     # the raw double is bit-exact — ROUND would reintroduce the
@@ -463,9 +470,21 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "cent_id")
     )
-    probe_cell = assigned.where(F.col("vec_id") == 42).select(
-        F.col("cent_id").alias("probe_cell"),
-        F.col("embedding").alias("probe"),
+    # the probe's cell is derived from the probe row alone (8 cosines),
+    # NOT by filtering `assigned` — that would re-execute the whole
+    # corpus×centroids assignment subtree a second time (no auto-cache)
+    probe_w = Window.orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    probe_cell = (
+        e.where(F.col("vec_id") == 42)
+        .crossJoin(cents)
+        .select(
+            "cent_id",
+            F.col("embedding").alias("probe"),
+            sim.cosine(F.col("embedding"), F.col("cent")).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .where(F.col("rn") == 1)
+        .select(F.col("cent_id").alias("probe_cell"), "probe")
     )
     return (
         assigned.join(
@@ -530,11 +549,14 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
     cos = sim.cosine(F.col("ea"), F.col("eb"))
+    # NaN guard: zero-norm embeddings give cosine 0/0 = NaN, and Spark
+    # evaluates NaN >= 0.8 as TRUE (NaN sorts greatest) — without the
+    # filter, garbage vectors would be reported as near-duplicates
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
         .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.8)
+        .where(~F.isnan("cos_sim") & (F.col("cos_sim") >= 0.8))
     )
 
 

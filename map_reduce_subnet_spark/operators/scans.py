@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,7 +91,12 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"))
     )
-    out = os.path.join(tempfile.gettempdir(), "mrs_spark_sink_csv")
+    # unique dir per invocation: a fixed path would race under
+    # concurrent query execution (overwrite deletes mid-read) and
+    # cross-contaminate different sf_dir runs
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_sink_csv_{uuid.uuid4().hex[:12]}"
+    )
     agg.write.mode("overwrite").option("header", True).csv(out)
     return (
         spark.read.schema("o_orderstatus STRING, n_orders LONG")
@@ -107,7 +113,9 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
-    out = os.path.join(tempfile.gettempdir(), "mrs_spark_sink_json")
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_sink_json_{uuid.uuid4().hex[:12]}"
+    )
     agg.write.mode("overwrite").json(out)
     return spark.read.schema("event_type STRING, n_events LONG").json(out)
 
@@ -124,6 +132,8 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_rows"))
     )
-    out = os.path.join(tempfile.gettempdir(), "mrs_spark_sink_roundtrip")
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_sink_parquet_{uuid.uuid4().hex[:12]}"
+    )
     agg.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
