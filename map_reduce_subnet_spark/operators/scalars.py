@@ -88,6 +88,99 @@ def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "str_posexplode",
+    oracle="""
+SELECT p_partkey, pos, word
+FROM (
+    SELECT p_partkey,
+           unnest(list_transform(range(1, len(w) + 1),
+                                 i -> {'pos': i - 1, 'word': w[i]}),
+                  recursive := true)
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+) t(p_partkey, pos, word)
+""",
+)
+def str_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-aware explode — the chunk-index primitive (file D →
+    numbered chunks, reference README.md:20)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@query(
+    "gen_date_spine",
+    oracle="""
+WITH spine AS (
+    SELECT strftime(unnest(generate_series(
+        DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)),
+        '%Y-%m-%d') AS day
+), daily AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+    GROUP BY 1
+)
+SELECT spine.day, COALESCE(daily.n, 0) AS n_orders
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+""",
+)
+def gen_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine generation + gap fill: days with no orders appear
+    with 0 (the every-tick reporting cadence). The spine is generated,
+    not scanned — sequence() on a single row, exploded."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"))
+    daily = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
+
+
+@query(
+    "project_try_cast",
+    oracle="""
+SELECT c_custkey,
+       TRY_CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT)
+           AS good_num,
+       TRY_CAST(c_name AS BIGINT) AS bad_num,
+       TRY_CAST(c_mktsegment AS DOUBLE) AS bad_dbl
+FROM customer
+""",
+)
+def project_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casting: try_cast yields NULL where a plain cast
+    raises under Spark 4's default ANSI mode — the ingestion-hardening
+    primitive for dirty columns."""
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+        .try_cast("bigint")
+        .alias("good_num"),
+        F.col("c_name").try_cast("bigint").alias("bad_num"),
+        F.col("c_mktsegment").try_cast("double").alias("bad_dbl"),
+    )
+
+
+@query(
     "str_hash",
     oracle="""
 SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha
