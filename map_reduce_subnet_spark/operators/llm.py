@@ -402,7 +402,7 @@ scored AS (
   WHERE vec_id <> 0
 )
 SELECT vec_id, cos_sim FROM scored
-WHERE NOT isnan(cos_sim)
+WHERE cos_sim IS NOT NULL AND NOT isnan(cos_sim)
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """,
@@ -427,9 +427,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             sim.cosine(F.col("embedding"), F.col("probe")).alias("cos"),
         )
-        # NaN (zero-norm vector) sorts above every real similarity under
-        # F.desc — exclude it or garbage floats to the top-k
-        .where(~F.isnan("cos"))
+        # two degenerate cases, two guards (verified on Spark 4.1 ANSI):
+        # zero-norm vector → try_divide yields NULL (isnan passes NULL!),
+        # NaN ELEMENTS in a vector → cosine is NaN, which sorts above
+        # every real value under F.desc
+        .where(F.col("cos").isNotNull() & ~F.isnan("cos"))
     )
     # unrounded: the fold order matches DuckDB's list_dot_product, so
     # the raw double is bit-exact — ROUND would reintroduce the
@@ -549,9 +551,9 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
     cos = sim.cosine(F.col("ea"), F.col("eb"))
-    # NaN guard: zero-norm embeddings give cosine 0/0 = NaN, and Spark
-    # evaluates NaN >= 0.8 as TRUE (NaN sorts greatest) — without the
-    # filter, garbage vectors would be reported as near-duplicates
+    # zero-norm embeddings → try_divide yields NULL (dropped by the
+    # threshold's three-valued logic); NaN elements → cosine is NaN and
+    # Spark orders NaN greatest, so the explicit isnan guard matters
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")

@@ -82,6 +82,21 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialize_and_clean(spark, readback, path):
+    """Pin the read-back rows in memory, delete the scratch dir.
+
+    The read is lazy — deleting the dir before the caller's action
+    would break it — and never deleting leaks a directory per
+    invocation. The sink outputs are small aggregates, so localizing
+    them is cheap; the roundtrip (write → files → read) has already
+    exercised the distributed path."""
+    import shutil
+
+    rows = readback.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, readback.schema)
+
+
 @query("sink_csv_roundtrip")  # rows-only: filesystem side effect
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + schema-declared CSV source (header, explicit schema —
@@ -98,11 +113,12 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"mrs_sink_csv_{uuid.uuid4().hex[:12]}"
     )
     agg.write.mode("overwrite").option("header", True).csv(out)
-    return (
+    readback = (
         spark.read.schema("o_orderstatus STRING, n_orders LONG")
         .option("header", True)
         .csv(out)
     )
+    return _materialize_and_clean(spark, readback, out)
 
 
 @query("sink_json_roundtrip")  # rows-only: filesystem side effect
@@ -117,7 +133,8 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"mrs_sink_json_{uuid.uuid4().hex[:12]}"
     )
     agg.write.mode("overwrite").json(out)
-    return spark.read.schema("event_type STRING, n_events LONG").json(out)
+    readback = spark.read.schema("event_type STRING, n_events LONG").json(out)
+    return _materialize_and_clean(spark, readback, out)
 
 
 @query("sink_roundtrip")  # rows-only: filesystem side effect, not SQL-expressible
@@ -136,4 +153,4 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"mrs_sink_parquet_{uuid.uuid4().hex[:12]}"
     )
     agg.write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+    return _materialize_and_clean(spark, spark.read.parquet(out), out)

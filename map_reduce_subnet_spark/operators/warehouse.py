@@ -121,15 +121,17 @@ def join_broadcast_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udtf_cogrouped_map",
     oracle="""
-SELECT c_custkey AS key_id, n_orders, n_events
-FROM (
-    SELECT c_custkey,
-           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
-               AS n_orders,
-           (SELECT COUNT(*) FROM events e WHERE e.user_id = c.c_custkey)
-               AS n_events
-    FROM customer c
-) WHERE n_orders > 0 OR n_events > 0
+WITH keys AS (
+    SELECT o_custkey AS key_id FROM orders
+    UNION
+    SELECT user_id AS key_id FROM events
+)
+SELECT key_id,
+       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = keys.key_id)
+           AS n_orders,
+       (SELECT COUNT(*) FROM events e WHERE e.user_id = keys.key_id)
+           AS n_events
+FROM keys
 """,
 )
 def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:

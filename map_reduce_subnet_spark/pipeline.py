@@ -68,14 +68,18 @@ class SubnetPipeline:
 
     def miner_respond(self, requests: DataFrame) -> DataFrame:
         """The per-request miner pipeline: blacklist (before payload
-        access) → priority order → forward transform."""
+        access) → priority annotation → forward transform.
+
+        Priority is exposed as a COLUMN (`_priority`), not a global
+        orderBy: DataFrame row order would not survive the consumer's
+        join/groupBy anyway, so a sort here would be a dead
+        range-partition exchange per round. A real queue consumer
+        orders on the column at its sink."""
         admitted = requests.where(self.blacklist(requests))
-        prioritized = admitted.withColumn(
-            "_priority", self.priority(admitted)
-        ).orderBy(F.desc("_priority"))
+        prioritized = admitted.withColumn("_priority", self.priority(admitted))
         return prioritized.withColumn(
             "response", self.forward(F.col("dummy_input"))
-        ).drop("_priority")
+        )
 
     def validator_round(
         self, metagraph: DataFrame, scores: DataFrame
@@ -111,7 +115,11 @@ class SubnetPipeline:
             )
         )
 
-        # EMA fold into persistent state (validator.py:146)
+        # EMA fold into persistent state (validator.py:146).
+        # localCheckpoint truncates lineage each round — without it the
+        # score frame's plan grows by one join per round and every
+        # action at round N re-executes all N rounds (O(rounds²)); at
+        # cluster scale this is a checkpointed state table.
         new_scores = (
             scores.join(scored, "uid", "left")
             .select(
@@ -121,6 +129,7 @@ class SubnetPipeline:
                     + (1 - ALPHA) * F.coalesce(F.col("score"), F.lit(0.0))
                 ).alias("ema"),
             )
+            .localCheckpoint(eager=True)
         )
 
         weights = None

@@ -62,14 +62,16 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
-def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
     """Drain the stream into a memory sink (one availableNow pass) and
     return the sink table as a batch frame."""
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -85,9 +87,11 @@ def _run_to_memory(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
 @query("stream_tumbling_true")  # rows-only: live streaming execution
 def stream_tumbling_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 2-minute tumbling aggregation, executed as a real
-    stream. Same semantics as the batch `stream_tumbling` (all data
-    arrives before the watermark closes any window in availableNow
-    mode, so counts match the batch equivalent)."""
+    stream. Append-mode semantics: only windows whose end precedes the
+    final watermark (max event time − 10 min) are emitted — the
+    trailing windows stay open, so the result is the CLOSED SUBSET of
+    the batch `stream_tumbling` (tests/test_streaming.py pins exactly
+    that relationship)."""
     ev = _read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -174,17 +178,4 @@ def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            f"stateful EMA stream {name} did not drain within 300s"
-        )
-    return spark.table(name)
+    return _run_to_memory(out, spark, output_mode="update")

@@ -20,8 +20,10 @@ from tests.conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
-def partitioned_orders(spark):
-    path = os.path.join(tempfile.gettempdir(), "mrs_layout_orders")
+def partitioned_orders(spark, tmp_path_factory):
+    # unique per test session: a fixed path would race between
+    # concurrent runs (the pattern operators/scans.py documents)
+    path = str(tmp_path_factory.mktemp("mrs_layout") / "orders")
     write_date_partitioned(
         load_table(spark, SF_DIR, "orders"), path, "o_orderdate", "year"
     )
