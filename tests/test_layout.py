@@ -3,9 +3,6 @@ joins actually avoid the shuffle, salted aggregation is exact."""
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 import pyspark.sql.functions as F
 import pytest
 
