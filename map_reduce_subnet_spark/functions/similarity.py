@@ -57,11 +57,14 @@ def sign_sketch(a: Column, n_bits: int = 16) -> Column:
     deterministic random-hyperplane LSH stand-in (axis-aligned
     hyperplanes). Vectors with high cosine share most sign bits, so
     bucketing on bands of this sketch yields near-dup candidates
-    without a cross join."""
+    without a cross join.
+
+    Returns LONG: a 32-bit sketch in an int would shiftleft into the
+    sign bit and flip negative."""
     # try_element_at: out-of-range gives NULL (ANSI element_at raises),
     # so short/empty vectors degrade to 0-bits instead of crashing
-    bit = lambda i: F.when(F.try_element_at(a, F.lit(i + 1)) >= 0, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
-    out = F.lit(0)
+    bit = lambda i: F.when(F.try_element_at(a, F.lit(i + 1)) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))  # noqa: E731
+    out = F.lit(0).cast("long")
     for i in range(n_bits):
         out = F.shiftleft(out, 1) + bit(i)
-    return out.cast("int")
+    return out

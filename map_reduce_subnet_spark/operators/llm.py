@@ -151,6 +151,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_N_PERM = 12
+MINHASH_BAND_ROWS = 3
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) MinHash signature frame over 3-gram
+    shingles — one xxhash64 'permutation' per distinct salt.
+
+    Exposed module-level so tests can assert signature diversity
+    (the mh columns must NOT all be the same expression)."""
+    sh = d.select(
+        "doc_id", F.array_distinct(tx.shingles("text", 3)).alias("sh")
+    )
+
+    # The salt must be captured by a factory, NOT a defaulted lambda
+    # param: PySpark counts default params when inferring HOF lambda
+    # arity, so `lambda s, j=j:` becomes the (element, index) form and
+    # j silently rebinds to the array-index column — all 12
+    # "permutations" collapse to one position-salted hash
+    # (tests/test_llm.py pins mh-column diversity against this).
+    def _perm_hash(salt: int):
+        return lambda s: F.xxhash64(s, F.lit(salt))
+
+    minhashes = [
+        F.array_min(F.transform(F.col("sh"), _perm_hash(j))).alias(f"mh{j}")
+        for j in range(MINHASH_N_PERM)
+    ]
+    # docs with no shingles (<k words) must not reach banding: their 12
+    # NULL minhashes would concat to an identical empty signature and
+    # pair every short doc with every other (a quadratic junk bucket)
+    return sh.where(F.size("sh") > 0).select("doc_id", *minhashes)
+
+
 @query("dedup_near_minhash")  # rows-only: xxhash64 has no DuckDB counterpart
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates: 12 permutations
@@ -163,20 +196,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks xxhash64.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(tx.shingles("text", 3)).alias("sh")
-    )
-    n_perm, band_rows = 12, 3
-    minhashes = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s, j=j: F.xxhash64(s, F.lit(j)))
-        ).alias(f"mh{j}")
-        for j in range(n_perm)
-    ]
-    # docs with no shingles (<k words) must not reach banding: their 12
-    # NULL minhashes would concat to an identical empty signature and
-    # pair every short doc with every other (a quadratic junk bucket)
-    sig = sh.where(F.size("sh") > 0).select("doc_id", *minhashes)
+    n_perm, band_rows = MINHASH_N_PERM, MINHASH_BAND_ROWS
+    sig = minhash_signatures(d)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -505,20 +526,31 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_NEARDUP_THRESHOLD = 0.4  # fixture embeddings are random (max
+# pairwise cosine ≈0.51) — a real near-dup corpus would use ~0.8; the
+# operator shape is identical, only the constant moves
+
+
 @query("embed_neardup_cosine")  # rows-only: LSH banding + float cosine
 def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs via sign-sketch LSH: 16 sign
-    bits → 2 bands of 8 bits (256 buckets per band — selectivity is
-    what keeps candidate counts subquadratic); pairs sharing any band
-    are candidates, then exact cosine filters at 0.8.
+    """Embedding near-duplicate pairs via sign-sketch LSH: 32 sign
+    bits → 4 bands of 8 bits (256 buckets per band — selectivity is
+    what keeps candidate counts subquadratic: ~1.6% of all pairs on
+    the fixture); pairs sharing any band are candidates, then exact
+    cosine filters at the threshold. Candidate recall is the LSH
+    trade-off; every emitted pair carries its TRUE cosine (precision
+    is exact — pinned against numpy in tests/test_llm.py).
 
-    Cost discipline: candidate pairs are deduped on (a_id, b_id) ONLY —
-    never on the embedding arrays (array comparisons in a wide shuffle
-    are the expensive mistake) — and each embedding is joined back
-    exactly once for a single cosine evaluation per pair."""
+    Candidate generation is groupBy(band, bucket) + in-bucket pair
+    expansion, the same pattern as MinHash — a self-join would
+    re-execute the sketch subtree for both sides and shuffle twice.
+    Each embedding joins back exactly once per side for a single
+    cosine evaluation per pair; pairs are deduped on (a_id, b_id)
+    only — never on the embedding arrays."""
     e = load_table(spark, sf_dir, "embeddings")
+    n_bits, band_bits = 32, 8
     sk = e.select(
-        "vec_id", sim.sign_sketch(F.col("embedding"), 16).alias("sk")
+        "vec_id", sim.sign_sketch(F.col("embedding"), n_bits).alias("sk")
     )
     bands = sk.select(
         "vec_id",
@@ -527,25 +559,23 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("sk"), b * 8)
+                        F.shiftright(F.col("sk"), b * band_bits)
                         .bitwiseAND(F.lit(0xFF))
                         .alias("bucket"),
                     )
-                    for b in range(2)
+                    for b in range(n_bits // band_bits)
                 ]
             )
         ).alias("bn"),
     ).select("vec_id", "bn.band", "bn.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
@@ -558,7 +588,10 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ea, "a_id")
         .join(eb, "b_id")
         .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
-        .where(~F.isnan("cos_sim") & (F.col("cos_sim") >= 0.8))
+        .where(
+            ~F.isnan("cos_sim")
+            & (F.col("cos_sim") >= EMBED_NEARDUP_THRESHOLD)
+        )
     )
 
 

@@ -91,6 +91,54 @@ def test_minhash_candidates_properties(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_minhash_permutations_are_distinct(spark):
+    """Regression: the 12 'permutation' columns must be genuinely
+    different hash functions. A defaulted-lambda-param salt makes
+    PySpark treat the lambda as (element, index) — every mh column
+    degenerates to the same expression and LSH recall collapses."""
+    from map_reduce_subnet_spark.operators.llm import (
+        MINHASH_N_PERM,
+        minhash_signatures,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    row = minhash_signatures(d).collect()[0]
+    values = [row[f"mh{j}"] for j in range(MINHASH_N_PERM)]
+    # 12 salted xxhash64 minima over 6 shingles: collisions across all
+    # 12 salts are astronomically unlikely — require real diversity
+    assert len(set(values)) > MINHASH_N_PERM // 2
+
+
+def test_minhash_recall_on_known_near_dups(spark, tmp_path):
+    """Pin a hand-built candidate set: two docs sharing all but one
+    shingle MUST be a candidate pair; two disjoint docs must not."""
+    base = ("the quick brown fox jumps over the lazy dog and runs "
+            "far away into the green forest tonight")
+    near = base.replace("tonight", "today")  # differs in last shingles
+    other = ("completely different words about spark catalyst tungsten "
+             "optimizer shuffle partitions broadcast joins everywhere")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, near, other],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(base), len(near), len(other)],
+        }
+    )
+    sf_dir = str(tmp_path)
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf_dir}/documents.parquet")
+    got = QUERIES["dedup_near_minhash"](spark, sf_dir).toPandas()
+    pairs = set(zip(got["a_id"], got["b_id"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_simhash_properties(spark):
     df = QUERIES["dedup_simhash"](spark, SF_DIR).toPandas()
     docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
@@ -117,10 +165,20 @@ def test_ann_ivf_is_subset_of_exact(spark):
 
 
 def test_embed_neardup_pairs_are_high_cosine(spark):
+    from map_reduce_subnet_spark.operators.llm import (
+        EMBED_NEARDUP_THRESHOLD,
+    )
+
     got = QUERIES["embed_neardup_cosine"](spark, SF_DIR).toPandas()
+    # non-vacuous: the banding/threshold are tuned so the fixture
+    # yields pairs at every SF (an empty frame here asserted nothing
+    # and hid a degenerate operator for a whole round)
+    assert len(got) > 0
     emb = _embeddings().set_index("vec_id")["embedding"]
     for _, row in got.iterrows():
         a = np.asarray(emb.loc[row["a_id"]], dtype=np.float64)
         b = np.asarray(emb.loc[row["b_id"]], dtype=np.float64)
         cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
-        assert cos >= 0.8 - 1e-6
+        assert cos >= EMBED_NEARDUP_THRESHOLD - 1e-6
+        assert row["cos_sim"] == pytest.approx(cos, abs=1e-5)
+        assert row["a_id"] < row["b_id"]
