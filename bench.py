@@ -46,14 +46,36 @@ def main() -> None:
             print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only a bounded tail of stdout: a single JSON
+    # line with all ~100 per-query timings (~4.4 KB) was truncated
+    # mid-dict in round 1 and never parsed. Keep the LAST stdout line a
+    # compact summary (<1 KB) and put the per-query detail in a file
+    # (plus stderr, for ad-hoc runs that only keep the console).
+    detail = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail["queries"]), file=sys.stderr)
+    n_failed = sum(1 for t in times.values() if t < 0)
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(times),
+                "n_failed": n_failed,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -42,3 +42,20 @@ def test_entry_smoke(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_entry_sweep_order():
+    """The driver checks only a prefix of queries() (50 entries in
+    round 1) — the priority list must be real keys, fit in that
+    prefix, and lead the returned dict so driver-unverified operators
+    get a CORRECTNESS row before the cap hits."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(qs) == set(QUERIES)  # ordering must not drop keys
+    assert set(osql) == set(ORACLES)
+    prio = e._SWEEP_PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate priority keys"
+    assert len(prio) <= 50, "priority list exceeds the driver's sweep cap"
+    assert not set(prio) - set(QUERIES), "priority names not in registry"
+    assert list(qs)[: len(prio)] == prio
