@@ -23,73 +23,79 @@ from map_reduce_subnet_spark.operators import ORACLES, QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Sweep priority: the round-1 driver checked only the FIRST 50 entries
-# of queries(), leaving 38 SURVEY §2.2 keys without a CORRECTNESS row
-# despite green local oracles. Order the dict explicitly so the keys
-# still lacking a driver row come first (cheap families first, in case
-# the cap is time-based), then keys whose implementation changed this
-# round, then unverified extras, then the keys already hash-green in
-# CORRECTNESS_r01.
+# The driver's sweep checks only the FIRST `SWEEP_CAP` entries of
+# queries() per round. Rotation policy (and the reason the list is
+# explicit): (1) keys that have NEVER received a driver CORRECTNESS
+# row in any round, (2) keys whose implementation changed this round —
+# both MUST sit inside the cap; then (3) backfill with the oldest
+# green rows (r1's) so coverage keeps refreshing. Keys beyond the cap
+# were all hash-green in CORRECTNESS_r01∪r02 and unchanged since.
+# tests/test_correctness.py pins len(_SWEEP_PRIORITY) <= SWEEP_CAP and
+# that queries() actually leads with this list.
+SWEEP_CAP = 50
+
 _SWEEP_PRIORITY = [
-    # §2.2 keys with no driver row in round 1 — scans/sinks
-    "scan_full",
-    "scan_prune_columns",
-    "scan_filter_pushdown",
-    "scan_json_props",
-    "sink_roundtrip",
-    # sorts / setops
-    "sort_multi_key",
-    "limit_topk",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "setop_dedup",
-    # windows
-    "window_rank_stake",
-    "window_row_number",
-    "window_topk_per_group",
-    "window_lag_delta",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_range_frame",
-    "window_percent_rank",
-    # scalar families
-    "str_regex",
-    "str_split_explode",
-    "str_hash",
-    "date_parts",
-    "date_arith",
-    "math_funcs",
-    "array_funcs",
-    "array_hof",
-    "map_funcs",
-    "json_funcs",
-    # streaming (batch-semantics forms)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    # UDF surface
-    "udf_scalar",
-    "udaf_grouped_agg",
-    "udtf_grouped_map",
-    # custom stateful streaming (live job — most expensive §2.2 key)
+    # (1) never swept in r1/r2 — the only registry keys with no
+    # CORRECTNESS row in any round
+    "sink_json_roundtrip",
+    "stream_tumbling_true",
+    "stream_dedup_true",
+    "stream_session_true",
+    # (2) changed this round: stream_stateful_ema gained a SQL oracle
+    # (closed-form EMA) + the memory-sink cleanup; the dedup/LSH family
+    # gained bucket caps, the stop-shingle cap (oracle changed too) and
+    # the random-hyperplane sign sketch
     "stream_stateful_ema",
-    # changed this round (minhash permutation fix; de-vacuized LSH)
+    "dedup_ngram_jaccard",
     "dedup_near_minhash",
     "embed_neardup_cosine",
-    # unverified extras beyond §2.2
-    "str_posexplode",
-    "gen_date_spine",
-    "project_try_cast",
-    "agg_max_by",
-    "merge_upsert",
-    "join_broadcast_nested_loop",
-    "udtf_cogrouped_map",
-    "agg_approx_percentile",
-    "window_first_last",
-    "sink_csv_roundtrip",
+    # (3) refresh the oldest green rows (hash-green in r1, untouched
+    # since) — projections/filters
+    "project_arith",
+    "project_conditional",
+    "filter_membership",
+    "filter_compound",
+    "filter_null_semantics",
+    "project_cast",
+    # joins
+    "join_broadcast",
+    "join_shuffle_equi",
+    "join_multiway_star",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "join_asof",
+    "join_cross_bipartite",
+    # aggregations
+    "agg_reduce_sum",
+    "agg_global",
+    "agg_minmax_stats",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_distinct_arg",
+    "agg_normalize_l1",
+    "agg_ema",
+    # scalar/text/llm keys last green in r1
+    "str_basics",
+    "dedup_exact",
+    "text_stats",
+    "text_term_freq",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_token_count",
+    "text_chunking",
+    "text_pii_scrub",
+    "sim_cosine_topk",
+    "multimodal_join",
+    "dedup_simhash",
+    "sim_ann_ivf",
+    "multimodal_features",
 ]
 
 

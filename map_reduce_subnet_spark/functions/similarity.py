@@ -52,19 +52,44 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
-def sign_sketch(a: Column, n_bits: int = 16) -> Column:
-    """Sign-bit sketch of the first ``n_bits`` components — a
-    deterministic random-hyperplane LSH stand-in (axis-aligned
-    hyperplanes). Vectors with high cosine share most sign bits, so
-    bucketing on bands of this sketch yields near-dup candidates
-    without a cross join.
+def sign_sketch(a: Column, n_bits: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane sign sketch (SimHash for vectors): bit i is
+    the sign of ⟨a, h_i⟩ where h_i is a deterministic Rademacher (±1)
+    hyperplane seeded by xxhash64(seed, i, component_index). Every
+    component contributes to every bit — unlike an axis-aligned
+    first-n-components sketch, correlated leading dimensions in real
+    embeddings cannot unbalance the buckets. Vectors with high cosine
+    share most sign bits, so bucketing on bands of this sketch yields
+    near-dup candidates without a cross join.
 
-    Returns LONG: a 32-bit sketch in an int would shiftleft into the
-    sign bit and flip negative."""
-    # try_element_at: out-of-range gives NULL (ANSI element_at raises),
-    # so short/empty vectors degrade to 0-bits instead of crashing
-    bit = lambda i: F.when(F.try_element_at(a, F.lit(i + 1)) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))  # noqa: E731
+    Pure built-in HOFs (one aggregate per bit, JVM-side codegen):
+    per-row cost is O(n_bits × dim) multiply-adds, no Python, no
+    shuffle. Returns LONG: a 32-bit sketch in an int would shiftleft
+    into the sign bit and flip negative. An empty/NULL-ish vector
+    projects to 0 on every hyperplane (all-ones sketch) instead of
+    crashing."""
+
+    def proj(i: int) -> Column:
+        # transform's two-arg lambda receives (element, 0-based index);
+        # the hash of (seed, bit, index) gives the ±1 hyperplane entry
+        return F.aggregate(
+            F.transform(
+                a,
+                lambda x, j: x.cast("double")
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(i), j), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     out = F.lit(0).cast("long")
     for i in range(n_bits):
-        out = F.shiftleft(out, 1) + bit(i)
+        bit = (
+            F.when(proj(i) >= 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        out = F.shiftleft(out, 1) + bit
     return out

@@ -39,6 +39,9 @@ from map_reduce_subnet_spark.sources.tables import load_table
 # --------------------------------------------------------------------------
 
 
+LSH_BUCKET_CAP = 256  # max ids per LSH bucket admitted to pair expansion
+
+
 def _bucket_pairs(ids_col):
     """Expand a sorted-id bucket array into its (a_id, b_id) pairs,
     a_id < b_id structural. Shared by every bucketed candidate
@@ -51,6 +54,37 @@ def _bucket_pairs(ids_col):
                 lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
             ),
         )
+    )
+
+
+def _capped_buckets(
+    df: DataFrame, key_cols: list, id_col: str, cap: int | None = None
+) -> DataFrame:
+    """Bucket ids by key with a hard width cap: per bucket, only the
+    ``cap`` lowest ids survive to pair expansion, so per-task work is
+    bounded at O(cap²) pairs and per-bucket state at O(cap) — a
+    degenerate bucket (e.g. millions of identical documents landing in
+    one band signature) can no longer build an unbounded collect_list
+    row or a quadratic explode in a single task.
+
+    The cap is enforced BEFORE collect_list via a row_number window on
+    the same keys: WindowExec streams/spills each key group, and the
+    window's hash partitioning is reused by the groupBy (one shuffle
+    total, no second exchange). Survivors are the cap lowest ids —
+    deterministic, so capped results are stable run to run. Ids beyond
+    the cap simply lose candidacy (the standard hot-bucket treatment
+    for LSH dedup: a bucket that wide is either a degenerate signature
+    or a duplicate cluster already covered by its surviving members).
+    """
+    if cap is None:  # resolved at call time so callers/tests can tune
+        cap = LSH_BUCKET_CAP
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
     )
 
 
@@ -78,9 +112,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHINGLE_DF_CAP = 64  # stop-shingle bound: shingles in more docs are dropped
+
+
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
 WITH sh AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(
@@ -89,11 +126,14 @@ WITH sh AS (
                     string_split(text, ' ')[i+1] || ' ' ||
                     string_split(text, ' ')[i+2]))) AS shingle
     FROM documents
+), keep AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}
 ), sizes AS (
-    SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    SELECT doc_id, COUNT(*) AS n_sh FROM keep GROUP BY doc_id
 ), inter AS (
     SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT a_id, b_id,
@@ -106,30 +146,45 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.1
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via a shingle inverted
-    index: explode distinct shingles, equi-join on shingle (candidate
-    generation is hash-partitioned, not pairwise), count intersections,
-    filter on the Jaccard threshold.
+    index with a stop-shingle cap: explode distinct shingles, drop
+    shingles whose document frequency exceeds SHINGLE_DF_CAP (a hot
+    shingle — "of the and" — would otherwise build an O(df²) bucket),
+    equi-join surviving shingles on shingle (candidate generation is
+    hash-partitioned, not pairwise), count intersections, filter on the
+    Jaccard threshold.
 
-    Scale note: hot shingles create quadratic buckets — production
-    would drop top-frequency shingles (stop-shingles) first; the
-    MinHash variant below bounds work per doc regardless.
+    The Jaccard is computed over the CAPPED shingle universe on both
+    engines (n_sh counts surviving shingles only), so the oracle
+    hash-matches by construction; at the correctness SFs the fixture's
+    max shingle df is 9, so the cap drops nothing there. Per-bucket
+    work is bounded at O(cap²) regardless of corpus size.
+
+    The document frequency is a count window on the same shingle key
+    the bucket groupBy uses: one shuffle, and the exchange is reused by
+    both the sizes branch and the buckets branch (ReuseExchange) —
+    cheaper than a broadcast anti-join of hot shingles, which would
+    re-explode the corpus per branch.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id",
         F.explode(F.array_distinct(tx.shingles("text", 3))).alias("shingle"),
     )
-    # per-doc shingle counts via a narrow map (no explode, no shuffle —
-    # deriving them from the exploded index would recompute it)
-    sizes = d.select(
-        "doc_id",
-        F.size(F.array_distinct(tx.shingles("text", 3))).alias("n_sh"),
+    wdf = Window.partitionBy("shingle")
+    keep = (
+        sh.withColumn("_df", F.count("*").over(wdf))
+        .where(F.col("_df") <= SHINGLE_DF_CAP)
+        .drop("_df")
     )
+    # per-doc counts of SURVIVING shingles (the capped universe — the
+    # narrow array-size shortcut would count dropped shingles too)
+    sizes = keep.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # intersection counts via groupBy(shingle) + in-bucket pair
     # expansion — one pass over the shingle index, vs a self-join that
-    # recomputes the exploded index twice and shuffles both copies
+    # recomputes the exploded index twice and shuffles both copies;
+    # bucket width is ≤ SHINGLE_DF_CAP by construction
     buckets = (
-        sh.groupBy("shingle")
+        keep.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
@@ -222,13 +277,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a self-join re-computes the whole shingle+minhash subtree for each
     # side (Spark does not auto-cache) and shuffles twice. One groupBy
     # materializes each bucket once; sorted ids make a_id < b_id
-    # structural. Bucket lists are bounded by band selectivity (the LSH
-    # contract); a pathological bucket would need a stop-signature cap.
-    buckets = (
-        bands.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
+    # structural. Bucket width is hard-capped at LSH_BUCKET_CAP
+    # (_capped_buckets): a pathological band signature — e.g. millions
+    # of identical documents — pairs only its cap lowest ids instead of
+    # building an unbounded array + O(n²) explode in one task.
+    buckets = _capped_buckets(bands, ["band", "sig"], "doc_id")
     return (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.a_id", "p.b_id")
@@ -526,29 +579,38 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMBED_NEARDUP_THRESHOLD = 0.4  # fixture embeddings are random (max
-# pairwise cosine ≈0.51) — a real near-dup corpus would use ~0.8; the
-# operator shape is identical, only the constant moves
+EMBED_NEARDUP_THRESHOLD = 0.8  # operator default: near-duplicate
+# semantics on a real embedding corpus (the conventional dedup cutoff)
+EMBED_NEARDUP_FIXTURE_THRESHOLD = 0.4  # the registered query's
+# override: fixture embeddings are iid random (max pairwise cosine
+# ≈0.51), so the production cutoff would make the driver check vacuous
 
 
-@query("embed_neardup_cosine")  # rows-only: LSH banding + float cosine
-def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs via sign-sketch LSH: 32 sign
-    bits → 4 bands of 8 bits (256 buckets per band — selectivity is
-    what keeps candidate counts subquadratic: ~1.6% of all pairs on
-    the fixture); pairs sharing any band are candidates, then exact
-    cosine filters at the threshold. Candidate recall is the LSH
-    trade-off; every emitted pair carries its TRUE cosine (precision
-    is exact — pinned against numpy in tests/test_llm.py).
+def embed_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = EMBED_NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-sketch LSH: 64
+    random-hyperplane sign bits → 8 bands of 8 bits (256 buckets per
+    band — per-band selectivity is what keeps candidate counts
+    subquadratic; more bands buy recall at linear, not quadratic,
+    cost: ~75% for cosine 0.8 pairs vs 50% with 4 bands); pairs
+    sharing any band are candidates, then exact cosine filters at
+    ``threshold``. Candidate recall is the LSH trade-off; every emitted
+    pair carries its TRUE cosine (precision is exact — pinned against
+    numpy in tests/test_llm.py).
 
-    Candidate generation is groupBy(band, bucket) + in-bucket pair
-    expansion, the same pattern as MinHash — a self-join would
-    re-execute the sketch subtree for both sides and shuffle twice.
+    Candidate generation is capped-bucket groupBy(band, bucket) +
+    in-bucket pair expansion, the same pattern as MinHash — a self-join
+    would re-execute the sketch subtree for both sides and shuffle
+    twice, and an uncapped bucket (e.g. a corpus of near-constant
+    embeddings collapsing to one sketch) would be O(n²) in one task.
     Each embedding joins back exactly once per side for a single
     cosine evaluation per pair; pairs are deduped on (a_id, b_id)
     only — never on the embedding arrays."""
     e = load_table(spark, sf_dir, "embeddings")
-    n_bits, band_bits = 32, 8
+    n_bits, band_bits = 64, 8
     sk = e.select(
         "vec_id", sim.sign_sketch(F.col("embedding"), n_bits).alias("sk")
     )
@@ -568,11 +630,7 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bn"),
     ).select("vec_id", "bn.band", "bn.bucket")
-    buckets = (
-        bands.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
+    buckets = _capped_buckets(bands, ["band", "bucket"], "vec_id")
     cand = (
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
@@ -588,10 +646,16 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ea, "a_id")
         .join(eb, "b_id")
         .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
-        .where(
-            ~F.isnan("cos_sim")
-            & (F.col("cos_sim") >= EMBED_NEARDUP_THRESHOLD)
-        )
+        .where(~F.isnan("cos_sim") & (F.col("cos_sim") >= F.lit(threshold)))
+    )
+
+
+@query("embed_neardup_cosine")  # rows-only: LSH banding + float cosine
+def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered fixture form of :func:`embed_neardup_pairs` — same
+    operator, fixture-tuned threshold (see the constants above)."""
+    return embed_neardup_pairs(
+        spark, sf_dir, threshold=EMBED_NEARDUP_FIXTURE_THRESHOLD
     )
 
 

@@ -52,6 +52,20 @@ def get_spark(
         # Broadcast threshold: dims (region/nation/customer/supplier/part)
         # stay broadcastable well past sf0.1; AQE upgrades at runtime too.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # --- Straggler redundancy (reference README.md:18 "usually with
+        # redundancy"): speculative re-execution of slow tasks. On a
+        # 1000-executor cluster one slow disk/node no longer gates the
+        # stage; conservative multiplier/quantile so local[32] (shared
+        # CPU, uniform tasks) doesn't churn duplicate Python workers.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
+        # --- Priority scheduling analog (reference neurons/miner.py:
+        # 127-137 priority_fn): FAIR scheduling lets concurrent jobs on
+        # one session share the cluster by pool weight instead of FIFO
+        # head-of-line blocking; callers tag work via
+        # sc.setLocalProperty("spark.scheduler.pool", <pool>).
+        .config("spark.scheduler.mode", "FAIR")
         # Quieter Ivy/UI in the harness.
         .config("spark.ui.enabled", "false")
     )

@@ -81,7 +81,14 @@ def _run_to_memory(
             f"streaming query {name} did not drain within 300s; "
             "partial memory-sink contents discarded"
         )
-    return spark.table(name)
+    # Materialize off the sink, then drop the temp view: without the
+    # drop, every invocation leaked one uuid-named in-memory table for
+    # the session lifetime (catalog growth + pinned sink rows).
+    # localCheckpoint severs the plan's dependency on the view so the
+    # drop is safe before the caller consumes the frame.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query("stream_tumbling_true")  # rows-only: live streaming execution
@@ -137,7 +144,17 @@ def stream_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)
 
 
-@query("stream_stateful_ema")  # rows-only: custom stateful operator
+@query(
+    "stream_stateful_ema",
+    oracle="""
+SELECT user_id,
+       ROUND(list_reduce(list_prepend(1.0, list(value ORDER BY ts, event_id)),
+                         (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ema,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
 def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user EMA carried across
     micro-batches via applyInPandasWithState (the reference's score
@@ -147,7 +164,11 @@ def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is one float per user in the state store; each micro-batch
     folds its (ts-sorted) values into the state. With availableNow over
     a static fixture there is one batch, so the result equals the batch
-    closed form (pinned against agg_ema in tests/test_streaming.py).
+    closed form (pinned against agg_ema in tests/test_streaming.py) —
+    and the EMA is deterministic, so the same ordered left-to-right
+    double fold IS SQL-expressible: the oracle is agg_ema's
+    list_reduce recurrence (identical seed, coefficients, sort key and
+    fold order → bit-identical before the 6-decimal round).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -157,11 +178,13 @@ def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         # closure: shipped by value; executors don't import this repo
         import pandas as pd  # local import for the worker
 
-        alpha = 0.9
         s, n = state.get if state.exists else (1.0, 0)
         rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        # literal 0.1, NOT (1.0 - 0.9): the latter is 0.09999999999999998
+        # in doubles — a different coefficient than the oracle's 0.1
+        # literal, which can flip the 6th rounded decimal on long folds
         for v in rows["value"]:
-            s = s * alpha + float(v) * (1.0 - alpha)
+            s = s * 0.9 + float(v) * 0.1
         n += len(rows)
         state.update((s, n))
         yield pd.DataFrame(

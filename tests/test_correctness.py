@@ -45,10 +45,12 @@ def test_entry_smoke(spark):
 
 
 def test_entry_sweep_order():
-    """The driver checks only a prefix of queries() (50 entries in
-    round 1) — the priority list must be real keys, fit in that
-    prefix, and lead the returned dict so driver-unverified operators
-    get a CORRECTNESS row before the cap hits."""
+    """The driver checks only a prefix of queries() (SWEEP_CAP entries,
+    observed in rounds 1-2) — the priority list must be real keys, fit
+    in that prefix, and lead the returned dict so never-swept and
+    changed-this-round operators get a CORRECTNESS row before the cap
+    hits. The cap lives in ONE place (__spark_entry__.SWEEP_CAP) so a
+    registry/cap change can't silently push changed keys past it."""
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
@@ -56,6 +58,6 @@ def test_entry_sweep_order():
     assert set(osql) == set(ORACLES)
     prio = e._SWEEP_PRIORITY
     assert len(prio) == len(set(prio)), "duplicate priority keys"
-    assert len(prio) <= 50, "priority list exceeds the driver's sweep cap"
+    assert len(prio) <= e.SWEEP_CAP, "priority list exceeds the sweep cap"
     assert not set(prio) - set(QUERIES), "priority names not in registry"
     assert list(qs)[: len(prio)] == prio

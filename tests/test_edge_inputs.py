@@ -29,20 +29,34 @@ def test_shingles_short_documents(spark):
 
 
 def test_sign_sketch_short_vectors(spark):
+    """Short/empty vectors must sketch without crashing (the hyperplane
+    projection just folds fewer terms), the sketch must be confined to
+    its n_bits, and an empty vector projects to 0 on every hyperplane
+    (sign convention: 0 → bit 1 → all-ones sketch)."""
     df = spark.createDataFrame(
         [(0, [1.0] * 16), (1, [1.0] * 4), (2, [])],
         "vec_id long, embedding array<float>",
     )
-    rows = {
-        r["vec_id"]: r["sk"]
-        for r in df.select(
-            "vec_id", sim.sign_sketch(F.col("embedding"), 16).alias("sk")
-        ).collect()
-    }
-    assert rows[0] == 0xFFFF
-    # short vectors degrade to 0-bits for missing components, no crash
-    assert rows[1] == 0xF000
-    assert rows[2] == 0
+    sel = df.select(
+        "vec_id", sim.sign_sketch(F.col("embedding"), 16).alias("sk")
+    )
+    rows = {r["vec_id"]: r["sk"] for r in sel.collect()}
+    assert all(0 <= v <= 0xFFFF for v in rows.values())
+    assert rows[2] == 0xFFFF
+    # hash-seeded hyperplanes are deterministic: same plan, same sketch
+    rows2 = {r["vec_id"]: r["sk"] for r in sel.collect()}
+    assert rows == rows2
+    # a vector and its negation land on opposite sides of every
+    # hyperplane — sketches are complementary. Power-of-2 components:
+    # ±1 ±0.5 ±0.25 … can never sum to exactly 0 (the leading term
+    # outweighs all others), so no bit sits ON a hyperplane.
+    v = [2.0 ** -i for i in range(16)]
+    pair = spark.createDataFrame(
+        [(0, v), (1, [-x for x in v])],
+        "vec_id long, embedding array<float>",
+    ).select("vec_id", sim.sign_sketch(F.col("embedding"), 16).alias("sk"))
+    got = {r["vec_id"]: r["sk"] for r in pair.collect()}
+    assert got[1] == got[0] ^ 0xFFFF
 
 
 def test_quality_score_single_token(spark):

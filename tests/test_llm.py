@@ -166,7 +166,7 @@ def test_ann_ivf_is_subset_of_exact(spark):
 
 def test_embed_neardup_pairs_are_high_cosine(spark):
     from map_reduce_subnet_spark.operators.llm import (
-        EMBED_NEARDUP_THRESHOLD,
+        EMBED_NEARDUP_FIXTURE_THRESHOLD,
     )
 
     got = QUERIES["embed_neardup_cosine"](spark, SF_DIR).toPandas()
@@ -179,6 +179,135 @@ def test_embed_neardup_pairs_are_high_cosine(spark):
         a = np.asarray(emb.loc[row["a_id"]], dtype=np.float64)
         b = np.asarray(emb.loc[row["b_id"]], dtype=np.float64)
         cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
-        assert cos >= EMBED_NEARDUP_THRESHOLD - 1e-6
+        assert cos >= EMBED_NEARDUP_FIXTURE_THRESHOLD - 1e-6
         assert row["cos_sim"] == pytest.approx(cos, abs=1e-5)
         assert row["a_id"] < row["b_id"]
+
+
+def test_sign_sketch_matches_numpy_hyperplanes(spark):
+    """The sketch must be the sign pattern of TRUE Rademacher
+    hyperplane projections (hash-seeded ±1 over every dim) — not the
+    axis-aligned first-n-components shortcut. Parity: recompute the
+    hyperplanes via xxhash64 on the JVM side once, then reproduce each
+    vector's sketch in numpy."""
+    from map_reduce_subnet_spark.functions.similarity import sign_sketch
+    from pyspark.sql import functions as F
+
+    n_bits, dim, seed = 8, 6, 42
+    # hyperplane entries, straight from the same Spark hash the sketch
+    # uses (xxhash64 isn't reimplementable in numpy)
+    signs_row = spark.range(1).select(
+        *[
+            F.array(
+                *[
+                    F.when(
+                        F.pmod(
+                            F.xxhash64(F.lit(seed), F.lit(i), F.lit(j)),
+                            F.lit(2),
+                        )
+                        == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0))
+                    for j in range(dim)
+                ]
+            ).alias(f"h{i}")
+            for i in range(n_bits)
+        ]
+    ).collect()[0]
+    H = np.array([signs_row[f"h{i}"] for i in range(n_bits)])  # n_bits×dim
+
+    vecs = [
+        [0.5, -1.0, 2.0, 0.25, -0.75, 1.5],
+        [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0],
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.1],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<float>"
+    )
+    got = {
+        r["id"]: r["sk"]
+        for r in df.select(
+            "id", sign_sketch(F.col("v"), n_bits, seed).alias("sk")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        proj = H @ np.asarray(v, dtype=np.float64)
+        expect = 0
+        for p in proj:
+            expect = (expect << 1) | (1 if p >= 0 else 0)
+        assert got[i] == expect, f"vector {i}: {got[i]:b} != {expect:b}"
+
+
+def test_lsh_bucket_cap_bounds_identical_corpus(spark, tmp_path):
+    """Property: a corpus where EVERY doc is identical (the worst-case
+    degenerate bucket — all docs share every band signature) must
+    complete with bounded per-task work: pairs come only from the cap
+    lowest doc_ids, so the candidate count is C(cap, 2), not C(n, 2)."""
+    import pyarrow as pa
+
+    from map_reduce_subnet_spark.operators.llm import LSH_BUCKET_CAP
+
+    n, cap = 40, 5
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [text] * n,
+            "lang": ["en"] * n,
+            "source": ["t"] * n,
+            "n_chars": [len(text)] * n,
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf_dir}/documents.parquet")
+
+    import map_reduce_subnet_spark.operators.llm as llm
+
+    # shrink the cap for the test (40² pairs would pass trivially under
+    # the production 256); restore even on failure
+    orig = llm.LSH_BUCKET_CAP
+    try:
+        llm.LSH_BUCKET_CAP = cap
+        got = QUERIES["dedup_near_minhash"](spark, sf_dir).toPandas()
+    finally:
+        llm.LSH_BUCKET_CAP = orig
+    assert LSH_BUCKET_CAP == orig  # module constant untouched
+    expect_pairs = cap * (cap - 1) // 2
+    assert len(got) == expect_pairs
+    # survivors are the cap LOWEST ids — deterministic
+    assert set(got["a_id"]) | set(got["b_id"]) == set(range(cap))
+
+
+def test_stop_shingle_cap_bounds_hot_shingle(spark, tmp_path):
+    """A shingle present in every doc (df = n > cap) must be dropped
+    from candidate generation: docs sharing ONLY the hot shingle yield
+    no pair, while genuinely-similar docs still do."""
+    import pyarrow as pa
+
+    import map_reduce_subnet_spark.operators.llm as llm
+
+    # 70 docs all containing the hot shingle "common filler words"
+    # (df=70 > cap 64), each padded with unique tail shingles; docs 0/1
+    # additionally share a long distinctive run
+    shared = "identical distinctive run of tokens for the pair case"
+    texts = [
+        f"common filler words unique{i}a unique{i}b unique{i}c" for i in range(70)
+    ]
+    texts[0] = f"common filler words {shared}"
+    texts[1] = f"common filler words {shared}"
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(70),
+            "text": texts,
+            "lang": ["en"] * 70,
+            "source": ["t"] * 70,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(docs), f"{sf_dir}/documents.parquet")
+    got = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).toPandas()
+    pairs = set(zip(got["a_id"], got["b_id"]))
+    assert (0, 1) in pairs, "true near-dup lost to the cap"
+    # the hot shingle alone must not generate the other C(70,2) pairs
+    assert all(p == (0, 1) for p in pairs), f"hot-shingle junk pairs: {pairs}"

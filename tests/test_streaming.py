@@ -67,6 +67,17 @@ def test_stream_session_matches_batch_closed_sessions(spark):
     assert len(stream) > 0
 
 
+def test_memory_sink_views_are_dropped(spark):
+    """Each _run_to_memory invocation must leave the catalog as it
+    found it — round 1/2 leaked one uuid-named in-memory table per
+    streaming query for the session lifetime."""
+    before = {t.name for t in spark.catalog.listTables()}
+    df = QUERIES["stream_dedup_true"](spark, SF_DIR)
+    assert df.count() > 0  # frame must remain usable after the drop
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before, f"leaked temp views: {after - before}"
+
+
 def test_multimodal_features_deterministic(spark):
     a = QUERIES["multimodal_features"](spark, SF_DIR).toPandas()
     b = QUERIES["multimodal_features"](spark, SF_DIR).toPandas()
