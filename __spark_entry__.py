@@ -93,9 +93,10 @@ _SWEEP_PRIORITY = [
     "text_pii_scrub",
     "sim_cosine_topk",
     "multimodal_join",
-    "dedup_simhash",
-    "sim_ann_ivf",
-    "multimodal_features",
+    # new in round 3 — need their first driver row
+    "text_tfidf_topk",
+    "sample_systematic",
+    "dedup_cluster",
 ]
 
 

@@ -611,8 +611,17 @@ def embed_neardup_pairs(
     only — never on the embedding arrays."""
     e = load_table(spark, sf_dir, "embeddings")
     n_bits, band_bits = 64, 8
-    sk = e.select(
-        "vec_id", sim.sign_sketch(F.col("embedding"), n_bits).alias("sk")
+    # hyperplane matrix as broadcast DATA, not plan literals: 64×64
+    # inline literals make analysis/codegen the dominant cost (see
+    # sign_sketch docstring) — a one-row broadcast join costs nothing
+    mdf = spark.createDataFrame(
+        [(sim.hyperplane_matrix(64, n_bits, 42),)], "m: array<array<double>>"
+    )
+    sk = e.crossJoin(F.broadcast(mdf)).select(
+        "vec_id",
+        sim.sign_sketch(F.col("embedding"), n_bits, matrix=F.col("m")).alias(
+            "sk"
+        ),
     )
     bands = sk.select(
         "vec_id",
@@ -656,6 +665,129 @@ def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, fixture-tuned threshold (see the constants above)."""
     return embed_neardup_pairs(
         spark, sf_dir, threshold=EMBED_NEARDUP_FIXTURE_THRESHOLD
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+), dfreq AS (
+    SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT doc_id, word, tf, tfidf FROM (
+    SELECT tf.doc_id, tf.word, tf.tf,
+           CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE))
+               AS tfidf,
+           ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE)
+                   * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE))
+                   DESC, tf.word
+           ) AS rn
+    FROM tf JOIN dfreq USING (word) CROSS JOIN n
+) WHERE rn <= 5
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the standard distinctive-term
+    extraction for corpus exploration/quality filtering.
+
+    The IDF is the RATIONAL form (N+1)/(df+1) without the logarithm:
+    log is monotone, so the per-doc ranking is identical, while ln()
+    last-ulp differences between libm implementations would break
+    cross-engine bit-exactness. All counts are exact integers; the one
+    division is IEEE-correctly-rounded identically on both engines, and
+    the multiply is spelled with the same parenthesization in both.
+
+    Scale: tf and df are partial-aggregated counts (map-side combine),
+    the df join is on word (broadcastable at real vocabulary sizes —
+    AQE converts it), the scalar doc count is a 1-row broadcast, and
+    top-5 per doc is a partitioned window — no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tx.words("text")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    tfidf = F.col("tf").cast("double") * (
+        (F.col("n_docs") + F.lit(1)).cast("double")
+        / (F.col("df") + F.lit(1)).cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "word", "tf", "tfidf")
+    )
+
+
+DEDUP_CLUSTER_MAX_ITERS = 20
+
+
+@query("dedup_cluster")  # rows-only: iterative algorithm, not SQL-expressible
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup candidate pairs:
+    every doc in a near-dup component gets the component's minimum
+    doc_id as cluster_id — the survivor-selection step that turns
+    pairwise dedup candidates into one-canonical-doc-per-cluster.
+
+    Iterative min-label propagation (Pregel-style): each round, every
+    vertex takes the min of its label and its neighbors' labels;
+    convergence in O(component diameter) rounds. Each round is a
+    distributed join + partial-agg min; the driver only reads a 1-row
+    SUM(label) checksum per round (labels are monotone non-increasing,
+    so an unchanged sum IS the fixpoint — no row-level diff needed).
+    The candidate pairs are checkpointed once so the MinHash subtree
+    is not re-executed every iteration, and each round's labels are
+    checkpointed to keep the lineage flat (20 rounds of joins would
+    otherwise compound into one enormous plan).
+
+    Docs with no near-dup candidate pair are singletons by definition
+    and are not emitted (at 100 TB the non-candidate set is ~the whole
+    corpus — emitting it would dwarf the actual clusters).
+    """
+    pairs = dedup_near_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(DEDUP_CLUSTER_MAX_ITERS):
+        nmin = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(nmin, labels["id"] == nmin["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

@@ -82,6 +82,29 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_systematic",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey % 97 < 10
+""",
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% systematic sample: key-modulus predicate
+    (orderkey mod 97 < 10). TABLESAMPLE/rand() draws differ across
+    engines and runs; a modulus on a stable key is reproducible,
+    cross-engine exact, and keeps whole orders together (every
+    lineitem of a sampled order is in the sample — the grouping a
+    training-data pipeline needs when subsampling a corpus). The
+    predicate is a plain comparison, so it evaluates during the scan —
+    no shuffle, no extra pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_orderkey") % 97) < 10).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 def _materialize_and_clean(spark, readback, path):
     """Pin the read-back rows in memory, delete the scratch dir.
 

@@ -5,7 +5,9 @@ Each job reads the events fixture as a file stream (one micro-batch via
 watermarked tumbling aggregation, watermarked dedup, and custom
 stateful EMA via ``transformWithStateInPandas``-style per-group state —
 and sinks to an in-memory table which is returned as a batch DataFrame
-for the rows-only check.
+(dropped from the catalog once materialized). The window/session jobs
+are rows-only checked (watermark cutoffs aren't SQL-expressible); the
+stateful EMA is deterministic and carries a closed-form SQL oracle.
 
 Grounding: the reference's unbounded step loop with per-round state
 (reference neurons/miner.py:175, neurons/validator.py:116-170); the

@@ -139,6 +139,33 @@ def test_minhash_recall_on_known_near_dups(spark, tmp_path):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_dedup_cluster_matches_union_find(spark):
+    """Connected components must equal an independent union-find over
+    the same candidate pairs: same membership, cluster_id = component
+    minimum."""
+    pairs = QUERIES["dedup_near_minhash"](spark, SF_DIR).toPandas()
+    got = QUERIES["dedup_cluster"](spark, SF_DIR).toPandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a_id"], pairs["b_id"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    # canonical root = min member, which find() yields since unions
+    # always point larger roots at smaller ones
+    assert {
+        int(r["doc_id"]): int(r["cluster_id"]) for _, r in got.iterrows()
+    } == expect
+
+
 def test_simhash_properties(spark):
     df = QUERIES["dedup_simhash"](spark, SF_DIR).toPandas()
     docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
@@ -186,35 +213,21 @@ def test_embed_neardup_pairs_are_high_cosine(spark):
 
 def test_sign_sketch_matches_numpy_hyperplanes(spark):
     """The sketch must be the sign pattern of TRUE Rademacher
-    hyperplane projections (hash-seeded ±1 over every dim) — not the
-    axis-aligned first-n-components shortcut. Parity: recompute the
-    hyperplanes via xxhash64 on the JVM side once, then reproduce each
-    vector's sketch in numpy."""
-    from map_reduce_subnet_spark.functions.similarity import sign_sketch
+    hyperplane projections (±1 over every dim) — not the axis-aligned
+    first-n-components shortcut. Parity: rebuild the literal
+    hyperplane matrix, reproduce each vector's sketch in numpy, and
+    require the Spark fold to agree bit for bit."""
+    from map_reduce_subnet_spark.functions.similarity import (
+        hyperplane_matrix,
+        sign_sketch,
+    )
     from pyspark.sql import functions as F
 
     n_bits, dim, seed = 8, 6, 42
-    # hyperplane entries, straight from the same Spark hash the sketch
-    # uses (xxhash64 isn't reimplementable in numpy)
-    signs_row = spark.range(1).select(
-        *[
-            F.array(
-                *[
-                    F.when(
-                        F.pmod(
-                            F.xxhash64(F.lit(seed), F.lit(i), F.lit(j)),
-                            F.lit(2),
-                        )
-                        == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0))
-                    for j in range(dim)
-                ]
-            ).alias(f"h{i}")
-            for i in range(n_bits)
-        ]
-    ).collect()[0]
-    H = np.array([signs_row[f"h{i}"] for i in range(n_bits)])  # n_bits×dim
+    # [component][bit] → transpose to bit-major for the projection
+    H = np.array(hyperplane_matrix(dim, n_bits, seed)).T  # n_bits×dim
+    # hyperplanes must be genuinely mixed, not constant or axis-aligned
+    assert 0 < (H == 1.0).sum() < H.size
 
     vecs = [
         [0.5, -1.0, 2.0, 0.25, -0.75, 1.5],
