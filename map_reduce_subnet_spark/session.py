@@ -55,11 +55,16 @@ def get_spark(
         # --- Straggler redundancy (reference README.md:18 "usually with
         # redundancy"): speculative re-execution of slow tasks. On a
         # 1000-executor cluster one slow disk/node no longer gates the
-        # stage; conservative multiplier/quantile so local[32] (shared
-        # CPU, uniform tasks) doesn't churn duplicate Python workers.
+        # stage. Conservative thresholds, and no speculation below 10s
+        # of task runtime: local[32] tasks are seconds-scale and share
+        # one CPU pool, so duplicating them only added variance
+        # (measured: the stateful-streaming job's first run went 3.3s →
+        # 9.2s with short-task speculation on); 100 TB cluster tasks
+        # run minutes and still speculate.
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")
+        .config("spark.speculation.minTaskRuntime", "10s")
         # --- Priority scheduling analog (reference neurons/miner.py:
         # 127-137 priority_fn): FAIR scheduling lets concurrent jobs on
         # one session share the cluster by pool weight instead of FIFO
