@@ -89,14 +89,14 @@ _SWEEP_PRIORITY = [
     "text_langid",
     "text_fingerprint",
     "text_token_count",
-    "text_chunking",
-    "text_pii_scrub",
     "sim_cosine_topk",
     "multimodal_join",
     # new in round 3 — need their first driver row
     "text_tfidf_topk",
     "sample_systematic",
     "dedup_cluster",
+    "stream_static_join_true",
+    "multimodal_frame_sample",
 ]
 
 

@@ -888,6 +888,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(featurize, schema=MEDIA_FEATURE_SCHEMA)
 
 
+@query("multimodal_frame_sample")  # rows-only: binary frame sampler
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media payload: treat the binary
+    column as a sequence of fixed-size 16-byte frames and emit every
+    4th frame with its index and a checksum — the media-pipeline
+    subsample-before-decode step (a video decoder is a documented stub,
+    functions/multimodal.py::decode_media; the frame arithmetic,
+    declared schema, and Arrow batch iteration exercised here are the
+    real Spark-side contract).
+
+    One mapInPandas pass, constant memory per batch; output rows are
+    bounded by payload_size/stride per doc. The UDF is a closure
+    (shipped by value — executors never import this package)."""
+
+    def sample_frames(batches):
+        import pandas as pd  # worker-local import
+
+        frame_bytes, stride = 16, 4
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_sum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    frame = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_sum"].append(sum(frame) % (1 << 31))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                    "frame_sum": pd.Series(out["frame_sum"], dtype="int64"),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return blobs.mapInPandas(
+        sample_frames, schema="doc_id long, frame_idx long, frame_sum long"
+    )
+
+
 @query(
     "multimodal_join",
     oracle="""

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 )
 
 from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.sources.tables import load_table
 
 EVENTS_SCHEMA = StructType(
     [
@@ -144,6 +145,32 @@ def stream_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, spark)
+
+
+@query(
+    "stream_static_join_true",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def stream_static_join_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, executed as a real stream: each
+    event micro-batch joins the static customer dimension (the
+    standard production pattern for decorating an event stream with
+    reference data). Stateless — no watermark, no state store; the
+    static side is broadcast per micro-batch, so the stream never
+    shuffles. Unlike the windowed jobs, the result is deterministic
+    (inner equi-join, no time cutoff), so this live streaming query
+    carries a full SQL oracle."""
+    ev = _read_event_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"]
+    ).select("event_id", "user_id", "c_name", "value")
+    return _run_to_memory(joined, spark)
 
 
 @query(

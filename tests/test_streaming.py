@@ -78,6 +78,47 @@ def test_memory_sink_views_are_dropped(spark):
     assert after == before, f"leaked temp views: {after - before}"
 
 
+def test_stream_static_join_matches_batch(spark):
+    """The stream-static join is stateless and deterministic: the live
+    result must equal the plain batch join exactly."""
+    import pyarrow.parquet as pq
+
+    stream = QUERIES["stream_static_join_true"](spark, SF_DIR).toPandas()
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).to_pandas()
+    cust = pq.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    batch = ev.merge(cust, left_on="user_id", right_on="c_custkey")[
+        ["event_id", "user_id", "c_name", "value"]
+    ]
+    pd.testing.assert_frame_equal(_sorted(stream), _sorted(batch))
+
+
+def test_multimodal_frame_sample_matches_python(spark):
+    """Frame sampling must equal the bytes-level reference: every 4th
+    16-byte frame of the utf-8 payload, with its start index and
+    checksum."""
+    import pyarrow.parquet as pq
+
+    got = QUERIES["multimodal_frame_sample"](spark, SF_DIR).toPandas()
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        b = text.encode("utf-8")
+        for i in range(0, len(b) // 16, 4):
+            rows.append(
+                (doc_id, i, sum(b[i * 16 : (i + 1) * 16]) % (1 << 31))
+            )
+    expect = pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sum"])
+    pd.testing.assert_frame_equal(
+        _sorted(got), _sorted(expect.astype("int64"))
+    )
+
+
 def test_multimodal_features_deterministic(spark):
     a = QUERIES["multimodal_features"](spark, SF_DIR).toPandas()
     b = QUERIES["multimodal_features"](spark, SF_DIR).toPandas()
