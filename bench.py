@@ -48,11 +48,16 @@ def main() -> None:
 
     # Warm-up: JVM + parquet footers (agg_reduce_sum scans lineitem),
     # Python worker pool + Arrow path (udf_scalar), and a documents
-    # scan (the text family's input).
+    # scan (the text family's input). A warm-up failure must not lose
+    # the whole bench record (the per-query loop tolerates failures;
+    # this must too, or one broken query kills the round's BENCH row).
     for warm in ("agg_reduce_sum", "udf_scalar", "text_token_count"):
-        QUERIES[warm](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:
+            print(f"bench: warm-up {warm} FAILED: {ex}", file=sys.stderr)
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
@@ -65,11 +70,19 @@ def main() -> None:
     for name in sorted(QUERIES):
         fn = QUERIES[name]
         try:
-            runs = [run_once(fn)]
-            if runs[0] < REPEAT_UNDER:
-                while len(runs) < MEDIAN_RUNS:
-                    runs.append(run_once(fn))
-            times[name] = round(statistics.median(runs), 4)
+            # Every query runs at least twice: deciding repeat-or-not
+            # on the first run alone let one GC-spiked first sample of
+            # a sub-second query be recorded as a single-shot "5x
+            # regression" — the exact false positive the median pass
+            # exists to kill. Genuinely heavy queries (both runs over
+            # the threshold) record min-of-2 (the steady-state run);
+            # light queries get a third run and median-of-3.
+            runs = [run_once(fn), run_once(fn)]
+            if min(runs) < REPEAT_UNDER:
+                runs.append(run_once(fn))
+                times[name] = round(statistics.median(runs), 4)
+            else:
+                times[name] = round(min(runs), 4)
             n_runs[name] = len(runs)
         except Exception as ex:  # keep benching even if one query breaks
             times[name] = -1.0
@@ -91,7 +104,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "runs": n_runs,
-        "methodology": f"median-of-{MEDIAN_RUNS} under {REPEAT_UNDER}s, warmed",
+        "methodology": (
+            f"warmed; >=2 runs/query; median-of-{MEDIAN_RUNS} under "
+            f"{REPEAT_UNDER}s, else min-of-2"
+        ),
         "sf": sf_val,
     }
     out_dir = os.environ.get(

@@ -78,20 +78,22 @@ def _run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {name} did not drain within 300s; "
-            "partial memory-sink contents discarded"
-        )
     # Materialize off the sink, then drop the temp view: without the
     # drop, every invocation leaked one uuid-named in-memory table for
-    # the session lifetime (catalog growth + pinned sink rows).
+    # the session lifetime (catalog growth + pinned sink rows) — on
+    # the TIMEOUT path too, which is why the drop is in a finally.
     # localCheckpoint severs the plan's dependency on the view so the
     # drop is safe before the caller consumes the frame.
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name} did not drain within 300s; "
+                "partial memory-sink contents discarded"
+            )
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
 
 
 @query("stream_tumbling_true")  # rows-only: live streaming execution
@@ -177,8 +179,8 @@ def stream_static_join_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_ema",
     oracle="""
 SELECT user_id,
-       ROUND(list_reduce(list_prepend(1.0, list(value ORDER BY ts, event_id)),
-                         (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ema,
+       list_reduce(list_prepend(1.0, list(value ORDER BY ts, event_id)),
+                   (acc, x) -> acc * 0.9 + x * 0.1) AS ema,
        COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
@@ -197,7 +199,11 @@ def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the EMA is deterministic, so the same ordered left-to-right
     double fold IS SQL-expressible: the oracle is agg_ema's
     list_reduce recurrence (identical seed, coefficients, sort key and
-    fold order → bit-identical before the 6-decimal round).
+    fold order → bit-identical). The emitted ema is deliberately
+    UNROUNDED: identical IEEE op sequences are bit-exact across
+    engines, while rounding itself diverges on decimal ties (Python
+    round is half-even, DuckDB ROUND half-away, Spark F.round HALF_UP
+    on the shortest repr).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -217,7 +223,7 @@ def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         n += len(rows)
         state.update((s, n))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "ema": [round(s, 6)], "n_events": [n]}
+            {"user_id": [key[0]], "ema": [s], "n_events": [n]}
         )
 
     out = (

@@ -166,6 +166,21 @@ def test_dedup_cluster_matches_union_find(spark):
     } == expect
 
 
+def test_connected_components_deep_chain(spark):
+    """A 40-node path graph has diameter 39 — pure neighbor-min
+    propagation would need 39 rounds and exhaust the iteration cap;
+    pointer jumping must converge it within the cap and label every
+    node with the component minimum."""
+    from map_reduce_subnet_spark.operators.llm import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "a_id long, b_id long"
+    )
+    got = connected_components(pairs).toPandas()
+    assert len(got) == 40
+    assert (got["label"] == 0).all()
+
+
 def test_simhash_properties(spark):
     df = QUERIES["dedup_simhash"](spark, SF_DIR).toPandas()
     docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()

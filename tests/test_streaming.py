@@ -50,9 +50,15 @@ def test_stream_dedup_matches_batch(spark):
 
 
 def test_stream_stateful_ema_matches_batch(spark):
+    """The stream emits the UNROUNDED fold (rounding diverges across
+    engines on decimal ties); agg_ema rounds to 6 — compare at that
+    precision."""
     stream = QUERIES["stream_stateful_ema"](spark, SF_DIR).toPandas()
     batch = QUERIES["agg_ema"](spark, SF_DIR).toPandas()
-    pd.testing.assert_frame_equal(_sorted(stream), _sorted(batch))
+    merged = stream.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(stream)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["ema_s"] - merged["ema_b"]).abs().max() < 1e-6
 
 
 def test_stream_session_matches_batch_closed_sessions(spark):
