@@ -68,6 +68,25 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in formatted_plan(q(spark, "limit_topk"))
 
 
+def test_sample_is_scan_stage_only(spark):
+    """The systematic sample must evaluate during the scan: no
+    exchange, no extra pass."""
+    assert count_exchanges(q(spark, "sample_systematic")) == 0
+
+
+def test_tfidf_plan_shape(spark):
+    """TF-IDF: partial aggregation for the counts, broadcast for the
+    vocabulary join, per-doc top-k limited BEFORE the window sort
+    (WindowGroupLimit), and no cartesian blowup (the 1-row doc-count
+    broadcast is the only nested-loop join)."""
+    df = q(spark, "text_tfidf_topk")
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert has_broadcast_join(df)
+    assert "WindowGroupLimit" in plan
+    assert not has_cartesian(df)
+
+
 @pytest.mark.parametrize(
     "name", ["project_arith", "filter_compound", "agg_reduce_sum", "text_quality"]
 )
