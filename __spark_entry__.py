@@ -72,7 +72,6 @@ _SWEEP_PRIORITY = [
     "agg_global",
     "agg_minmax_stats",
     "agg_count_distinct",
-    "agg_approx_distinct",
     "agg_having",
     "agg_rollup",
     "agg_cube",
@@ -97,6 +96,7 @@ _SWEEP_PRIORITY = [
     "dedup_cluster",
     "stream_static_join_true",
     "multimodal_frame_sample",
+    "sim_ann_lsh_topk",
 ]
 
 

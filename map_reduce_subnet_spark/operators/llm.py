@@ -579,6 +579,76 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_lsh_topk")  # rows-only: multi-stage ANN, not SQL-expressible
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: the probe (vec_id 42) hashes to
+    8 band buckets of its 64-bit random-hyperplane sketch; only
+    vectors sharing at least one band are scored. The third leg of the
+    ANN story — brute force scans everything (sim_cosine_topk), IVF
+    probes one centroid cell (sim_ann_ivf), LSH probes hash buckets:
+    candidate count scales with bucket occupancy (corpus/256 per
+    band), not corpus size, and needs no training step.
+
+    The probe's bands are computed from its single row (broadcast, no
+    corpus pass); candidates come from an equi-join on (band, bucket);
+    each candidate's TRUE cosine is computed once (precision exact,
+    recall is the LSH trade-off — pinned against numpy in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_bits, band_bits = 64, 8
+    mdf = spark.createDataFrame(
+        [(sim.hyperplane_matrix(64, n_bits, 42),)], "m: array<array<double>>"
+    )
+
+    def band_frame(df):
+        sk = df.crossJoin(F.broadcast(mdf)).select(
+            "vec_id",
+            "embedding",
+            sim.sign_sketch(F.col("embedding"), n_bits, matrix=F.col("m")).alias("sk"),
+        )
+        return sk.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("sk"), b * band_bits)
+                            .bitwiseAND(F.lit(0xFF))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bits // band_bits)
+                    ]
+                )
+            ).alias("bn"),
+        ).select("vec_id", "embedding", "bn.band", "bn.bucket")
+
+    probe_bands = F.broadcast(
+        band_frame(e.where(F.col("vec_id") == 42)).select(
+            F.col("band").alias("p_band"),
+            F.col("bucket").alias("p_bucket"),
+            F.col("embedding").alias("probe"),
+        )
+    )
+    cand = (
+        band_frame(e.where(F.col("vec_id") != 42))
+        .join(
+            probe_bands,
+            (F.col("band") == F.col("p_band"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .select("vec_id", "embedding", "probe")
+        .dropDuplicates(["vec_id"])
+    )
+    cos = sim.cosine(F.col("embedding"), F.col("probe"))
+    return (
+        cand.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 EMBED_NEARDUP_THRESHOLD = 0.8  # operator default: near-duplicate
 # semantics on a real embedding corpus (the conventional dedup cutoff)
 EMBED_NEARDUP_FIXTURE_THRESHOLD = 0.4  # the registered query's

@@ -193,6 +193,23 @@ def test_simhash_properties(spark):
     )
 
 
+def test_ann_lsh_topk_values_are_true_cosines(spark):
+    """LSH top-k results must carry exact cosines (values match numpy)
+    even though the candidate set is approximate, and must rank
+    descending."""
+    got = QUERIES["sim_ann_lsh_topk"](spark, SF_DIR).toPandas()
+    assert 0 < len(got) <= 5
+    assert (got["cos_sim"].diff().dropna() <= 1e-12).all()
+    emb = _embeddings().set_index("vec_id")["embedding"]
+    probe = np.asarray(emb.loc[42], dtype=np.float64)
+    for _, row in got.iterrows():
+        v = np.asarray(emb.loc[row["vec_id"]], dtype=np.float64)
+        cos = float(
+            np.dot(v, probe) / (np.linalg.norm(v) * np.linalg.norm(probe))
+        )
+        assert row["cos_sim"] == pytest.approx(cos, abs=1e-5)
+
+
 def test_ann_ivf_is_subset_of_exact(spark):
     """IVF results must be true cosines (values match numpy) even if
     the candidate set is approximate."""
