@@ -158,3 +158,40 @@ def test_random_window_frame_matches(spark, ddb, seed):
         """
     ).df()
     assert_frames_match(got, want, f"random_window seed={seed}")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_connected_components_matches_union_find_random_graph(spark, seed):
+    """Random sparse graphs: the distributed label propagation must
+    equal union-find exactly — membership and min-member cluster id —
+    for every draw (chains, stars, merged blobs, singleton-free)."""
+    from map_reduce_subnet_spark.operators.llm import connected_components
+
+    rng = random.Random(seed)
+    n = rng.randint(20, 80)
+    m = rng.randint(n // 2, 2 * n)
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rng.sample(range(n), 2)
+        pairs.add((min(a, b), max(a, b)))
+    pdf = pd.DataFrame(sorted(pairs), columns=["a_id", "b_id"])
+    got = connected_components(
+        spark.createDataFrame(pdf.astype("int64"))
+    ).toPandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+    assert {
+        int(r["id"]): int(r["label"]) for _, r in got.iterrows()
+    } == expect, f"seed={seed} n={n} m={m}"
