@@ -66,10 +66,8 @@ _SWEEP_PRIORITY = [
     "join_anti",
     "join_theta_range",
     "join_asof",
-    "join_cross_bipartite",
     # aggregations
     "agg_reduce_sum",
-    "agg_global",
     "agg_minmax_stats",
     "agg_count_distinct",
     "agg_having",
@@ -97,6 +95,8 @@ _SWEEP_PRIORITY = [
     "stream_static_join_true",
     "multimodal_frame_sample",
     "sim_ann_lsh_topk",
+    "stream_sliding_true",
+    "text_langid_ngram",
 ]
 
 

@@ -87,6 +87,65 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Character-trigram profiles for the n-gram langid scorer. Small,
+# hand-picked, deterministic; shared verbatim with the oracle SQL
+# (keep LANG_TRIGRAM_PRIORITY order in sync with the CASE cascade).
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", " th", "and", "ing", "ion"),
+    "fr": ("le ", "la ", " de", "es ", "ent", "que"),
+    "de": ("der", "und", "ich", "sch", "ein", "cht"),
+    "es": ("el ", "los", " la", "ión", "ar ", "que"),
+}
+LANG_TRIGRAM_PRIORITY: tuple[str, ...] = ("en", "fr", "de", "es")
+
+
+def char_trigrams(text: Column | str) -> Column:
+    """Distinct character 3-grams of a string, built JVM-side
+    (transform over a position sequence + substring). Texts shorter
+    than 3 chars yield an EMPTY array — Spark's sequence(1, 0) counts
+    DOWN and must be guarded, exactly like word shingles."""
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.when(
+        F.length(c) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - 2),
+                lambda i: F.substring(c, i, 3),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def langid_ngram(text: Column | str) -> Column:
+    """Character-n-gram language id: score each language profile by
+    how many of its trigrams appear in the text's distinct trigram
+    set; highest score wins, ties broken by the fixed priority
+    cascade, zero everywhere -> 'und'. A deterministic miniature of
+    the standard n-gram-profile language detector."""
+    tg = char_trigrams(text)
+    scores = {
+        lang: F.size(
+            F.array_intersect(tg, F.array(*[F.lit(t) for t in profile]))
+        )
+        for lang, profile in LANG_TRIGRAMS.items()
+    }
+    # CASE cascade in priority order: each branch requires >= all
+    # later-priority scores and > 0 (mirrored verbatim in the oracle)
+    expr = F.lit("und")
+    for lang in reversed(LANG_TRIGRAM_PRIORITY):
+        later = [
+            scores[o]
+            for o in LANG_TRIGRAM_PRIORITY[
+                LANG_TRIGRAM_PRIORITY.index(lang) + 1 :
+            ]
+        ]
+        cond = scores[lang] > 0
+        for o in later:
+            cond = cond & (scores[lang] >= o)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
 def langid(text: Column | str) -> Column:
     """Marker-token language heuristic (n-gram-style rule cascade).
     A real model is out of scope; the operator shape — cascaded

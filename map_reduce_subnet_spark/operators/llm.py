@@ -419,6 +419,64 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_ngram_oracle() -> str:
+    """Oracle SQL generated from the SAME profile constants as the
+    Spark scorer, so the two can never drift."""
+
+    def lst(lang):
+        quoted = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in tx.LANG_TRIGRAMS[lang]
+        )
+        return f"[{quoted}]"
+
+    prio = tx.LANG_TRIGRAM_PRIORITY
+    cases = []
+    for idx, lang in enumerate(prio):
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in prio[idx + 1 :]
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "\n            ".join(cases)
+    scores = ",\n           ".join(
+        f"len(list_intersect(t, {lst(lang)})) AS s_{lang}" for lang in prio
+    )
+    return f"""
+WITH tg AS (
+    SELECT doc_id, lang,
+           CASE WHEN length(text) >= 3
+                THEN list_distinct(list_transform(
+                    range(1, length(text) - 1), i -> substr(text, i, 3)))
+                ELSE CAST([] AS VARCHAR[]) END AS t
+    FROM documents
+), s AS (
+    SELECT doc_id, lang AS lang_true,
+           {scores}
+    FROM tg
+)
+SELECT doc_id, lang_true,
+       CASE {case_sql}
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+@query("text_langid_ngram", oracle=_langid_ngram_oracle())
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language id next to the gold label: score each
+    language's trigram profile against the doc's distinct character
+    trigrams, argmax with a fixed tie cascade (functions/text.py::
+    langid_ngram — the n-gram-profile detector shape, deterministic
+    and SQL-oracled; the marker-token cascade `text_langid` is the
+    cheaper sibling). Pure built-ins: one transform + four
+    array_intersects per row, no shuffle before the scan ends."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        tx.langid_ngram("text").alias("lang_pred"),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

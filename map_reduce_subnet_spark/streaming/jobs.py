@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from map_reduce_subnet_spark.functions.stable import dsum
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -113,6 +114,27 @@ def stream_tumbling_true(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.col("w.start")).alias("win_start"),
             "event_type",
             "n_events",
+        )
+    )
+    return _run_to_memory(agg, spark)
+
+
+@query("stream_sliding_true")  # rows-only: live streaming execution
+def stream_sliding_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 10-minute windows sliding by 5, executed as a real
+    stream (every event lands in two panes). Append-mode semantics as
+    in stream_tumbling_true: only panes closed by the final watermark
+    are emitted — the closed subset of the batch `stream_sliding`
+    (pinned in tests/test_streaming.py)."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "n_events",
+            "sum_value",
         )
     )
     return _run_to_memory(agg, spark)

@@ -43,6 +43,19 @@ def test_stream_tumbling_matches_batch(spark):
     )
 
 
+def test_stream_sliding_matches_batch_closed_panes(spark):
+    """Sliding panes emitted by the live stream must exist in the
+    batch result with identical values (append mode emits the closed
+    subset, like tumbling)."""
+    stream = QUERIES["stream_sliding_true"](spark, SF_DIR).toPandas()
+    batch = QUERIES["stream_sliding"](spark, SF_DIR).toPandas()[
+        ["win_start", "n_events", "sum_value"]
+    ]
+    merged = _sorted(stream).merge(_sorted(batch), how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), "stream emitted unknown panes"
+    assert len(stream) > 0
+
+
 def test_stream_dedup_matches_batch(spark):
     stream = QUERIES["stream_dedup_true"](spark, SF_DIR).toPandas()
     batch = QUERIES["stream_dedup"](spark, SF_DIR).toPandas()
