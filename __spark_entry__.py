@@ -28,8 +28,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # explicit): (1) keys that have NEVER received a driver CORRECTNESS
 # row in any round, (2) keys whose implementation changed this round —
 # both MUST sit inside the cap; then (3) backfill with the oldest
-# green rows (r1's) so coverage keeps refreshing. Keys beyond the cap
-# were all hash-green in CORRECTNESS_r01∪r02 and unchanged since.
+# HASH-green rows (r1's) so oracle coverage keeps refreshing. Keys
+# beyond the cap either hash-matched in CORRECTNESS_r01∪r02 or are
+# rows-only keys that ran green there (rows-only refreshes carry the
+# least signal, so they rotate out first) — all unchanged since.
 # tests/test_correctness.py pins len(_SWEEP_PRIORITY) <= SWEEP_CAP and
 # that queries() actually leads with this list.
 SWEEP_CAP = 50

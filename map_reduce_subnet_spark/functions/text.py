@@ -116,21 +116,27 @@ def char_trigrams(text: Column | str) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def langid_ngram(text: Column | str) -> Column:
-    """Character-n-gram language id: score each language profile by
-    how many of its trigrams appear in the text's distinct trigram
-    set; highest score wins, ties broken by the fixed priority
-    cascade, zero everywhere -> 'und'. A deterministic miniature of
-    the standard n-gram-profile language detector."""
-    tg = char_trigrams(text)
-    scores = {
+def trigram_scores(tg: Column) -> dict[str, Column]:
+    """Per-language profile-overlap scores for a distinct-trigram
+    array column (one array_intersect per language)."""
+    return {
         lang: F.size(
             F.array_intersect(tg, F.array(*[F.lit(t) for t in profile]))
         )
         for lang, profile in LANG_TRIGRAMS.items()
     }
-    # CASE cascade in priority order: each branch requires >= all
-    # later-priority scores and > 0 (mirrored verbatim in the oracle)
+
+
+def langid_cascade(scores: dict[str, Column]) -> Column:
+    """Argmax over language scores with the fixed priority cascade:
+    each branch requires >= all later-priority scores and > 0,
+    zero everywhere -> 'und' (mirrored verbatim in the oracle SQL).
+
+    Callers should pass MATERIALIZED score columns (staged through a
+    projection), not inline expressions: the cascade references each
+    score several times, and HOF subtrees are excluded from Spark's
+    subexpression elimination (LambdaVariable, SPARK-35410) — inlining
+    re-evaluates the trigram transform ~20x per row."""
     expr = F.lit("und")
     for lang in reversed(LANG_TRIGRAM_PRIORITY):
         later = [

@@ -465,16 +465,31 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-n-gram language id next to the gold label: score each
     language's trigram profile against the doc's distinct character
     trigrams, argmax with a fixed tie cascade (functions/text.py::
-    langid_ngram — the n-gram-profile detector shape, deterministic
-    and SQL-oracled; the marker-token cascade `text_langid` is the
-    cheaper sibling). Pure built-ins: one transform + four
-    array_intersects per row, no shuffle before the scan ends."""
+    trigram_scores + langid_cascade — the n-gram-profile detector
+    shape, deterministic and SQL-oracled; the marker-token cascade
+    `text_langid` is the cheaper sibling). The trigram array and the
+    four scores are STAGED through projections (like the oracle's
+    CTEs) so each evaluates once per row — the cascade references each
+    score several times, and HOF subtrees are excluded from Spark's
+    subexpression elimination, so inlining would re-run the transform
+    ~20x per row."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
-        tx.langid_ngram("text").alias("lang_pred"),
+        tx.char_trigrams("text").alias("tg"),
+    ).select(
+        "doc_id",
+        "lang_true",
+        *[
+            score.alias(f"s_{lang}")
+            for lang, score in tx.trigram_scores(F.col("tg")).items()
+        ],
     )
+    cascade = tx.langid_cascade(
+        {lang: F.col(f"s_{lang}") for lang in tx.LANG_TRIGRAMS}
+    )
+    return staged.select("doc_id", "lang_true", cascade.alias("lang_pred"))
 
 
 @query(

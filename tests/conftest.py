@@ -38,6 +38,26 @@ def ddb():
     con.close()
 
 
+def union_find_labels(pairs) -> dict[int, int]:
+    """Reference connected components: map every vertex of an
+    (a, b)-pair iterable to its component's minimum member (unions
+    always point larger roots at smaller ones, so the final root IS
+    the min). Shared by the dedup_cluster parity tests."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize cell values, sort rows —
     the order-insensitive canonical form the driver hashes.

@@ -143,24 +143,11 @@ def test_dedup_cluster_matches_union_find(spark):
     """Connected components must equal an independent union-find over
     the same candidate pairs: same membership, cluster_id = component
     minimum."""
+    from tests.conftest import union_find_labels
+
     pairs = QUERIES["dedup_near_minhash"](spark, SF_DIR).toPandas()
     got = QUERIES["dedup_cluster"](spark, SF_DIR).toPandas()
-
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["a_id"], pairs["b_id"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    expect = {x: find(x) for x in parent}
-    # canonical root = min member, which find() yields since unions
-    # always point larger roots at smaller ones
+    expect = union_find_labels(zip(pairs["a_id"], pairs["b_id"]))
     assert {
         int(r["doc_id"]): int(r["cluster_id"]) for _, r in got.iterrows()
     } == expect

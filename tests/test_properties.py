@@ -178,20 +178,9 @@ def test_connected_components_matches_union_find_random_graph(spark, seed):
     got = connected_components(
         spark.createDataFrame(pdf.astype("int64"))
     ).toPandas()
+    from tests.conftest import union_find_labels
 
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    expect = {x: find(x) for x in parent}
+    expect = union_find_labels(pairs)
     assert {
         int(r["id"]): int(r["label"]) for _, r in got.iterrows()
     } == expect, f"seed={seed} n={n} m={m}"

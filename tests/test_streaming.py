@@ -46,14 +46,24 @@ def test_stream_tumbling_matches_batch(spark):
 def test_stream_sliding_matches_batch_closed_panes(spark):
     """Sliding panes emitted by the live stream must exist in the
     batch result with identical values (append mode emits the closed
-    subset, like tumbling)."""
+    subset, like tumbling) — AND every pane closed by the final
+    watermark must actually be emitted (a subset check alone would
+    pass if most panes were silently dropped)."""
+    import pyarrow.parquet as pq
+
     stream = QUERIES["stream_sliding_true"](spark, SF_DIR).toPandas()
     batch = QUERIES["stream_sliding"](spark, SF_DIR).toPandas()[
         ["win_start", "n_events", "sum_value"]
     ]
     merged = _sorted(stream).merge(_sorted(batch), how="left", indicator=True)
     assert (merged["_merge"] == "both").all(), "stream emitted unknown panes"
-    assert len(stream) > 0
+    ts = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])["ts"]
+    max_epoch = max(t.value for t in ts.to_pylist()) / 1e9
+    watermark = max_epoch - 600
+    closed = batch[batch["win_start"] + 600 <= watermark]  # 10-min panes
+    assert len(stream) >= len(closed), (
+        f"stream missed closed panes: {len(stream)} < {len(closed)}"
+    )
 
 
 def test_stream_dedup_matches_batch(spark):
