@@ -69,25 +69,36 @@ def main() -> None:
     n_runs: dict[str, int] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        try:
-            # Every query runs at least twice: deciding repeat-or-not
-            # on the first run alone let one GC-spiked first sample of
-            # a sub-second query be recorded as a single-shot "5x
-            # regression" — the exact false positive the median pass
-            # exists to kill. Genuinely heavy queries (both runs over
-            # the threshold) record min-of-2 (the steady-state run);
-            # light queries get a third run and median-of-3.
-            runs = [run_once(fn), run_once(fn)]
-            if min(runs) < REPEAT_UNDER:
+        # Every query runs at least twice: deciding repeat-or-not
+        # on the first run alone let one GC-spiked first sample of
+        # a sub-second query be recorded as a single-shot "5x
+        # regression" — the exact false positive the median pass
+        # exists to kill. Genuinely heavy queries (both runs over
+        # the threshold) record min-of-2 (the steady-state run);
+        # light queries get a third run and median-of-3. A repeat
+        # run that throws after an earlier run succeeded is a
+        # transient flake: keep the successful sample(s) (n_runs
+        # records how many survived) instead of discarding a valid
+        # measurement; only 0-successes records a failure.
+        runs: list[float] = []
+        want = 2
+        while len(runs) < want:
+            try:
                 runs.append(run_once(fn))
-                times[name] = round(statistics.median(runs), 4)
-            else:
-                times[name] = round(min(runs), 4)
-            n_runs[name] = len(runs)
-        except Exception as ex:  # keep benching even if one query breaks
+            except Exception as ex:
+                print(f"bench: {name} run FAILED: {ex}", file=sys.stderr)
+                break
+            if len(runs) == 2 and min(runs) < REPEAT_UNDER:
+                want = MEDIAN_RUNS
+        if not runs:
             times[name] = -1.0
             n_runs[name] = 0
-            print(f"bench: {name} FAILED: {ex}", file=sys.stderr)
+        elif len(runs) >= 2 and min(runs) >= REPEAT_UNDER:
+            times[name] = round(min(runs), 4)
+            n_runs[name] = len(runs)
+        else:
+            times[name] = round(statistics.median(runs), 4)
+            n_runs[name] = len(runs)
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -109,7 +109,11 @@ def sign_sketch(
 
     Returns LONG: a 32-bit sketch in an int would shiftleft into the
     sign bit and flip negative. An empty vector projects to 0 on every
-    hyperplane (all-ones sketch) instead of crashing."""
+    hyperplane (all-ones sketch) instead of crashing; a NULL *element*
+    inside the vector is coalesced to 0.0 (no contribution), so a
+    vector with one missing component still sketches from its
+    remaining components instead of collapsing to a degenerate
+    all-zero-projection bucket."""
     M = (
         matrix
         if matrix is not None
@@ -128,7 +132,7 @@ def sign_sketch(
         lambda x, j: F.coalesce(
             F.transform(
                 F.try_element_at(M, j + F.lit(1)),
-                lambda h: x.cast("double") * h,
+                lambda h: F.coalesce(x.cast("double"), F.lit(0.0)) * h,
             ),
             zeros,
         ),

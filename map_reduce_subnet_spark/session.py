@@ -55,12 +55,14 @@ def get_spark(
         # --- Straggler redundancy (reference README.md:18 "usually with
         # redundancy"): speculative re-execution of slow tasks. On a
         # 1000-executor cluster one slow disk/node no longer gates the
-        # stage. Conservative thresholds, and no speculation below 10s
-        # of task runtime: local[32] tasks are seconds-scale and share
-        # one CPU pool, so duplicating them only added variance
-        # (measured: the stateful-streaming job's first run went 3.3s →
-        # 9.2s with short-task speculation on); 100 TB cluster tasks
-        # run minutes and still speculate.
+        # stage. NOTE: these knobs are inert under local[*] — Spark's
+        # TaskSchedulerImpl starts the speculation thread only on a
+        # real cluster manager — so they cost nothing here and engage
+        # only on deployment. The 10s minTaskRuntime floor keeps
+        # cluster-side speculation away from sub-second tasks, where
+        # duplicating work adds variance instead of cutting tail
+        # latency; 100 TB cluster tasks run minutes and still
+        # speculate.
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")

@@ -59,6 +59,23 @@ def test_sign_sketch_short_vectors(spark):
     assert got[1] == got[0] ^ 0xFFFF
 
 
+def test_sign_sketch_null_component(spark):
+    """A NULL *element* inside a vector contributes 0 (coalesced), so
+    the sketch equals the same vector with that component zeroed —
+    instead of NULL poisoning every projection and collapsing all
+    NULL-bearing vectors into one degenerate bucket."""
+    v = [2.0 ** -i for i in range(16)]
+    with_null = v[:7] + [None] + v[8:]
+    with_zero = v[:7] + [0.0] + v[8:]
+    df = spark.createDataFrame(
+        [(0, with_null), (1, with_zero), (2, v)],
+        "vec_id long, embedding array<float>",
+    ).select("vec_id", sim.sign_sketch(F.col("embedding"), 16).alias("sk"))
+    got = {r["vec_id"]: r["sk"] for r in df.collect()}
+    assert got[0] == got[1]
+    assert 0 <= got[0] <= 0xFFFF
+
+
 def test_quality_score_single_token(spark):
     df = spark.createDataFrame([(0, "word")], "doc_id long, text string")
     [r] = df.select(tx.quality_score("text").alias("q")).collect()
