@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_subnet_spark.functions import similarity as sim
 from map_reduce_subnet_spark.functions import text as tx
+from map_reduce_subnet_spark.functions.checkpoint import stable_checkpoint
 from map_reduce_subnet_spark.functions.stable import davg, sql_davg
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
@@ -897,13 +898,16 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs are checkpointed once so the MinHash subtree is
     not re-executed every iteration, and each round's labels are
     checkpointed to keep the lineage flat (rounds of joins would
-    otherwise compound into one enormous plan).
+    otherwise compound into one enormous plan). Checkpoints are
+    reliable when the session has a checkpoint dir, executor-local
+    otherwise (functions/checkpoint.py — durability is session state,
+    not an operator parameter).
 
     Docs with no near-dup candidate pair are singletons by definition
     and are not emitted (at 100 TB the non-candidate set is ~the whole
     corpus — emitting it would dwarf the actual clusters).
     """
-    pairs = dedup_near_minhash(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = stable_checkpoint(dedup_near_minhash(spark, sf_dir))
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -918,11 +922,10 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     edges = pairs.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
     ).union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-    labels = (
+    labels = stable_checkpoint(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = None
     for it in range(DEDUP_CLUSTER_MAX_ITERS):
@@ -935,7 +938,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         parents = labels.select(
             F.col("id").alias("pid"), F.col("label").alias("plabel")
         )
-        labels = (
+        labels = stable_checkpoint(
             labels.join(nmin, labels["id"] == nmin["dst"], "left")
             .join(parents, labels["label"] == parents["pid"], "left")
             .select(
@@ -946,7 +949,6 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                     F.coalesce("plabel", "label"),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         s = labels.agg(F.sum("label")).collect()[0][0]
         if s == prev_sum:
@@ -959,6 +961,43 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             "rather than emitting half-merged cluster ids"
         )
     return labels
+
+
+def survivor_drops(labels: DataFrame) -> DataFrame:
+    """Non-survivor members of a (id, label) cluster map: every vertex
+    whose id is not its component's minimum (the minimum IS the label,
+    so the test is one column comparison — no extra aggregation).
+    Exposed module-level so survivor selection is testable on synthetic
+    graphs alongside connected_components."""
+    return labels.where(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id")
+    )
+
+
+@query("dedup_survivors")  # rows-only: clusters derive from xxhash64 MinHash
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical deduped corpus — the step every real dedup pipeline
+    ends with: one survivor (the minimum doc_id) per near-dup cluster,
+    everything else dropped, docs with no near-dup candidate passed
+    through untouched. Completes the MinHash → candidate pairs →
+    connected components → survivor chain end to end.
+
+    Scale shape (100 TB): the drop set is |cluster members| −
+    |clusters| rows — tiny relative to the corpus (duplicates are the
+    exception, not the rule) — so it broadcasts and the corpus is
+    filtered with a broadcast left-anti join: ZERO shuffle of the
+    documents table, one scan. MinHash/CC run once on the candidate
+    subgraph only (singletons never enter the pair frame). If a
+    deployment's duplicate fraction were ever large enough to overflow
+    a broadcast, AQE falls back to a shuffled anti-join on doc_id —
+    the plan stays correct, just wider.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = stable_checkpoint(dedup_near_minhash(spark, sf_dir))
+    drops = survivor_drops(connected_components(pairs))
+    return d.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 @query(

@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from map_reduce_subnet_spark.functions.checkpoint import stable_checkpoint
+
 ALPHA = 0.9  # reference neurons/validator.py:109
 SINK_PERIOD = 2  # reference neurons/validator.py:149
 
@@ -116,11 +118,12 @@ class SubnetPipeline:
         )
 
         # EMA fold into persistent state (validator.py:146).
-        # localCheckpoint truncates lineage each round — without it the
-        # score frame's plan grows by one join per round and every
-        # action at round N re-executes all N rounds (O(rounds²)); at
-        # cluster scale this is a checkpointed state table.
-        new_scores = (
+        # stable_checkpoint truncates lineage each round — without it
+        # the score frame's plan grows by one join per round and every
+        # action at round N re-executes all N rounds (O(rounds²)).
+        # Durable (checkpoint-dir) when the session sets one, executor
+        # -local otherwise: see functions/checkpoint.py.
+        new_scores = stable_checkpoint(
             scores.join(scored, "uid", "left")
             .select(
                 "uid",
@@ -129,7 +132,6 @@ class SubnetPipeline:
                     + (1 - ALPHA) * F.coalesce(F.col("score"), F.lit(0.0))
                 ).alias("ema"),
             )
-            .localCheckpoint(eager=True)
         )
 
         weights = None

@@ -153,6 +153,59 @@ def test_dedup_cluster_matches_union_find(spark):
     } == expect
 
 
+def test_dedup_survivors_is_corpus_minus_non_minima(spark):
+    """The deduped corpus must be exactly: all docs, minus cluster
+    members that are not their cluster's minimum doc_id — every
+    cluster keeps precisely its min, singletons pass through."""
+    from tests.conftest import union_find_labels
+
+    pairs = QUERIES["dedup_near_minhash"](spark, SF_DIR).toPandas()
+    got = set(
+        QUERIES["dedup_survivors"](spark, SF_DIR).toPandas()["doc_id"]
+    )
+    docs = set(
+        pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()["doc_id"]
+    )
+    labels = union_find_labels(zip(pairs["a_id"], pairs["b_id"]))
+    expect = docs - {v for v, lab in labels.items() if v != lab}
+    assert got == expect
+    # every cluster's minimum survived
+    assert set(labels.values()) <= got
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """With sparkContext.setCheckpointDir set, stable_checkpoint must
+    take the reliable-checkpoint path (files appear under the dir) and
+    produce identical components to the local-checkpoint mode."""
+    from map_reduce_subnet_spark.operators.llm import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(50, 51), (51, 52)],
+        "a_id long, b_id long",
+    )
+    local = {
+        (r["id"], r["label"]) for r in connected_components(pairs).collect()
+    }
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    try:
+        durable = {
+            (r["id"], r["label"])
+            for r in connected_components(pairs).collect()
+        }
+        import os
+
+        written = [
+            f for _, _, fs in os.walk(ckpt_dir) for f in fs
+        ]
+        assert written, "no checkpoint files written under checkpoint dir"
+    finally:
+        # Option(null) → None in the Scala setter: clears the dir so
+        # the rest of the session stays on the local-checkpoint path
+        spark.sparkContext.setCheckpointDir(None)
+    assert durable == local
+
+
 def test_connected_components_deep_chain(spark):
     """A 40-node path graph has diameter 39 — pure neighbor-min
     propagation would need 39 rounds and exhaust the iteration cap;

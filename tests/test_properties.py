@@ -184,3 +184,36 @@ def test_connected_components_matches_union_find_random_graph(spark, seed):
     assert {
         int(r["id"]): int(r["label"]) for _, r in got.iterrows()
     } == expect, f"seed={seed} n={n} m={m}"
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_survivor_drops_matches_union_find(spark, seed):
+    """Survivor selection on random graphs: the drop set must be
+    exactly every vertex that is not its union-find component's
+    minimum — one survivor per component, never zero, never two."""
+    from map_reduce_subnet_spark.operators.llm import (
+        connected_components,
+        survivor_drops,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(20, 60)
+    m = rng.randint(n // 2, 2 * n)
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rng.sample(range(n), 2)
+        pairs.add((min(a, b), max(a, b)))
+    pdf = pd.DataFrame(sorted(pairs), columns=["a_id", "b_id"])
+    labels = connected_components(spark.createDataFrame(pdf.astype("int64")))
+    got_drops = {
+        int(r["doc_id"]) for r in survivor_drops(labels).collect()
+    }
+    from tests.conftest import union_find_labels
+
+    expect = union_find_labels(pairs)
+    expect_drops = {v for v, lab in expect.items() if v != lab}
+    assert got_drops == expect_drops, f"seed={seed} n={n} m={m}"
+    # exactly one survivor per component
+    survivors = set(expect) - got_drops
+    assert {expect[s] for s in survivors} == set(expect.values())
+    assert len(survivors) == len(set(expect.values()))
