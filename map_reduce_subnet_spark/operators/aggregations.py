@@ -316,3 +316,45 @@ def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(F.round(ema, 6).alias("ema"), F.count("*").alias("n_events"))
     )
+
+
+@query(
+    "agg_salted_hotkey",
+    oracle=f"""
+SELECT CASE WHEN l_quantity <= 45 THEN 'hot' ELSE l_linestatus END AS k,
+       {sql_dsum('l_extendedprice')} AS total
+FROM lineitem
+GROUP BY 1
+""",
+)
+def agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted aggregation over a deliberately skewed key (~90% of
+    lineitem lands on one 'hot' value) — the power-law hot-key story
+    at 100 TB made driver-visible: functions/skew.py::salted_sum
+    spreads each key over 16 salt buckets (stage 1) then combines the
+    partials (stage 2). Decimal staging makes the two-stage result
+    EXACTLY equal to the direct SUM, which is what the oracle runs —
+    salting is a physical re-plan, not an approximation.
+
+    Self-lint: the plan must contain TWO shuffle exchanges (the
+    (key, salt) spread and the key combine) — one would mean the salt
+    stage collapsed and the hot key is back on a single reducer.
+    """
+    from map_reduce_subnet_spark.functions.skew import salted_sum
+    from map_reduce_subnet_spark.plans import count_exchanges
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.when(F.col("l_quantity") <= 45, F.lit("hot"))
+        .otherwise(F.col("l_linestatus"))
+        .alias("k"),
+        "l_extendedprice",
+    )
+    out = salted_sum(keyed, "k", F.col("l_extendedprice"), "total", n_salts=16)
+    n_ex = count_exchanges(out)
+    if n_ex != 2:
+        raise RuntimeError(
+            f"agg_salted_hotkey: expected 2 exchanges (salt spread + "
+            f"combine), plan has {n_ex} — the salt stage collapsed"
+        )
+    return out

@@ -280,3 +280,72 @@ def join_cross_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier")
     re = F.broadcast(load_table(spark, sf_dir, "region"))
     return su.crossJoin(re).select("s_suppkey", "r_regionkey", "s_name", "r_name")
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_items, {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join on co-located bucketed layout — the repeated-join
+    answer at 100 TB (SURVEY §4.2) made driver-visible: both tables are
+    written bucketed on the join key (8 buckets, sorted), so the join
+    reads matching buckets side by side and needs ZERO shuffle
+    exchanges; the result must hash-match the plain SQL join.
+
+    The query self-lints: broadcast is disabled (a broadcast join
+    would hide the bucketing) and it RAISES if the join plan contains
+    any Exchange — the exact regression a layout change would cause.
+    At deployment the bucketed tables are written once and reused
+    across every orderkey join; the scratch write here keeps the
+    registered query self-contained. External-table path: the data
+    lands in a temp dir this query owns, not the session warehouse.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from map_reduce_subnet_spark.plans import count_exchanges
+    from map_reduce_subnet_spark.sources.layout import write_bucketed
+
+    tag = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), f"mrs_bucketed_{tag}")
+    t_orders, t_lineitem = f"mrs_b_orders_{tag}", f"mrs_b_lineitem_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        t_orders, "o_orderkey", 8, "o_orderkey",
+        path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        t_lineitem, "l_orderkey", 8, "l_orderkey",
+        path=os.path.join(base, "lineitem"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = spark.table(t_orders), spark.table(t_lineitem)
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        n_ex = count_exchanges(joined.select("l_orderkey", "o_orderstatus"))
+        if n_ex != 0:
+            raise RuntimeError(
+                f"join_bucketed: {n_ex} shuffle exchange(s) in a bucketed "
+                "join on the bucket key — co-location was not used"
+            )
+        agg = joined.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_items"), dsum("l_extendedprice", "sum_price")
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

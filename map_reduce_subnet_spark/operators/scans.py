@@ -22,6 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -103,6 +104,66 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.where((F.col("l_orderkey") % 97) < 10).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "scan_partition_prune",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n_rows, {sql_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+GROUP BY l_returnflag
+""",
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-level partition pruning — the 100 TB storage layout
+    made driver-visible: lineitem is rewritten month-partitioned
+    (sources/layout.py, SURVEY §4.2), a 3-month scan reads ONLY those
+    partition directories, and the aggregate over the pruned scan must
+    hash-match the plain date-range SQL on the original table.
+
+    The query self-lints its plan (the point of registering it): it
+    RAISES unless the scan carries a non-empty PartitionFilters entry
+    on part_key — PartitionFilters is the mechanism (FileSourceScan
+    applies them to the partition-directory listing BEFORE any file is
+    opened), so its presence is directory-level pruning by
+    construction. (``df.inputFiles()`` deliberately not used: it lists
+    the relation's files ignoring partition filters.) At 100 TB this
+    is the difference between reading ~0.4% of a 7-year fact table and
+    reading all of it. At deployment the table is written this way
+    once; the per-invocation scratch write here just keeps the
+    registered query self-contained.
+    """
+    from map_reduce_subnet_spark.plans import formatted_plan
+    from map_reduce_subnet_spark.sources.layout import (
+        read_pruned,
+        write_date_partitioned,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_part_prune_{uuid.uuid4().hex[:12]}"
+    )
+    write_date_partitioned(li, out, "l_shipdate", "month")
+    months = ["1997-01", "1997-02", "1997-03"]
+    pruned = read_pruned(spark, out, months)
+    plan = formatted_plan(pruned)
+    pf_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters:" in ln
+    ]
+    if not any(
+        "part_key" in ln and "PartitionFilters: []" not in ln
+        for ln in pf_lines
+    ):
+        raise RuntimeError(
+            "scan_partition_prune: part_key predicate did not reach the "
+            "file index as a partition filter — scan would list every "
+            f"partition. Plan:\n{plan}"
+        )
+    agg = pruned.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"), dsum("l_quantity", "sum_qty")
+    )
+    return _materialize_and_clean(spark, agg, out)
 
 
 def _materialize_and_clean(spark, readback, path):

@@ -43,14 +43,22 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Write a bucketed managed table: joins/aggregations on the bucket
-    column then require NO shuffle (Spark reads co-located buckets).
-    The bucketed layout is the engine's answer to repeated fact-fact
-    joins on the same key at 100 TB."""
+    """Write a bucketed table: joins/aggregations on the bucket column
+    then require NO shuffle (Spark reads co-located buckets). The
+    bucketed layout is the engine's answer to repeated fact-fact joins
+    on the same key at 100 TB.
+
+    With ``path`` the table is EXTERNAL (data at the given location) —
+    callers that create scratch layouts use this so the files land in
+    a directory they control (and can delete) instead of the session's
+    warehouse dir, which may not be writable where the caller runs."""
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table_name, format="parquet")
 
 

@@ -1,5 +1,8 @@
 """Layout + skew tests: partition pruning actually prunes, bucketed
-joins actually avoid the shuffle, salted aggregation is exact."""
+joins actually avoid the shuffle, salted aggregation is exact — plus
+the registered driver-visible queries that carry those plan
+assertions into the query path (scan_partition_prune, join_bucketed,
+agg_salted_hotkey)."""
 
 from __future__ import annotations
 
@@ -7,13 +10,14 @@ import pyspark.sql.functions as F
 import pytest
 
 from map_reduce_subnet_spark.functions.skew import salted_sum
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
 from map_reduce_subnet_spark.plans import count_exchanges, formatted_plan
 from map_reduce_subnet_spark.sources.layout import (
     read_pruned,
     write_date_partitioned,
 )
 from map_reduce_subnet_spark.sources.tables import load_table
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_frames_match
 
 
 @pytest.fixture(scope="module")
@@ -93,3 +97,15 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+@pytest.mark.parametrize(
+    "name", ["scan_partition_prune", "join_bucketed", "agg_salted_hotkey"]
+)
+def test_layout_queries_match_oracle(spark, ddb, name):
+    """The driver-registered layout/skew queries: self-linting plans
+    (they RAISE on an unpruned scan / shuffled bucketed join /
+    collapsed salt stage) AND hash-exact vs the DuckDB oracle."""
+    got = QUERIES[name](spark, SF_DIR).toPandas()
+    want = ddb.sql(ORACLES[name]).df()
+    assert_frames_match(got, want, name)
