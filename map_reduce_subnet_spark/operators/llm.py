@@ -723,6 +723,172 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_RECALL_N_PROBES = 20
+ANN_RECALL_K = 10
+
+
+@query("sim_ann_recall")  # rows-only: measurement harness over hash-based ANN
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of both approximate methods (IVF cells, sign-LSH
+    bands) against the exact brute-force top-10, averaged over 20
+    probe vectors — turns "the ANN runs" into "the ANN is this good",
+    the number a deployment tunes bands/cells against.
+
+    Everything is set-at-a-time, no per-probe driver loop: the corpus
+    is scored against all 20 broadcast probes at once, per-probe top-k
+    comes from one window, and each method's recall is
+    |ANN∩exact| / (probes × k) computed as a join + count. The exact
+    top-k frame (200 rows) is checkpointed so the corpus×probes scan
+    runs once, not once per method. Fully deterministic: pinned
+    centroids, seeded hyperplanes, (cos desc, vec_id) tie-break — the
+    golden test pins the emitted recalls exactly.
+
+    At 100 TB the exact baseline is the expensive leg — which is fine:
+    recall measurement runs on a sampled probe set (20 here) at
+    tuning time, not per query; candidate generation stays bucketed.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    k, n_probes = ANN_RECALL_K, ANN_RECALL_N_PROBES
+    probes = F.broadcast(
+        e.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("p_id"), F.col("embedding").alias("probe")
+        )
+    )
+    topw = Window.partitionBy("p_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+
+    def topk(scored):
+        """Per-probe exact-cosine top-k of (p_id, vec_id, cos) rows."""
+        return (
+            scored.where(F.col("cos").isNotNull() & ~F.isnan("cos"))
+            .withColumn("rn", F.row_number().over(topw))
+            .where(F.col("rn") <= k)
+            .select("p_id", "vec_id")
+        )
+
+    cos_pe = sim.cosine(F.col("embedding"), F.col("probe"))
+    exact = stable_checkpoint(
+        topk(
+            e.crossJoin(probes)
+            .where(F.col("vec_id") != F.col("p_id"))
+            .select("p_id", "vec_id", cos_pe.alias("cos"))
+        )
+    )
+
+    # --- IVF: assign corpus to pinned centroid cells, search the
+    # probe's cell only (the sim_ann_ivf machinery, n probes at once)
+    cents = F.broadcast(
+        e.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+        )
+    )
+    cos_c = sim.cosine(F.col("embedding"), F.col("cent"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        e.crossJoin(cents)
+        .select("vec_id", "embedding", "cent_id", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    pw = Window.partitionBy("p_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    probe_cells = F.broadcast(
+        probes.crossJoin(cents)
+        .select(
+            "p_id",
+            "probe",
+            "cent_id",
+            sim.cosine(F.col("probe"), F.col("cent")).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select("p_id", "probe", F.col("cent_id").alias("probe_cell"))
+    )
+    ivf = topk(
+        assigned.join(probe_cells, F.col("cent_id") == F.col("probe_cell"))
+        .where(F.col("vec_id") != F.col("p_id"))
+        .select("p_id", "vec_id", cos_pe.alias("cos"))
+    )
+
+    # --- LSH: sign-sketch bands for corpus and probes, candidates via
+    # the (band, bucket) equi-join (the sim_ann_lsh_topk machinery)
+    n_bits, band_bits = 64, 8
+    mdf = spark.createDataFrame(
+        [(sim.hyperplane_matrix(64, n_bits, 42),)], "m: array<array<double>>"
+    )
+
+    def band_frame(df, id_col, emb_out):
+        sk = df.crossJoin(F.broadcast(mdf)).select(
+            F.col(id_col),
+            F.col("embedding").alias(emb_out),
+            sim.sign_sketch(
+                F.col("embedding"), n_bits, matrix=F.col("m")
+            ).alias("sk"),
+        )
+        return sk.select(
+            id_col,
+            emb_out,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("sk"), b * band_bits)
+                            .bitwiseAND(F.lit(0xFF))
+                            .alias("bucket"),
+                        )
+                        for b in range(n_bits // band_bits)
+                    ]
+                )
+            ).alias("bn"),
+        ).select(id_col, emb_out, F.col("bn.band"), F.col("bn.bucket"))
+
+    probe_bands = F.broadcast(
+        band_frame(
+            probes.select(F.col("p_id").alias("vec_id"), "probe").select(
+                F.col("vec_id"), F.col("probe").alias("embedding")
+            ),
+            "vec_id",
+            "probe",
+        ).select(
+            F.col("vec_id").alias("p_id"),
+            "probe",
+            F.col("band").alias("p_band"),
+            F.col("bucket").alias("p_bucket"),
+        )
+    )
+    lsh_cand = (
+        band_frame(e, "vec_id", "embedding")
+        .join(
+            probe_bands,
+            (F.col("band") == F.col("p_band"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .where(F.col("vec_id") != F.col("p_id"))
+        .dropDuplicates(["p_id", "vec_id"])
+        .select("p_id", "vec_id", cos_pe.alias("cos"))
+    )
+    lsh = topk(lsh_cand)
+
+    denom = float(n_probes * k)
+
+    def recall_row(ann, method):
+        return (
+            ann.join(exact, ["p_id", "vec_id"])
+            .agg(
+                F.lit(method).alias("method"),
+                (F.count("*") / F.lit(denom)).alias("recall_at_k"),
+            )
+            .select(
+                "method",
+                F.lit(n_probes).alias("n_probes"),
+                F.lit(k).alias("k"),
+                "recall_at_k",
+            )
+        )
+
+    return recall_row(ivf, "ivf").unionAll(recall_row(lsh, "lsh"))
+
+
 EMBED_NEARDUP_THRESHOLD = 0.8  # operator default: near-duplicate
 # semantics on a real embedding corpus (the conventional dedup cutoff)
 EMBED_NEARDUP_FIXTURE_THRESHOLD = 0.4  # the registered query's

@@ -263,6 +263,30 @@ def test_ann_ivf_is_subset_of_exact(spark):
         assert row["cos_sim"] == pytest.approx(cos, abs=1e-5)
 
 
+def test_ann_recall_golden(spark):
+    """sim_ann_recall is fully deterministic (pinned centroids, seeded
+    hyperplanes, explicit tie-breaks): pin the exact recall@10 values
+    at sf0.001 so any change to the ANN machinery that moves recall is
+    caught, not silently shipped. IVF (probe-cell search over 8 cells)
+    lands mid-range on the iid-random fixture; LSH band recall is
+    intrinsically low there (top-10 'neighbors' of an iid-random
+    corpus have cosine ~0.5 → per-8-bit-band collision ~(2/3)^8≈4%),
+    which is exactly the kind of fact a recall measurement exists to
+    surface."""
+    got = {
+        r["method"]: r
+        for r in QUERIES["sim_ann_recall"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {"ivf", "lsh"}
+    for r in got.values():
+        assert r["n_probes"] == 20 and r["k"] == 10
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    assert got["ivf"]["recall_at_k"] == 0.55
+    assert got["lsh"]["recall_at_k"] == 0.1
+    # the exact baseline dominates any ANN: recall is a fraction of it
+    assert got["ivf"]["recall_at_k"] > got["lsh"]["recall_at_k"]
+
+
 def test_embed_neardup_pairs_are_high_cosine(spark):
     from map_reduce_subnet_spark.operators.llm import (
         EMBED_NEARDUP_FIXTURE_THRESHOLD,
