@@ -1019,10 +1019,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tf and df are partial-aggregated counts (map-side combine),
     the df join is on word (broadcastable at real vocabulary sizes —
     AQE converts it), the scalar doc count is a 1-row broadcast, and
-    top-5 per doc is a partitioned window — no global sort."""
+    top-5 per doc is a partitioned window — no global sort. The tf
+    frame is checkpointed ONCE and df derived from it: without the
+    materialization the tf subtree appears under both the join side
+    and the df aggregation and the corpus is tokenized twice —
+    tokenization is the expensive leg at 100 TB (reliable checkpoint
+    dir on a cluster, executor-local here; functions/checkpoint.py)."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tx.words("text")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    tf = stable_checkpoint(
+        words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    )
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     total = d.agg(F.count("*").alias("n_docs"))
     tfidf = F.col("tf").cast("double") * (
