@@ -37,68 +37,67 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # (1) never swept in r1/r2 — the only registry keys with no
-    # CORRECTNESS row in any round
-    "sink_json_roundtrip",
+    # (1) new in round 4 — need their first driver row
+    "dedup_survivors",
+    "scan_partition_prune",
+    "join_bucketed",
+    "agg_salted_hotkey",
+    "sim_ann_recall",
+    # (2) changed this round: three streaming-true keys were PROMOTED
+    # from rows-only to full SQL oracles (closed-subset / identity
+    # semantics), text_tfidf_topk now tokenizes once via checkpoint,
+    # dedup_cluster/dedup_survivors route through stable_checkpoint,
+    # and the sign-sketch NULL-component coalesce touches the LSH
+    # consumers; stream_stateful_ema's bench warm-up changed
     "stream_tumbling_true",
+    "stream_sliding_true",
     "stream_dedup_true",
-    "stream_session_true",
-    # (2) changed this round: stream_stateful_ema gained a SQL oracle
-    # (closed-form EMA) + the memory-sink cleanup; the dedup/LSH family
-    # gained bucket caps, the stop-shingle cap (oracle changed too) and
-    # the random-hyperplane sign sketch
-    "stream_stateful_ema",
-    "dedup_ngram_jaccard",
+    "text_tfidf_topk",
+    "dedup_cluster",
     "dedup_near_minhash",
     "embed_neardup_cosine",
-    # (3) refresh the oldest green rows (hash-green in r1, untouched
-    # since) — projections/filters
-    "project_arith",
-    "project_conditional",
-    "filter_membership",
-    "filter_compound",
-    "filter_null_semantics",
-    "project_cast",
-    # joins
-    "join_broadcast",
-    "join_shuffle_equi",
-    "join_multiway_star",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_theta_range",
-    "join_asof",
-    # aggregations
-    "agg_reduce_sum",
-    "agg_minmax_stats",
-    "agg_count_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_distinct_arg",
-    "agg_normalize_l1",
-    "agg_ema",
-    # scalar/text/llm keys last green in r1
-    "str_basics",
-    "dedup_exact",
-    "text_stats",
-    "text_term_freq",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_token_count",
-    "sim_cosine_topk",
-    "multimodal_join",
-    # new in round 3 — need their first driver row
-    "text_tfidf_topk",
-    "sample_systematic",
-    "dedup_cluster",
-    "stream_static_join_true",
-    "multimodal_frame_sample",
     "sim_ann_lsh_topk",
-    "stream_sliding_true",
-    "text_langid_ngram",
+    "stream_stateful_ema",
+    # (3) refresh the oldest green rows (hash-green in r2, untouched
+    # since) — windows, sorts, setops
+    "window_rank_stake",
+    "window_row_number",
+    "window_topk_per_group",
+    "window_lag_delta",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_range_frame",
+    "window_percent_rank",
+    "sort_multi_key",
+    "limit_topk",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "setop_dedup",
+    # scalar families last green in r2
+    "str_regex",
+    "str_split_explode",
+    "str_hash",
+    "date_parts",
+    "date_arith",
+    "math_funcs",
+    "array_funcs",
+    "array_hof",
+    "map_funcs",
+    "json_funcs",
+    # batch streaming family last green in r2
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    # UDF surface + scans last green in r2
+    "udf_scalar",
+    "udaf_grouped_agg",
+    "udtf_grouped_map",
+    "scan_full",
+    "scan_prune_columns",
+    "scan_filter_pushdown",
 ]
 
 

@@ -47,11 +47,21 @@ def main() -> None:
     spark = get_spark(app_name="mrs-bench")
 
     # Warm-up: JVM + parquet footers (agg_reduce_sum scans lineitem),
-    # Python worker pool + Arrow path (udf_scalar), and a documents
-    # scan (the text family's input). A warm-up failure must not lose
-    # the whole bench record (the per-query loop tolerates failures;
-    # this must too, or one broken query kills the round's BENCH row).
-    for warm in ("agg_reduce_sum", "udf_scalar", "text_token_count"):
+    # Python worker pool + Arrow path (udf_scalar), a documents scan
+    # (the text family's input), and one throwaway stateful streaming
+    # job (stream_stateful_ema) so the streaming engine + state-store
+    # + Python state-worker spin-up cost lands here instead of
+    # inflating the first timed streaming row (it was the one >2×
+    # bench row in round 3, on startup cost alone). A warm-up failure
+    # must not lose the whole bench record (the per-query loop
+    # tolerates failures; this must too, or one broken query kills
+    # the round's BENCH row).
+    for warm in (
+        "agg_reduce_sum",
+        "udf_scalar",
+        "text_token_count",
+        "stream_stateful_ema",
+    ):
         try:
             QUERIES[warm](spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from map_reduce_subnet_spark.functions.stable import dsum
+from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -97,14 +97,37 @@ def _run_to_memory(
         spark.catalog.dropTempView(name)
 
 
-@query("stream_tumbling_true")  # rows-only: live streaming execution
+@query(
+    "stream_tumbling_true",
+    oracle="""
+WITH wm AS (
+    SELECT CAST(floor(epoch_us(MAX(ts)) / 1000) AS BIGINT) - 600000 AS wm_ms
+    FROM events
+),
+agg AS (
+    SELECT CAST(floor(epoch(ts) / 120) AS BIGINT) * 120 AS win_start,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT win_start, event_type, n_events FROM agg, wm
+WHERE (win_start + 120) * 1000 <= wm_ms
+""",
+)
 def stream_tumbling_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 2-minute tumbling aggregation, executed as a real
     stream. Append-mode semantics: only windows whose end precedes the
     final watermark (max event time − 10 min) are emitted — the
     trailing windows stay open, so the result is the CLOSED SUBSET of
     the batch `stream_tumbling` (tests/test_streaming.py pins exactly
-    that relationship)."""
+    that relationship).
+
+    That closed subset is itself deterministic over a static fixture,
+    so it IS SQL-expressible: the oracle computes the same windows and
+    keeps those with window-end ≤ the final watermark. The watermark
+    mirrors Spark's clock exactly — event-time stats accumulate in
+    MILLIseconds (floor of the microsecond time), minus the 10-minute
+    delay. The fixture has no window end exactly ON the watermark, so
+    the ≤/< boundary convention cannot flip a row."""
     ev = _read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -119,13 +142,37 @@ def stream_tumbling_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)
 
 
-@query("stream_sliding_true")  # rows-only: live streaming execution
+@query(
+    "stream_sliding_true",
+    oracle=f"""
+WITH wm AS (
+    SELECT CAST(floor(epoch_us(MAX(ts)) / 1000) AS BIGINT) - 600000 AS wm_ms
+    FROM events
+),
+panes AS (
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS win_start, value
+    FROM events
+    UNION ALL
+    SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - 300 AS win_start, value
+    FROM events
+),
+agg AS (
+    SELECT win_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM panes GROUP BY win_start
+)
+SELECT win_start, n_events, sum_value FROM agg, wm
+WHERE (win_start + 600) * 1000 <= wm_ms
+""",
+)
 def stream_sliding_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 10-minute windows sliding by 5, executed as a real
     stream (every event lands in two panes). Append-mode semantics as
     in stream_tumbling_true: only panes closed by the final watermark
     are emitted — the closed subset of the batch `stream_sliding`
-    (pinned in tests/test_streaming.py)."""
+    (pinned in tests/test_streaming.py), which is deterministic and
+    carries the full SQL oracle (each event contributes to its two
+    panes; panes with end ≤ the ms-floored final watermark survive;
+    decimal-exact sums on both sides)."""
     ev = _read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -140,10 +187,19 @@ def stream_sliding_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, spark)
 
 
-@query("stream_dedup_true")  # rows-only: live streaming execution
+@query(
+    "stream_dedup_true",
+    oracle="SELECT event_id, user_id, value FROM events",
+)
 def stream_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup on event_id within the watermark
-    (redundant chunks, reference README.md:18)."""
+    (redundant chunks, reference README.md:18). The fixture's
+    event_ids are globally unique, so exactly-once delivery of an
+    already-unique stream is the identity projection — which makes the
+    live run's output deterministic and fully SQL-oracled (the
+    state-store dedup path is still exercised end to end; duplicate
+    suppression itself is pinned by the batch twin's DISTINCT oracle
+    over a doubled input)."""
     ev = _read_event_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
     return _run_to_memory(
@@ -227,9 +283,20 @@ def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is half-even, DuckDB ROUND half-away, Spark F.round HALF_UP
     on the shortest repr).
     """
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     ev = _read_event_stream(spark, sf_dir)
+    return _run_to_memory(stateful_ema(ev), spark, output_mode="update")
+
+
+def stateful_ema(ev: DataFrame) -> DataFrame:
+    """Apply the per-user EMA state fold to an event stream — exposed
+    module-level so tests can drive it over a MULTI-micro-batch source
+    (maxFilesPerTrigger=1 over time-split files) and prove the state
+    actually carries across batches, the reference's cross-round
+    semantics (neurons/validator.py:146). Within one micro-batch the
+    group's rows fold in (ts, event_id) order; across batches the
+    state store carries (ema, n) forward, so each user's emitted row
+    per batch is the running fold so far."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fold_ema(key, pdf_iter, state):
         # closure: shipped by value; executors don't import this repo
@@ -248,14 +315,10 @@ def stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "ema": [s], "n_events": [n]}
         )
 
-    out = (
-        ev.groupBy("user_id")
-        .applyInPandasWithState(
-            fold_ema,
-            outputStructType="user_id LONG, ema DOUBLE, n_events LONG",
-            stateStructType="ema DOUBLE, n LONG",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fold_ema,
+        outputStructType="user_id LONG, ema DOUBLE, n_events LONG",
+        stateStructType="ema DOUBLE, n LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, spark, output_mode="update")

@@ -154,3 +154,67 @@ def test_multimodal_features_deterministic(spark):
     pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
     assert (a["n_bytes"] > 0).all()
     assert a["head_hex"].str.len().eq(8).all()
+
+
+def test_stateful_ema_state_carries_across_micro_batches(spark, tmp_path):
+    """The reference's cross-round state (validator.py:146) exercised
+    for real: the events fixture is split into 4 time-contiguous files
+    fed as 4 micro-batches (maxFilesPerTrigger=1, ascending mtimes so
+    the file source picks them in time order), and the per-user EMA
+    state must carry across batches — the final fold equals the batch
+    closed form, and users appearing in several batches emit a running
+    row per batch (update mode), proving state survived between
+    triggers."""
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_subnet_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        _run_to_memory,
+        stateful_ema,
+    )
+
+    tbl = pq_mod.read_table(f"{SF_DIR}/events.parquet")
+    order = tbl.column("ts").to_pandas().sort_values(kind="mergesort").index
+    tbl = tbl.take(list(order))
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    n_files = 4
+    step = (tbl.num_rows + n_files - 1) // n_files
+    now = _time.time()
+    for i in range(n_files):
+        p = src / f"part{i}.parquet"
+        pq_mod.write_table(tbl.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))  # mtime order = time order
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyspark.sql.functions as F
+
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+    sink = _run_to_memory(stateful_ema(ev), spark, output_mode="update").toPandas()
+
+    # multiple batches really happened: users seen in >1 batch emit >1
+    # running row (one per batch, n_events strictly increasing)
+    per_user = sink.groupby("user_id").size()
+    assert per_user.max() >= 2, "only one emission per user — single batch?"
+    multi = sink[sink["user_id"].isin(per_user[per_user > 1].index)]
+    mono = multi.sort_values(["user_id", "n_events"]).groupby("user_id")[
+        "n_events"
+    ]
+    assert (mono.apply(lambda s: s.is_monotonic_increasing)).all()
+
+    # final state per user (row with max n_events) equals the batch
+    # closed form — the fold carried across micro-batch boundaries
+    final = sink.loc[sink.groupby("user_id")["n_events"].idxmax()]
+    batch = QUERIES["agg_ema"](spark, SF_DIR).toPandas()
+    merged = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(final)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["ema_s"] - merged["ema_b"]).abs().max() < 1e-6
