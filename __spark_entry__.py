@@ -43,6 +43,7 @@ _SWEEP_PRIORITY = [
     "join_bucketed",
     "agg_salted_hotkey",
     "sim_ann_recall",
+    "stream_stateful_ema_batches",
     # (2) changed this round: three streaming-true keys were PROMOTED
     # from rows-only to full SQL oracles (closed-subset / identity
     # semantics), text_tfidf_topk now tokenizes once via checkpoint,
@@ -97,7 +98,6 @@ _SWEEP_PRIORITY = [
     "udtf_grouped_map",
     "scan_full",
     "scan_prune_columns",
-    "scan_filter_pushdown",
 ]
 
 

@@ -322,3 +322,84 @@ def stateful_ema(ev: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+@query(
+    "stream_stateful_ema_batches",
+    oracle="""
+SELECT user_id,
+       list_reduce(list_prepend(1.0, list(value ORDER BY ts, event_id)),
+                   (acc, x) -> acc * 0.9 + x * 0.1) AS ema,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_ema_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-micro-batch form of stream_stateful_ema — the
+    reference's cross-round state (neurons/validator.py:146) as a
+    driver-checked query: the events fixture is split into 4
+    time-contiguous files fed as 4 micro-batches
+    (maxFilesPerTrigger=1, ascending mtimes so the file source takes
+    them in time order), so each user's EMA state MUST survive in the
+    state store between triggers to produce the right answer. The
+    final per-user row (max n_events across the per-batch update-mode
+    emissions) equals the same closed-form oracle as the single-batch
+    job — bit-exact, because the time-contiguous split preserves the
+    global (ts, event_id) fold order.
+
+    The driver-side file split is fixture plumbing (a deployment's
+    stream arrives in time order on its own); state handling is the
+    real path — RocksDB-backed on a cluster, partitioned by user.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    import pyarrow.parquet as pq_mod
+
+    tbl = pq_mod.read_table(f"{sf_dir}/events.parquet")
+    pdf_order = (
+        tbl.select(["ts", "event_id"])
+        .to_pandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .index
+    )
+    tbl = tbl.take(list(pdf_order))
+    src = os.path.join(
+        tempfile.gettempdir(), f"mrs_ema_batches_{uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(src)
+    n_files = 4
+    step = (tbl.num_rows + n_files - 1) // n_files
+    now = _time.time()
+    try:
+        for i in range(n_files):
+            p = os.path.join(src, f"part{i}.parquet")
+            pq_mod.write_table(tbl.slice(i * step, step), p)
+            os.utime(p, (now + i, now + i))  # mtime order = time order
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+        sink = _run_to_memory(stateful_ema(ev), spark, output_mode="update")
+        # final state per user: the update-mode emission with the
+        # largest n_events (n is strictly increasing per user)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        final = (
+            sink.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "ema", "n_events")
+        )
+        rows = final.collect()
+        schema = final.schema
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -218,3 +218,14 @@ def test_stateful_ema_state_carries_across_micro_batches(spark, tmp_path):
     assert len(merged) == len(batch) == len(final)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["ema_s"] - merged["ema_b"]).abs().max() < 1e-6
+
+
+def test_stream_stateful_ema_batches_matches_batch(spark):
+    """The registered multi-micro-batch key: final per-user state after
+    4 file-triggered batches must equal the batch closed form."""
+    stream = QUERIES["stream_stateful_ema_batches"](spark, SF_DIR).toPandas()
+    batch = QUERIES["agg_ema"](spark, SF_DIR).toPandas()
+    merged = stream.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(stream)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["ema_s"] - merged["ema_b"]).abs().max() < 1e-6
