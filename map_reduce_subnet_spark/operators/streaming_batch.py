@@ -141,22 +141,69 @@ WHERE ts >= max_seen - INTERVAL 10 MINUTE
 """,
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark semantics as a batch simulation: drop events more than
+    """Watermark semantics as a batch plan: drop events more than
     10 minutes behind the max event-time seen so far in arrival order
-    (event_id = arrival).
+    (event_id = arrival). The production form is streaming/jobs.py
+    (withWatermark), where the engine maintains the clock.
 
-    The global ordered window models the stream's single logical clock
-    — a deliberate fixture-scale simulation; the production form is
-    streaming/jobs.py (withWatermark) where the engine maintains the
-    clock without a global sort.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        ev.withColumn("max_seen", F.max("ts").over(w))
+    Scale shape: the naive formulation is a single global ordered
+    window (one partition holding the whole fact table). Instead the
+    running max is computed in two levels — the classic parallel
+    prefix: (1) a per-row running max WITHIN arrival-order buckets of
+    2^12 events (Window partitioned by bucket → fully parallel),
+    (2) an exclusive prefix max ACROSS buckets, a window over the
+    per-bucket aggregates only (n / 4096 rows — the one intentionally
+    tiny serial pass), joined back on the bucket key so the join
+    reuses the bucket hash partitioning. max_seen = greatest(in-bucket
+    running max, prior-bucket max). The query self-lints: it RAISES
+    unless the row-level window runs bucket-partitioned and at most
+    one single-partition exchange (the compressed bucket pass) appears
+    in the plan — the regression that would reintroduce the global
+    sort."""
+    from map_reduce_subnet_spark.plans import formatted_plan
+
+    bucket_size = 4096  # events per arrival-order block
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("event_id") / bucket_size).cast("long")
+    )
+    w_row = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bucket = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = (
+        ev.groupBy("bucket")
+        .agg(F.max("ts").alias("b_max"))
+        .withColumn("prior_max", F.max("b_max").over(w_bucket))
+        .select("bucket", "prior_max")
+    )
+    out = (
+        ev.withColumn("in_max", F.max("ts").over(w_row))
+        .join(prior, "bucket")
+        # greatest skips NULLs, so the first bucket (prior_max NULL)
+        # falls back to its in-bucket running max
+        .withColumn("max_seen", F.greatest("in_max", "prior_max"))
         .where(F.col("ts") >= F.col("max_seen") - F.expr("INTERVAL 10 MINUTES"))
         .select("event_id", "user_id")
     )
+    # formatted explain puts exchange args on their own "Arguments:"
+    # line, so match the partitioning spec, not "Exchange <spec>"
+    plan = formatted_plan(out)
+    if "hashpartitioning(bucket" not in plan:
+        raise RuntimeError(
+            "stream_watermark_late: row-level running max is not "
+            f"bucket-partitioned — global sort regression. Plan:\n{plan}"
+        )
+    if plan.count("SinglePartition") > 1:
+        raise RuntimeError(
+            "stream_watermark_late: more than one single-partition "
+            "exchange — a full-table serial pass crept back in. "
+            f"Plan:\n{plan}"
+        )
+    return out
 
 
 @query(

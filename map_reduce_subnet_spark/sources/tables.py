@@ -53,10 +53,19 @@ TABLES: dict[str, list[str]] = {
 # Small dimension tables that should always be broadcast in joins.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as epoch
-# nanos (spark.sql.legacy.parquet.nanosAsLong); we truncate to
-# microsecond timestamps exactly like DuckDB does on read.
-NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Event-time columns whose on-disk encoding has changed across fixture
+# generations (timestamp[ns] through r3, timestamp[us] since r4 — see
+# FIXTURES.md). The loader normalizes every encoding to TIMESTAMP
+# (LTZ, UTC session) so downstream operators see ONE type contract:
+#   - timestamp[ns]  -> read as epoch nanos (nanosAsLong), integer
+#                       DIV 1000, timestamp_micros()
+#   - timestamp[us] NTZ (Spark 4.x parquet NTZ inference) -> cast to
+#     TIMESTAMP; value-preserving because the session TZ is pinned UTC
+#   - timestamp[us, tz=UTC] -> already TIMESTAMP, passes through
+EVENT_TIME_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+# Backwards-compat alias (r1-r3 name; some tests import it).
+NS_TIMESTAMP_COLS = EVENT_TIME_COLS
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,17 +78,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # naive-as-UTC reading of the parquet timestamps; without it a
     # non-UTC driver session shifts midnight dates by a day.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name in NS_TIMESTAMP_COLS:
+    if name in EVENT_TIME_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     missing = [c for c in TABLES[name] if c not in df.columns]
     if missing:
         raise ValueError(f"table {name!r} missing declared columns {missing}")
-    for col in NS_TIMESTAMP_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            # integer DIV keeps full precision (double division would
-            # not, at 1.7e18 epoch-nanos magnitudes)
+    for col in EVENT_TIME_COLS.get(name, ()):
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":
+            # nanos fixture: integer DIV keeps full precision (double
+            # division would not, at 1.7e18 epoch-nanos magnitudes)
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+        elif dt == "timestamp_ntz":
+            # us fixture under Spark 4.x NTZ inference: normalize to
+            # TIMESTAMP so strict functions (unix_micros, tz arith)
+            # accept it; UTC session makes the cast value-preserving
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -27,43 +27,91 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (nanosAsLong read)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_type: DataType) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def _read_events_stream(
+    spark: SparkSession, probe_file: str, glob_path: str, **options: str
+) -> DataFrame:
+    """Build a file-source stream over events parquet with `ts`
+    normalized to TIMESTAMP (LTZ, UTC session) — the same one-type
+    contract as the batch loader (sources/tables.py).
+
+    Streaming sources must declare their schema before the first read,
+    so the on-disk encoding is probed from the parquet footer
+    (pyarrow.parquet.read_schema) and the declared schema + conversion
+    branch on it:
+      - timestamp[ns]        -> LongType + nanosAsLong, integer
+                                DIV 1000, timestamp_micros()
+      - timestamp[us] (NTZ)  -> TimestampNTZType, cast to TIMESTAMP
+                                (value-preserving: session TZ is UTC)
+      - timestamp[us, tz=*]  -> TimestampType, passthrough
+    The fixtures stored ts as timestamp[ns] through round 3 and
+    timestamp[us] since round 4 (FIXTURES.md); declaring nanos against
+    a microsecond file silently compresses event time 1000x, which is
+    exactly the regression this probe exists to prevent
+    (tests/test_edge_inputs.py pins all three encodings)."""
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = str(pq.read_schema(probe_file).field("ts").type)
+    if ts_type == "timestamp[ns]":
+        declared: DataType = LongType()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    elif ts_type.startswith("timestamp[us"):
+        declared = (
+            TimestampType() if "tz=" in ts_type else TimestampNTZType()
+        )
+    else:
+        raise ValueError(
+            f"unsupported events.ts parquet type {ts_type!r}; expected "
+            "timestamp[ns] or timestamp[us]"
+        )
+    reader = spark.readStream.schema(_events_schema(declared))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(glob_path)
+    if isinstance(declared, LongType):
+        # integer DIV keeps full precision at 1.7e18 epoch-nanos
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(declared, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet with a declared
-    schema (streaming sources cannot infer), ts truncated to
-    microsecond timestamps exactly like the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the [p] glob makes the file-source resolve basePath to the parent
-    # directory (a bare file path is rejected: "basePath must be a
-    # directory"); on a real deployment this is simply a directory of
-    # parquet files
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.[p]arquet")
+    """File-source stream over the events fixture. The [p] glob makes
+    the file-source resolve basePath to the parent directory (a bare
+    file path is rejected: "basePath must be a directory"); on a real
+    deployment this is simply a directory of parquet files."""
+    return _read_events_stream(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/events.[p]arquet"
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
 
 
 def _run_to_memory(
@@ -207,12 +255,54 @@ def stream_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_session_true")  # rows-only: live streaming session window
+@query(
+    "stream_session_true",
+    oracle="""
+WITH wm AS (
+    SELECT CAST(floor(epoch_us(MAX(ts)) / 1000) AS BIGINT) - 1800000 AS wm_ms
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR date_diff('microseconds', LAG(ts) OVER w, ts) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+), sessions AS (
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS start_us,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) + 1800000000 AS end_us
+    FROM numbered
+    GROUP BY user_id, session_id
+)
+SELECT user_id, start_us, n_events
+FROM sessions, wm
+WHERE CAST(floor(end_us / 1000) AS BIGINT) <= wm_ms
+""",
+)
 def stream_session_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows (30-minute gap) with watermark
     — the engine-managed form of the batch gaps-and-islands
     (`stream_session`). Only sessions closed by the final watermark are
-    emitted in append mode."""
+    emitted in append mode.
+
+    That closed subset is deterministic over a static fixture, so it is
+    SQL-expressible like its tumbling/sliding siblings: the oracle
+    rebuilds the sessions with gaps-and-islands (STRICT > on the gap —
+    empirically pinned: F.session_window MERGES events exactly `gap`
+    apart, so only diff > gap starts a new session), sets each
+    session's end to last-event + gap exactly as Spark does, and keeps
+    sessions whose ms-floored end precedes the ms-floored final
+    watermark (max event ms − 30 min). Session ends carry µs precision
+    (unlike the second-aligned tumbling panes), so the ≤ boundary is
+    checked against the fixture in tests/test_streaming.py."""
     ev = _read_event_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")
@@ -380,12 +470,14 @@ def stream_stateful_ema_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = os.path.join(src, f"part{i}.parquet")
             pq_mod.write_table(tbl.slice(i * step, step), p)
             os.utime(p, (now + i, now + i))  # mtime order = time order
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # the split files inherit the source fixture's ts encoding, so
+        # probe one of them exactly as _read_event_stream probes the
+        # original
+        ev = _read_events_stream(
+            spark,
+            os.path.join(src, "part0.parquet"),
+            src,
+            maxFilesPerTrigger="1",
         )
         sink = _run_to_memory(stateful_ema(ev), spark, output_mode="update")
         # final state per user: the update-mode emission with the

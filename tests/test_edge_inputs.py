@@ -80,3 +80,110 @@ def test_quality_score_single_token(spark):
     df = spark.createDataFrame([(0, "word")], "doc_id long, text string")
     [r] = df.select(tx.quality_score("text").alias("q")).collect()
     assert 0.0 <= r["q"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Timestamp-encoding matrix: the events.ts fixture column has changed
+# on-disk encoding once already (timestamp[ns] through round 3,
+# timestamp[us] since round 4 — FIXTURES.md), which silently broke the
+# streaming readers. These tests pin the loader contract for every
+# encoding the fixture has used or could plausibly use, so the next
+# regeneration is a test failure here, not a driver regression.
+# ---------------------------------------------------------------------------
+
+_TS_ENCODINGS = ("ns", "us_ntz", "us_utc")
+
+
+def _write_events_encoded(tmp_path, encoding: str) -> str:
+    """Write a tiny events table with ts in the given encoding; returns
+    the sf_dir-style directory containing events.parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, in µs
+    n = 24
+    ts_us = [base_us + i * 300_000_000 + i * 7 for i in range(n)]  # 5-min + 7µs steps
+    cols = {
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+        "event_type": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+        "value": pa.array([float(i) for i in range(n)], pa.float64()),
+        "props": pa.array(['{"k":%d}' % i for i in range(n)]),
+    }
+    if encoding == "ns":
+        cols["ts"] = cols["ts"].cast(pa.timestamp("ns"))
+    elif encoding == "us_utc":
+        cols["ts"] = cols["ts"].cast(pa.timestamp("us", tz="UTC"))
+    elif encoding != "us_ntz":
+        raise ValueError(encoding)
+    out = tmp_path / f"events_{encoding}"
+    out.mkdir(exist_ok=True)
+    pq.write_table(pa.table(cols), str(out / "events.parquet"))
+    return str(out)
+
+
+def test_ts_matrix_batch_loader_normalizes(spark, tmp_path):
+    """load_table must surface ts as TIMESTAMP (LTZ) with identical
+    values for every on-disk encoding."""
+    from map_reduce_subnet_spark.sources.tables import load_table
+
+    seen = {}
+    for enc in _TS_ENCODINGS:
+        d = _write_events_encoded(tmp_path, enc)
+        df = load_table(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", enc
+        seen[enc] = [
+            (r["event_id"], r["ts"].isoformat())
+            for r in df.select("event_id", "ts").orderBy("event_id").collect()
+        ]
+    assert seen["ns"] == seen["us_ntz"] == seen["us_utc"]
+
+
+def test_ts_matrix_batch_queries_agree(spark, tmp_path):
+    """Every batch ts-consuming query family returns identical results
+    regardless of the fixture's ts encoding (tumbling windows exercise
+    F.window; sessionization exercises unix_micros + lag — the exact
+    call that crashed on the r4 NTZ fixture)."""
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    for key in ("stream_tumbling", "stream_session", "stream_watermark_late"):
+        results = []
+        for enc in _TS_ENCODINGS:
+            d = _write_events_encoded(tmp_path, enc)
+            pdf = (
+                QUERIES[key](spark, d)
+                .toPandas()
+                .sort_values(by=list(QUERIES[key](spark, d).columns))
+                .reset_index(drop=True)
+            )
+            results.append(pdf)
+        for other in results[1:]:
+            import pandas as pd
+
+            pd.testing.assert_frame_equal(results[0], other)
+        assert len(results[0]) > 0, key
+
+
+def test_ts_matrix_streaming_reader_agrees(spark, tmp_path):
+    """_read_events_stream must produce the same normalized TIMESTAMP
+    rows for every encoding — declaring nanos against a microsecond
+    file compresses event time 1000x, the exact r4 regression."""
+    from map_reduce_subnet_spark.streaming.jobs import (
+        _read_events_stream,
+        _run_to_memory,
+    )
+
+    seen = {}
+    for enc in _TS_ENCODINGS:
+        d = _write_events_encoded(tmp_path, enc)
+        ev = _read_events_stream(
+            spark, f"{d}/events.parquet", f"{d}/events.[p]arquet"
+        )
+        assert dict(ev.dtypes)["ts"] == "timestamp", enc
+        sink = _run_to_memory(ev.select("event_id", "ts"), spark)
+        seen[enc] = sorted(
+            (r["event_id"], r["ts"].isoformat()) for r in sink.collect()
+        )
+    assert seen["ns"] == seen["us_ntz"] == seen["us_utc"]
+    assert len(seen["ns"]) == 24

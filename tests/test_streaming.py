@@ -13,6 +13,17 @@ from map_reduce_subnet_spark.operators import QUERIES
 from tests.conftest import SF_DIR
 
 
+def _max_event_epoch(sf_dir: str) -> float:
+    """Max events.ts as epoch seconds, robust to the fixture's ts
+    encoding (timestamp[ns] through r3, timestamp[us] since r4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+    return pc.max(ts.cast(pa.timestamp("us"))).value / 1e6
+
+
 def _sorted(df: pd.DataFrame) -> pd.DataFrame:
     cols = sorted(df.columns)
     return df[cols].sort_values(cols).reset_index(drop=True)
@@ -27,11 +38,7 @@ def test_stream_tumbling_matches_batch(spark):
         QUERIES["stream_tumbling"](spark, SF_DIR)
         .toPandas()[["win_start", "event_type", "n_events"]]
     )
-    import pyarrow.parquet as pq
-
-    ts = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])["ts"]
-    max_epoch = max(t.value for t in ts.to_pylist()) / 1e9
-    watermark = max_epoch - 600
+    watermark = _max_event_epoch(SF_DIR) - 600
     closed = batch[batch["win_start"] + 120 <= watermark]
     # every closed window must be emitted, values identical
     merged = _sorted(stream).merge(
@@ -49,17 +56,13 @@ def test_stream_sliding_matches_batch_closed_panes(spark):
     subset, like tumbling) — AND every pane closed by the final
     watermark must actually be emitted (a subset check alone would
     pass if most panes were silently dropped)."""
-    import pyarrow.parquet as pq
-
     stream = QUERIES["stream_sliding_true"](spark, SF_DIR).toPandas()
     batch = QUERIES["stream_sliding"](spark, SF_DIR).toPandas()[
         ["win_start", "n_events", "sum_value"]
     ]
     merged = _sorted(stream).merge(_sorted(batch), how="left", indicator=True)
     assert (merged["_merge"] == "both").all(), "stream emitted unknown panes"
-    ts = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])["ts"]
-    max_epoch = max(t.value for t in ts.to_pylist()) / 1e9
-    watermark = max_epoch - 600
+    watermark = _max_event_epoch(SF_DIR) - 600
     closed = batch[batch["win_start"] + 600 <= watermark]  # 10-min panes
     assert len(stream) >= len(closed), (
         f"stream missed closed panes: {len(stream)} < {len(closed)}"
@@ -171,7 +174,7 @@ def test_stateful_ema_state_carries_across_micro_batches(spark, tmp_path):
     import pyarrow.parquet as pq_mod
 
     from map_reduce_subnet_spark.streaming.jobs import (
-        EVENTS_SCHEMA,
+        _read_events_stream,
         _run_to_memory,
         stateful_ema,
     )
@@ -189,14 +192,8 @@ def test_stateful_ema_state_carries_across_micro_batches(spark, tmp_path):
         pq_mod.write_table(tbl.slice(i * step, step), p)
         os.utime(p, (now + i, now + i))  # mtime order = time order
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import pyspark.sql.functions as F
-
-    ev = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ev = _read_events_stream(
+        spark, str(src / "part0.parquet"), str(src), maxFilesPerTrigger="1"
     )
     sink = _run_to_memory(stateful_ema(ev), spark, output_mode="update").toPandas()
 
