@@ -37,67 +37,67 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # (1) new in round 4 — need their first driver row
-    "dedup_survivors",
-    "scan_partition_prune",
-    "join_bucketed",
-    "agg_salted_hotkey",
-    "sim_ann_recall",
-    "stream_stateful_ema_batches",
-    # (2) changed this round: three streaming-true keys were PROMOTED
-    # from rows-only to full SQL oracles (closed-subset / identity
-    # semantics), text_tfidf_topk now tokenizes once via checkpoint,
-    # dedup_cluster/dedup_survivors route through stable_checkpoint,
-    # and the sign-sketch NULL-component coalesce touches the LSH
-    # consumers; stream_stateful_ema's bench warm-up changed
+    # (1) new in round 5 — need their first driver row
+    "text_quality_c4",
+    "text_collocations_pmi",
+    "sim_ann_multiprobe_topk",
+    # (2) changed this round. The ts-encoding fix (events.ts went
+    # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
+    # loader + streaming reader now normalize both) touches every
+    # events-ts consumer; stream_session_true was PROMOTED rows→SQL;
+    # stream_watermark_late got the partition-parallel prefix plan;
+    # the two UDTF demos moved to Arrow-native applyInArrow;
+    # sim_ann_recall grew the lsh_multiprobe leg and the LSH/near-dup
+    # queries share the new band_struct_array helper
+    "stream_session_true",
     "stream_tumbling_true",
     "stream_sliding_true",
     "stream_dedup_true",
-    "text_tfidf_topk",
-    "dedup_cluster",
-    "dedup_near_minhash",
-    "embed_neardup_cosine",
-    "sim_ann_lsh_topk",
     "stream_stateful_ema",
-    # (3) refresh the oldest green rows (hash-green in r2, untouched
-    # since) — windows, sorts, setops
-    "window_rank_stake",
-    "window_row_number",
-    "window_topk_per_group",
-    "window_lag_delta",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_range_frame",
-    "window_percent_rank",
-    "sort_multi_key",
-    "limit_topk",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "setop_dedup",
-    # scalar families last green in r2
-    "str_regex",
-    "str_split_explode",
-    "str_hash",
-    "date_parts",
-    "date_arith",
-    "math_funcs",
-    "array_funcs",
-    "array_hof",
-    "map_funcs",
-    "json_funcs",
-    # batch streaming family last green in r2
-    "stream_tumbling",
-    "stream_sliding",
+    "stream_stateful_ema_batches",
+    "stream_static_join_true",
     "stream_session",
     "stream_watermark_late",
+    "stream_tumbling",
+    "stream_sliding",
     "stream_dedup",
-    # UDF surface + scans last green in r2
-    "udf_scalar",
-    "udaf_grouped_agg",
+    "join_asof",
+    "join_theta_range",
     "udtf_grouped_map",
-    "scan_full",
-    "scan_prune_columns",
+    "udtf_cogrouped_map",
+    "sim_ann_recall",
+    "sim_ann_lsh_topk",
+    "embed_neardup_cosine",
+    # (3) refresh the oldest green rows (hash-green in r3, untouched
+    # since) — projections, joins, aggregations, llm batch family
+    "project_arith",
+    "project_conditional",
+    "filter_membership",
+    "filter_compound",
+    "filter_null_semantics",
+    "project_cast",
+    "join_broadcast",
+    "join_shuffle_equi",
+    "join_multiway_star",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "agg_minmax_stats",
+    "agg_count_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_distinct_arg",
+    "agg_normalize_l1",
+    "agg_ema",
+    "dedup_exact",
+    "text_stats",
+    "text_term_freq",
+    "multimodal_join",
+    "sample_systematic",
+    "text_langid_ngram",
+    "str_basics",
 ]
 
 

@@ -146,3 +146,35 @@ def sign_sketch(
         lambda acc, p: F.shiftleft(acc, 1)
         + F.when(p >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
+
+
+def band_struct_array(sk: Column, n_bits: int, band_bits: int) -> Column:
+    """Array of (band, bucket) structs cut from a sign sketch — the
+    banding step of sketch-LSH (band count = n_bits / band_bits,
+    bucket = that band's bits). Shared by the LSH top-k, the recall
+    harness and the near-dup queries so the band arithmetic cannot
+    drift between them."""
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sk, b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(n_bits // band_bits)
+        ]
+    )
+
+
+def perturbed_buckets(bucket: Column, band_bits: int) -> Column:
+    """The bucket plus every Hamming-distance-1 neighbor (band_bits
+    single-bit flips) — multi-probe LSH (Lv et al., VLDB 2007): a
+    near neighbor whose sketch differs in exactly one bit of a band
+    lands one flip away, so probing the perturbed buckets lifts
+    recall without adding hash tables. Candidate cost rises by
+    (band_bits + 1)x bucket occupancy, still corpus-size-independent."""
+    return F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(band_bits)]
+    )

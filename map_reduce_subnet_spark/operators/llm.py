@@ -683,17 +683,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col("sk"), b * band_bits)
-                            .bitwiseAND(F.lit(0xFF))
-                            .alias("bucket"),
-                        )
-                        for b in range(n_bits // band_bits)
-                    ]
-                )
+                sim.band_struct_array(F.col("sk"), n_bits, band_bits)
             ).alias("bn"),
         ).select("vec_id", "embedding", "bn.band", "bn.bucket")
 
@@ -723,16 +713,78 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ann_multiprobe_topk")  # rows-only: multi-stage ANN
+def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007): like
+    sim_ann_lsh_topk, but each of the probe's 8 band buckets is
+    expanded with its 8 Hamming-distance-1 neighbors (one flipped bit)
+    before the candidate join — a near neighbor whose sketch differs
+    in exactly one bit of a band is exactly one flip away, so the
+    probe set recovers it without adding hash tables or re-sketching
+    the corpus. Candidates rise ~9x bucket occupancy, still
+    corpus-size-independent; the recall lift is measured as a
+    registered row of sim_ann_recall (lsh_multiprobe vs lsh)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_bits, band_bits = 64, 8
+    mdf = spark.createDataFrame(
+        [(sim.hyperplane_matrix(64, n_bits, 42),)], "m: array<array<double>>"
+    )
+
+    def band_frame(df):
+        sk = df.crossJoin(F.broadcast(mdf)).select(
+            "vec_id",
+            "embedding",
+            sim.sign_sketch(F.col("embedding"), n_bits, matrix=F.col("m")).alias("sk"),
+        )
+        return sk.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                sim.band_struct_array(F.col("sk"), n_bits, band_bits)
+            ).alias("bn"),
+        ).select("vec_id", "embedding", "bn.band", "bn.bucket")
+
+    probe_bands = F.broadcast(
+        band_frame(e.where(F.col("vec_id") == 42))
+        .select(
+            F.col("band").alias("p_band"),
+            F.explode(
+                sim.perturbed_buckets(F.col("bucket"), band_bits)
+            ).alias("p_bucket"),
+            F.col("embedding").alias("probe"),
+        )
+    )
+    cand = (
+        band_frame(e.where(F.col("vec_id") != 42))
+        .join(
+            probe_bands,
+            (F.col("band") == F.col("p_band"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .select("vec_id", "embedding", "probe")
+        .dropDuplicates(["vec_id"])
+    )
+    cos = sim.cosine(F.col("embedding"), F.col("probe"))
+    return (
+        cand.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
 ANN_RECALL_N_PROBES = 20
 ANN_RECALL_K = 10
 
 
 @query("sim_ann_recall")  # rows-only: measurement harness over hash-based ANN
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of both approximate methods (IVF cells, sign-LSH
-    bands) against the exact brute-force top-10, averaged over 20
-    probe vectors — turns "the ANN runs" into "the ANN is this good",
-    the number a deployment tunes bands/cells against.
+    """Recall@10 of the three approximate methods (IVF cells, sign-LSH
+    bands, multi-probe LSH) against the exact brute-force top-10,
+    averaged over 20 probe vectors — turns "the ANN runs" into "the
+    ANN is this good", the number a deployment tunes bands/cells
+    against. The lsh vs lsh_multiprobe pair prices the multi-probe
+    trade directly: recall lift per 9x bucket occupancy.
 
     Everything is set-at-a-time, no per-probe driver loop: the corpus
     is scored against all 20 broadcast probes at once, per-probe top-k
@@ -828,17 +880,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col,
             emb_out,
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col("sk"), b * band_bits)
-                            .bitwiseAND(F.lit(0xFF))
-                            .alias("bucket"),
-                        )
-                        for b in range(n_bits // band_bits)
-                    ]
-                )
+                sim.band_struct_array(F.col("sk"), n_bits, band_bits)
             ).alias("bn"),
         ).select(id_col, emb_out, F.col("bn.band"), F.col("bn.bucket"))
 
@@ -856,9 +898,9 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").alias("p_bucket"),
         )
     )
+    corpus_bands = stable_checkpoint(band_frame(e, "vec_id", "embedding"))
     lsh_cand = (
-        band_frame(e, "vec_id", "embedding")
-        .join(
+        corpus_bands.join(
             probe_bands,
             (F.col("band") == F.col("p_band"))
             & (F.col("bucket") == F.col("p_bucket")),
@@ -868,6 +910,33 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", "vec_id", cos_pe.alias("cos"))
     )
     lsh = topk(lsh_cand)
+
+    # --- multi-probe LSH: same corpus bands (checkpointed above, so
+    # the sketch pass is not re-executed), probe buckets expanded with
+    # their Hamming-distance-1 neighbors (functions/similarity.py::
+    # perturbed_buckets) — measures the recall a deployment buys for
+    # ~9x bucket occupancy
+    probe_bands_mp = F.broadcast(
+        probe_bands.select(
+            "p_id",
+            "probe",
+            "p_band",
+            F.explode(
+                sim.perturbed_buckets(F.col("p_bucket"), band_bits)
+            ).alias("p_bucket_mp"),
+        )
+    )
+    lsh_mp_cand = (
+        corpus_bands.join(
+            probe_bands_mp,
+            (F.col("band") == F.col("p_band"))
+            & (F.col("bucket") == F.col("p_bucket_mp")),
+        )
+        .where(F.col("vec_id") != F.col("p_id"))
+        .dropDuplicates(["p_id", "vec_id"])
+        .select("p_id", "vec_id", cos_pe.alias("cos"))
+    )
+    lsh_mp = topk(lsh_mp_cand)
 
     denom = float(n_probes * k)
 
@@ -886,7 +955,11 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return recall_row(ivf, "ivf").unionAll(recall_row(lsh, "lsh"))
+    return (
+        recall_row(ivf, "ivf")
+        .unionAll(recall_row(lsh, "lsh"))
+        .unionAll(recall_row(lsh_mp, "lsh_multiprobe"))
+    )
 
 
 EMBED_NEARDUP_THRESHOLD = 0.8  # operator default: near-duplicate
@@ -936,17 +1009,7 @@ def embed_neardup_pairs(
     bands = sk.select(
         "vec_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sk"), b * band_bits)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("bucket"),
-                    )
-                    for b in range(n_bits // band_bits)
-                ]
-            )
+            sim.band_struct_array(F.col("sk"), n_bits, band_bits)
         ).alias("bn"),
     ).select("vec_id", "bn.band", "bn.bucket")
     buckets = _capped_buckets(bands, ["band", "bucket"], "vec_id")
@@ -1332,4 +1395,187 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "label",
         F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+@query(
+    "text_quality_c4",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN {tx.STOPWORDS_SQL})) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+    FROM documents
+), topw AS (
+    SELECT doc_id, MAX(c) AS top_count FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ) GROUP BY doc_id
+)
+SELECT base.doc_id, n_words,
+       mean_word_len, stop_ratio,
+       CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_ratio,
+       (n_words >= 20
+        AND mean_word_len >= 3.0 AND mean_word_len <= 8.0
+        AND stop_ratio <= 0.3
+        AND CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.15)
+           AS kept
+FROM base JOIN topw ON base.doc_id = topw.doc_id
+""",
+)
+def text_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite corpus filter (the rule-stack shape of
+    Raffel et al.'s C4 cleaning, adapted to this corpus): minimum
+    length, plausible mean word length, bounded stopword ratio, and a
+    repetition rule (most frequent word must not dominate — the
+    analog of C4's repeated-line filter for a single-space corpus).
+    Emits the per-rule signals plus the composite keep decision, so a
+    pipeline can both filter and audit WHY a document was dropped.
+
+    Scale shape: signals are per-document arithmetic over the token
+    array (no shuffle); the repetition rule is one explode +
+    partial-aggregated count and a per-doc max — two key-local
+    shuffles on doc_id, no corpus-wide state. All ratios are
+    integer-derived double divisions, bit-exact across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = tx.words("text")
+    n_words = F.size(w).cast("long")
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        # single-space corpus: total chars = sum(word lens) + (n-1)
+        ((F.length("text") - n_words + 1).cast("double") / n_words.cast("double")
+         ).alias("mean_word_len"),
+        (tx.stopword_count("text").cast("double") / n_words.cast("double")
+         ).alias("stop_ratio"),
+    )
+    topw = (
+        d.select("doc_id", F.explode(w).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_count"))
+    )
+    return (
+        base.join(topw, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "stop_ratio",
+            (F.col("top_count").cast("double")
+             / F.col("n_words").cast("double")).alias("top_word_ratio"),
+            (
+                (F.col("n_words") >= 20)
+                & (F.col("mean_word_len") >= 3.0)
+                & (F.col("mean_word_len") <= 8.0)
+                & (F.col("stop_ratio") <= 0.3)
+                & (
+                    F.col("top_count").cast("double")
+                    / F.col("n_words").cast("double")
+                    <= 0.15
+                )
+            ).alias("kept"),
+        )
+    )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), uni AS (
+    SELECT w1, COUNT(*) AS c FROM (
+        SELECT unnest(w) AS w1 FROM toks
+    ) GROUP BY w1
+), bi AS (
+    SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS c_xy
+    FROM toks, UNNEST(range(1, len(w))) AS t(i)
+    GROUP BY 1, 2
+), tot AS (
+    SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+           (SELECT SUM(c_xy) FROM bi) AS n_bi
+)
+SELECT bi.w1, bi.w2, c_xy,
+       ((CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE)) * CAST(n_uni AS DOUBLE))
+       / ((CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) * CAST(n_bi AS DOUBLE))
+           AS pmi_ratio
+FROM bi
+JOIN uni u1 ON bi.w1 = u1.w1
+JOIN uni u2 ON bi.w2 = u2.w1
+CROSS JOIN tot
+WHERE c_xy >= 5
+ORDER BY pmi_ratio DESC, bi.w1, bi.w2
+LIMIT 100
+""",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations ranked by pointwise mutual information —
+    the classic collocation-extraction operator (Church & Hanks 1990)
+    a corpus pipeline uses to find multiword expressions. PMI =
+    log( P(xy) / (P(x)P(y)) ); log is monotone, so the emitted
+    `pmi_ratio` (the argument of the log, a pure integer-derived
+    quotient) ranks identically and stays bit-exact across engines —
+    the multiply/divide order is spelled identically in both plans.
+
+    Scale shape: one explode for unigrams, one zip_with for bigrams
+    (both partial-aggregated before their shuffle), two broadcast-size
+    scalar totals, and the unigram side of the final join is a
+    dictionary (vocabulary-sized, broadcastable). Top-k via
+    TakeOrdered, no global sort materialization.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tx.words("text").alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .where(F.col("c_xy") >= 5)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi_src = (
+        toks.select((F.size("w") - 1).alias("nb"))
+        .agg(F.sum("nb").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w1").alias("u1_w"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w1").alias("u2_w"), F.col("c").alias("c_y"))
+    joined = (
+        bi.join(F.broadcast(u1), bi.w1 == u1.u1_w)
+        .join(F.broadcast(u2), bi.w2 == u2.u2_w)
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_src))
+    )
+    ratio = (
+        (F.col("c_xy").cast("double") * F.col("n_uni").cast("double"))
+        * F.col("n_uni").cast("double")
+    ) / (
+        (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+        * F.col("n_bi").cast("double")
+    )
+    return (
+        joined.select("w1", "w2", "c_xy", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(100)
     )

