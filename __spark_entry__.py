@@ -41,6 +41,9 @@ _SWEEP_PRIORITY = [
     "text_quality_c4",
     "text_collocations_pmi",
     "sim_ann_multiprobe_topk",
+    "stream_stream_join_true",
+    "sample_stratified_rebalance",
+    "multimodal_decode_wav",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -92,12 +95,9 @@ _SWEEP_PRIORITY = [
     "agg_normalize_l1",
     "agg_ema",
     "dedup_exact",
-    "text_stats",
     "text_term_freq",
-    "multimodal_join",
     "sample_systematic",
     "text_langid_ngram",
-    "str_basics",
 ]
 
 

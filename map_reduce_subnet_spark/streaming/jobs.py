@@ -495,3 +495,64 @@ def stream_stateful_ema_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "stream_stream_join_true",
+    oracle="""
+SELECT p.event_id AS p_event_id, c.event_id AS c_event_id, p.user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def stream_stream_join_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream join: the purchase stream joined to the
+    click stream on user with a 1-hour time-range condition (each
+    purchase pairs with the clicks at-or-before it within the hour) —
+    the engine-managed form of the batch join_theta_range family, and
+    the missing fourth leg of the streaming story next to
+    stream-static enrichment (stream_static_join_true).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so the state store can evict rows once the
+    other side's watermark passes them — the requirement for unbounded
+    streams. Over the static fixture's single availableNow micro-batch
+    every row is present before any watermark advances (the watermark
+    moves only BETWEEN micro-batches), so no state is evicted and the
+    emitted inner-join matches are exactly the deterministic batch
+    result — which is why this live streaming query carries a full
+    SQL oracle.
+
+    Scale shape: the join keys on user_id, so both sides shuffle once
+    to co-partition; per-key state holds only the 1-hour window either
+    side's watermark still allows. No cross join, no global state.
+    """
+    purchases = (
+        _read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        _read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_event_id", "c_event_id", "user_id")
+    return _run_to_memory(joined, spark)

@@ -443,3 +443,52 @@ def test_stop_shingle_cap_bounds_hot_shingle(spark, tmp_path):
     assert (0, 1) in pairs, "true near-dup lost to the cap"
     # the hot shingle alone must not generate the other C(70,2) pairs
     assert all(p == (0, 1) for p in pairs), f"hot-shingle junk pairs: {pairs}"
+
+
+def test_multimodal_decode_wav_parity(spark):
+    """The WAV decode query must (a) produce real decoded features —
+    rate/frames as synthesized, RMS of a full-period sine ~1/sqrt(2) of
+    amplitude — and (b) bit-match the module-level synthesize_wav /
+    decode_wav_pcm pair (the closure inlines the same logic; this pins
+    them together so they cannot drift)."""
+    from map_reduce_subnet_spark.functions.multimodal import (
+        decode_wav_pcm,
+        synthesize_wav,
+    )
+
+    got = (
+        QUERIES["multimodal_decode_wav"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (got["sample_rate"] == 8000).all()
+    assert (got["n_channels"] == 1).all()
+    assert (got["n_frames"] == 800).all()
+    # 12000/32768 * 1/sqrt(2) ≈ 0.2589 — sines are near-full-period
+    assert got["rms"].between(0.24, 0.28).all()
+    for doc_id in list(got.index[:5]):
+        rate, n_ch, s = decode_wav_pcm(synthesize_wav(int(doc_id)))
+        rms = float(np.sqrt(np.mean(s * s)))
+        assert got.loc[doc_id, "rms"] == rms  # bit-exact, same op order
+        assert got.loc[doc_id, "sample_rate"] == rate
+
+
+def test_decode_media_dispatch():
+    """decode_media routes pure-bytes formats to the real decoders and
+    still raises the honest stub error for codec formats."""
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_subnet_spark.functions.multimodal import (
+        decode_media,
+        synthesize_wav,
+    )
+
+    rate, n_ch, s = decode_media(synthesize_wav(7), "audio/wav")
+    assert rate == 8000 and n_ch == 1 and s.shape == (800, 1)
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    img = decode_media(ppm, "image/ppm")
+    assert img.shape == (2, 2, 3) and img[0, 0, 0] == 0 and img[1, 1, 2] == 11
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
