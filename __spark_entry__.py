@@ -44,6 +44,8 @@ _SWEEP_PRIORITY = [
     "stream_stream_join_true",
     "sample_stratified_rebalance",
     "multimodal_decode_wav",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -94,8 +96,6 @@ _SWEEP_PRIORITY = [
     "agg_distinct_arg",
     "agg_normalize_l1",
     "agg_ema",
-    "dedup_exact",
-    "text_term_freq",
     "sample_systematic",
     "text_langid_ngram",
 ]

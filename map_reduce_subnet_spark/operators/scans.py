@@ -238,3 +238,99 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg.write.mode("overwrite").parquet(out)
     return _materialize_and_clean(spark, spark.read.parquet(out), out)
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as a source format: orders lands in scratch CSV (header,
+    default quoting) and is read back with an EXPLICIT schema — never
+    inferSchema, which costs a second full pass and guesses types from
+    data. The aggregate over the CSV read must hash-match the SQL over
+    the original parquet, which pins the roundtrip value-exact: Spark
+    writes doubles as their shortest roundtrip representation, so
+    o_totalprice survives text encoding bit-for-bit.
+
+    Scale shape: CSV is splittable (uncompressed), so the read
+    parallelizes like parquet minus the footer statistics; schema-on-
+    read with a declared contract matches the loader's posture. The
+    per-invocation scratch write keeps the registered query
+    self-contained; a deployment reads CSV landed by upstream systems.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_csv_{uuid.uuid4().hex[:12]}"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    try:
+        o.write.option("header", "true").csv(out)
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_orderstatus string, o_totalprice double"
+            )
+            .option("header", "true")
+            .csv(out)
+        )
+        agg = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price")
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "scan_jsonl_roundtrip",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a source format: events lands in scratch JSONL
+    and is read back with an EXPLICIT schema (same no-inference posture
+    as scan_csv_roundtrip — inferring JSON schemas costs a full pass
+    and silently widens types). The aggregate over the JSONL read must
+    hash-match the SQL over the original parquet: doubles roundtrip
+    through JSON text via shortest-repr, counts are structural.
+
+    Scale shape: JSONL is splittable by line, reads parallelize; the
+    declared schema also makes the scan prune unneeded fields at parse
+    time instead of materializing every key."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_jsonl_{uuid.uuid4().hex[:12]}"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    try:
+        ev.write.json(out)
+        back = spark.read.schema(
+            "event_id long, event_type string, value double"
+        ).json(out)
+        agg = back.groupBy("event_type").agg(
+            F.count("*").alias("n_events"), dsum("value", "sum_value")
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

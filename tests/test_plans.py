@@ -102,3 +102,37 @@ def test_udf_paths_are_arrow_not_row(spark):
     """Where Python IS used (family J), it must be Arrow-vectorized."""
     plan = formatted_plan(q(spark, "udf_scalar"))
     assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+
+
+def test_pmi_plan_shape(spark):
+    """PMI collocations: both count stages partial-aggregate before
+    their shuffle; the unigram-dictionary joins and the two scalar
+    totals broadcast; top-100 rides TakeOrdered (no full sort
+    materialization); no Python anywhere."""
+    df = q(spark, "text_collocations_pmi")
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_c4_plan_shape(spark):
+    """C4 composite filter: the repetition rule's two aggregations
+    partial-aggregate; the signal arithmetic is JVM-side."""
+    df = q(spark, "text_quality_c4")
+    plan = formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_rebalance_is_broadcast_no_corpus_shuffle(spark):
+    """The rebalance sampler must broadcast the per-stratum counts and
+    the floor scalar — the corpus itself must not shuffle (its only
+    exchange feeds the tiny counts aggregate)."""
+    df = q(spark, "sample_stratified_rebalance")
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    # exchanges exist only below the counts/floor aggregates (tiny);
+    # the documents scan feeds the broadcast join directly
+    assert "SortMergeJoin" not in plan
