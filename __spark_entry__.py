@@ -46,6 +46,7 @@ _SWEEP_PRIORITY = [
     "multimodal_decode_wav",
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
+    "join_asof_binned",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -96,7 +97,6 @@ _SWEEP_PRIORITY = [
     "agg_distinct_arg",
     "agg_normalize_l1",
     "agg_ema",
-    "sample_systematic",
     "text_langid_ngram",
 ]
 

@@ -349,3 +349,96 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "join_asof_binned",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       (SELECT c.event_id
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC
+        LIMIT 1) AS last_click_id
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, time-binned formulation — the scale alternative to
+    join_asof's single per-user window (same oracle, hash-identical
+    result). join_asof partitions by user alone, so one hot user's
+    whole history lands in one window partition; here the window
+    partitions by (user, day) — bounded by a day's traffic regardless
+    of how hot the user is — and a per-user prefix over the tiny
+    per-day aggregates carries the latest click across day boundaries:
+
+      1. union clicks+purchases with day = date_trunc(ts), run the
+         last-click-so-far window WITHIN (user, day) partitions;
+      2. per (user, day): max struct(ts, click_id) of that day's
+         clicks (partial-aggregated, day-granular = tiny), then an
+         exclusive per-user running max over days (window over the
+         aggregate rows only — the same two-level parallel-prefix
+         shape as stream_watermark_late);
+      3. each purchase's answer = its in-day running value, falling
+         back to the previous days' carry.
+
+    Struct max orders lexicographically (ts, then click_id), matching
+    the oracle's ORDER BY ts DESC, event_id DESC tie-break exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        day.alias("day"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        day.alias("day"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("side"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w_in_day = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "side", "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_day = unioned.withColumn(
+        "day_click_id", F.last("click_id", ignorenulls=True).over(w_in_day)
+    )
+    # per-(user, day) last click, then the exclusive per-user carry
+    w_days = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the prefix runs over a (user, day) spine covering BOTH sides:
+    # a purchase on a click-less day still needs that day's carry row
+    # (max over the window skips the null click-less days)
+    day_spine = unioned.select("user_id", "day").distinct()
+    day_clicks = clicks.groupBy("user_id", "day").agg(
+        F.max(F.struct("ts", "click_id")).alias("last")
+    )
+    carry = (
+        day_spine.join(day_clicks, ["user_id", "day"], "left")
+        .withColumn("prev_last", F.max("last").over(w_days))
+        .select("user_id", "day", F.col("prev_last.click_id").alias("carry_click_id"))
+    )
+    return (
+        in_day.where(F.col("side") == 1)
+        .join(carry, ["user_id", "day"], "left")
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.coalesce("day_click_id", "carry_click_id").alias("last_click_id"),
+        )
+    )
