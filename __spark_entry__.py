@@ -47,6 +47,8 @@ _SWEEP_PRIORITY = [
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
     "join_asof_binned",
+    "window_ntile_cume",
+    "timeseries_gapfill",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -95,8 +97,6 @@ _SWEEP_PRIORITY = [
     "agg_cube",
     "agg_grouping_sets",
     "agg_distinct_arg",
-    "agg_normalize_l1",
-    "agg_ema",
     "text_langid_ngram",
 ]
 

@@ -224,3 +224,75 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     doubled = ev.unionByName(ev)
     return doubled.dropDuplicates(["event_id"])
+
+
+@query(
+    "timeseries_gapfill",
+    oracle=f"""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           {sql_dsum('value')} AS s, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+), spine AS (
+    SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+    FROM span
+), joined AS (
+    SELECT spine.user_id, spine.h, hourly.s, COALESCE(hourly.n, 0) AS n
+    FROM spine LEFT JOIN hourly
+      ON spine.user_id = hourly.user_id AND spine.h = hourly.h
+)
+SELECT user_id,
+       CAST(epoch(h) AS BIGINT) AS hour_start,
+       n AS n_events,
+       last_value(s IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS UNBOUNDED PRECEDING) AS filled_sum
+FROM joined
+""",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + gap-fill per user (the hypertable-rollup
+    shape): aggregate events into hour buckets, materialize the DENSE
+    hour spine between each user's first and last hour (sequence +
+    explode — gaps become real rows with n_events = 0), and
+    forward-fill each gap's sum with the last observed hour's value
+    (last-observation-carried-forward, the standard time-series
+    downsampling semantics).
+
+    Scale shape: the hourly rollup partial-aggregates before its
+    shuffle (hour granularity ≈ corpus/1000s of rows); the spine
+    explode is per-user metadata (two timestamps → one array); the
+    forward-fill window partitions by user over HOURLY rows, not raw
+    events — bounded by the time span, not event volume. The hourly
+    sums are decimal-exact (dsum) so the carried values hash match."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(dsum("value", "s"), F.count("*").alias("n"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h", "s", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("h").alias("hour_start"),
+        F.col("n").alias("n_events"),
+        F.last("s", ignorenulls=True).over(w).alias("filled_sum"),
+    )

@@ -255,3 +255,38 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "window_ntile_cume",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       NTILE(4) OVER w AS quartile,
+       CUME_DIST() OVER w AS cd
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+""",
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment + cumulative distribution per return-flag
+    group (the remaining ranking-family members next to rank /
+    percent_rank / row_number). The ORDER BY is made total with the
+    unique (orderkey, linenumber) tail, so ntile bucket boundaries and
+    cume_dist peer groups are identical across engines — with ties
+    left in, the two engines could split boundary rows differently.
+    cume_dist over a total order is row_position / n, a pure integer
+    division both engines evaluate to the same double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        # cast: Spark ntile emits INT, DuckDB NTILE BIGINT — align the
+        # schemas so dtype-strict comparisons can't flag a false diff
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
