@@ -49,6 +49,8 @@ _SWEEP_PRIORITY = [
     "join_asof_binned",
     "window_ntile_cume",
     "timeseries_gapfill",
+    "quality_dedup_rates",
+    "sim_quantized_recall",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -93,8 +95,6 @@ _SWEEP_PRIORITY = [
     "agg_minmax_stats",
     "agg_count_distinct",
     "agg_having",
-    "agg_rollup",
-    "agg_cube",
     "agg_grouping_sets",
     "agg_distinct_arg",
     "text_langid_ngram",

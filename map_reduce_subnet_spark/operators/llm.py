@@ -1715,3 +1715,136 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, sample_rate long, n_channels long, "
         "n_frames long, rms double",
     )
+
+
+@query(
+    "quality_dedup_rates",
+    oracle="""
+WITH hashed AS (
+    SELECT source, md5(text) AS h FROM documents
+), per_source AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT h) AS n_unique
+    FROM hashed GROUP BY source
+)
+SELECT source, n_docs, n_unique,
+       CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+FROM per_source
+""",
+)
+def quality_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rates — the corpus-quality dashboard
+    a pipeline watches to find which upstream feed ships redundant
+    content (the reference validates redundancy per peer,
+    README.md:18; this is the same measurement per source). Emits doc
+    count, distinct-content count and the duplicate fraction per
+    source; the rate is an integer-derived double division, bit-exact
+    across engines.
+
+    Scale shape: one shuffle on (source) with a distinct-count over
+    the content hash — Spark plans count(DISTINCT) as two partial-
+    aggregated passes (expand + merge), no row leaves its partition
+    un-combined; the output is source-cardinality (tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query("sim_quantized_recall")  # rows-only: golden test pins the value
+def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-quantized exact search vs float exact search
+    — prices the 4x storage/bandwidth saving of symmetric per-vector
+    int8 quantization (scale = max|x| / 127, dequantize = q * scale)
+    the way sim_ann_recall prices the ANN bucketing: as a registered,
+    deterministic measurement. A deployment quantizes the corpus
+    before sharding it; this number says what that costs in ranking
+    fidelity at k=10 over 20 probes.
+
+    The quantize→dequantize roundtrip runs inside the plan (array
+    transforms, JVM-side); probe vectors stay float (asymmetric
+    search, the standard serving setup). Zero vectors keep scale 0 and
+    dequantize to zeros instead of dividing by zero."""
+    e = load_table(spark, sf_dir, "embeddings")
+    k, n_probes = ANN_RECALL_K, ANN_RECALL_N_PROBES
+    probes = F.broadcast(
+        e.where(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("p_id"), F.col("embedding").alias("probe")
+        )
+    )
+
+    def dequantized(col):
+        absmax = F.array_max(
+            F.transform(col, lambda x: F.abs(x.cast("double")))
+        )
+        scale = absmax / F.lit(127.0)
+        return F.when(
+            absmax == 0.0, F.transform(col, lambda x: F.lit(0.0))
+        ).otherwise(
+            F.transform(
+                col, lambda x: F.round(x.cast("double") / scale) * scale
+            )
+        )
+
+    topw = Window.partitionBy("p_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+
+    def topk(scored):
+        return (
+            scored.where(F.col("cos").isNotNull() & ~F.isnan("cos"))
+            .withColumn("rn", F.row_number().over(topw))
+            .where(F.col("rn") <= k)
+            .select("p_id", "vec_id")
+        )
+
+    base = e.crossJoin(probes).where(F.col("vec_id") != F.col("p_id"))
+    exact = stable_checkpoint(
+        topk(
+            base.select(
+                "p_id",
+                "vec_id",
+                sim.cosine(F.col("embedding"), F.col("probe")).alias("cos"),
+            )
+        )
+    )
+    # dequantize BELOW the probe cross join — one roundtrip per corpus
+    # vector, not one per (vector, probe) pair (the per-pair placement
+    # measured 63 s vs ~3 s at sf0.1: 20x redundant array transforms)
+    deq = e.select("vec_id", dequantized(F.col("embedding")).alias("demb"))
+    quant = topk(
+        deq.crossJoin(probes)
+        .where(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            "vec_id",
+            sim.cosine(F.col("demb"), F.col("probe")).alias("cos"),
+        )
+    )
+    denom = float(n_probes * k)
+    return (
+        quant.join(exact, ["p_id", "vec_id"])
+        .agg(
+            F.lit("int8_dequant").alias("method"),
+            (F.count("*") / F.lit(denom)).alias("recall_at_k"),
+        )
+        .select(
+            "method",
+            F.lit(n_probes).alias("n_probes"),
+            F.lit(k).alias("k"),
+            "recall_at_k",
+        )
+    )

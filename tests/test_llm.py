@@ -492,3 +492,15 @@ def test_decode_media_dispatch():
     assert img.shape == (2, 2, 3) and img[0, 0, 0] == 0 and img[1, 1, 2] == 11
     with _pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_quantized_recall_golden(spark):
+    """int8 symmetric quantization barely moves exact top-10 on this
+    corpus: recall@10 pinned at 1.0 (sf0.001; 0.99 measured at
+    sf0.01 — the denser corpus has closer neighbor margins). Any
+    change to the quantization arithmetic that moves ranking shows up
+    here, not silently in production."""
+    [r] = QUERIES["sim_quantized_recall"](spark, SF_DIR).collect()
+    assert r["method"] == "int8_dequant"
+    assert r["n_probes"] == 20 and r["k"] == 10
+    assert r["recall_at_k"] == 1.0

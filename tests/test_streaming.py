@@ -226,3 +226,53 @@ def test_stream_stateful_ema_batches_matches_batch(spark):
     assert len(merged) == len(batch) == len(stream)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["ema_s"] - merged["ema_b"]).abs().max() < 1e-6
+
+
+def test_stateful_topk_transform_with_state(spark):
+    """Spark 4 arbitrary-state API (transformWithStateInPandas): the
+    per-user running top-3 must equal the batch window formulation.
+    SKIPS when the container's google.protobuf is broken — the TWS
+    python driver-worker channel needs it (which is also why the
+    operator is not a registered @query here)."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf broken in this container; "
+                     "transformWithState driver worker cannot start")
+    from map_reduce_subnet_spark.streaming.jobs import (
+        stream_stateful_topk_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = (
+            stream_stateful_topk_tws(spark, SF_DIR)
+            .toPandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    ev = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "value"]
+    ).to_pandas()
+    for uid, grp in ev.groupby("user_id"):
+        top = sorted(grp["value"].tolist(), reverse=True)[:3]
+        row = got.loc[uid]
+        want = (top + [None] * 3)[:3]
+        for col, w in zip(("v1", "v2", "v3"), want):
+            if w is None:
+                assert pd.isna(row[col])
+            else:
+                assert row[col] == w
