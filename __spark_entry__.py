@@ -51,6 +51,10 @@ _SWEEP_PRIORITY = [
     "timeseries_gapfill",
     "quality_dedup_rates",
     "sim_quantized_recall",
+    "setop_except_all",
+    "setop_intersect_all",
+    "str_fuzzy_levenshtein",
+    "scan_partition_prune",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -94,10 +98,6 @@ _SWEEP_PRIORITY = [
     "join_anti",
     "agg_minmax_stats",
     "agg_count_distinct",
-    "agg_having",
-    "agg_grouping_sets",
-    "agg_distinct_arg",
-    "text_langid_ngram",
 ]
 
 

@@ -394,3 +394,30 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_raw"),
         (parsed["k"] * 2).alias("k_doubled"),
     )
+
+
+@query(
+    "str_fuzzy_levenshtein",
+    oracle="""
+SELECT p_partkey, p_brand,
+       levenshtein(p_brand, 'Brand#33') AS dist,
+       levenshtein(p_brand, 'Brand#33') <= 1 AS is_near
+FROM part
+""",
+)
+def str_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (the string analog of the
+    embedding near-dup family): distance of every brand to a target
+    label plus a radius-1 match flag — the operator shape for fuzzy
+    entity resolution over catalog strings. JVM-side levenshtein,
+    identical DP definition in both engines."""
+    p = load_table(spark, sf_dir, "part")
+    d = F.levenshtein(F.col("p_brand"), F.lit("Brand#33"))
+    # cast: Spark levenshtein emits INT, DuckDB BIGINT (see NOTES
+    # dtype gotcha) — align so dtype-strict comparison can't flag it
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        d.cast("long").alias("dist"),
+        (d <= 1).alias("is_near"),
+    )

@@ -146,12 +146,26 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_date_partitioned(li, out, "l_shipdate", "month")
     months = ["1997-01", "1997-02", "1997-03"]
-    pruned = read_pruned(spark, out, months)
+    # declared read schema (data columns + the string partition key):
+    # robust to an empty lineitem (a zero-row partitioned write has no
+    # data files to infer from) and skips footer-based inference
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    read_schema = StructType(
+        list(li.schema.fields) + [StructField("part_key", StringType())]
+    )
+    pruned = read_pruned(spark, out, months, schema=read_schema)
+    # the pruning lint is vacuous when the layout has no partition
+    # directories at all (empty input table): Catalyst collapses the
+    # scan and no PartitionFilters line exists to check
+    has_partitions = any(
+        e.startswith("part_key=") for e in os.listdir(out)
+    )
     plan = formatted_plan(pruned)
     pf_lines = [
         ln for ln in plan.splitlines() if "PartitionFilters:" in ln
     ]
-    if not any(
+    if has_partitions and not any(
         "part_key" in ln and "PartitionFilters: []" not in ln
         for ln in pf_lines
     ):

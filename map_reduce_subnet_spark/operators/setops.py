@@ -107,3 +107,43 @@ def setop_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("l_orderkey", "l_linenumber", "l_partkey")
     )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+SELECT user_id FROM events WHERE event_type <> 'purchase'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'click'
+""",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): per-value multiplicities
+    subtract instead of collapsing to set semantics — the form that
+    preserves counts when diffing two event feeds (a plain EXCEPT
+    would hide how MANY occurrences disappeared). Spark plans it as
+    one aggregate per side + a multiplicity join, all
+    partial-aggregated."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") != "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id")
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): keeps min(count_a,
+    count_b) copies per value — the overlap measure that answers "how
+    many click events came from users who also view" with
+    multiplicity, not just membership."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "view").select("user_id")
+    return a.intersectAll(b)

@@ -63,8 +63,19 @@ def write_bucketed(
 
 
 def read_pruned(
-    spark: SparkSession, path: str, part_keys: list[str]
+    spark: SparkSession,
+    path: str,
+    part_keys: list[str],
+    schema=None,
 ) -> DataFrame:
     """Read a date-partitioned layout touching only the named
-    partitions — the query-side contract of write_date_partitioned."""
-    return spark.read.parquet(path).where(F.col("part_key").isin(part_keys))
+    partitions — the query-side contract of write_date_partitioned.
+
+    Pass ``schema`` (the written frame's schema plus the string
+    part_key column) to make the read robust to an EMPTY layout: a
+    zero-row partitioned write leaves no data files, and a schema-less
+    read of that directory fails with UNABLE_TO_INFER_SCHEMA instead
+    of returning an empty frame. Partition-directory pruning is
+    unaffected — partition values still come from directory names."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(path).where(F.col("part_key").isin(part_keys))

@@ -450,6 +450,8 @@ def stream_stateful_ema_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq_mod
 
+    import pyarrow as pa
+
     tbl = pq_mod.read_table(f"{sf_dir}/events.parquet")
     pdf_order = (
         tbl.select(["ts", "event_id"])
@@ -457,7 +459,9 @@ def stream_stateful_ema_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort_values(["ts", "event_id"], kind="mergesort")
         .index
     )
-    tbl = tbl.take(list(pdf_order))
+    # typed indices: a bare empty list is null-typed and pyarrow's
+    # take kernel rejects (int64, null) — surfaces on empty fixtures
+    tbl = tbl.take(pa.array(pdf_order, type=pa.int64()))
     src = os.path.join(
         tempfile.gettempdir(), f"mrs_ema_batches_{uuid.uuid4().hex[:12]}"
     )

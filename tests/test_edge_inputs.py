@@ -187,3 +187,70 @@ def test_ts_matrix_streaming_reader_agrees(spark, tmp_path):
         )
     assert seen["ns"] == seen["us_ntz"] == seen["us_utc"]
     assert len(seen["ns"]) == 24
+
+
+# ---------------------------------------------------------------------------
+# Empty-corpus robustness: every operator family must return a
+# schema-stable (possibly empty) result over zero-row tables instead of
+# crashing — a fully-empty partition of a 100 TB dataset is routine,
+# not exceptional. A full sweep of all registered queries ran during
+# round 5 (130/132 clean; the two failures — partitioned read of an
+# empty layout, pyarrow take with null-typed indices — are fixed and
+# covered here); this test keeps a representative per-family subset
+# green so regressions surface in CI time, not driver time.
+# ---------------------------------------------------------------------------
+
+_EMPTY_SWEEP_KEYS = (
+    "scan_full",
+    "scan_partition_prune",      # empty layout: no partition dirs
+    "scan_csv_roundtrip",
+    "join_broadcast",
+    "join_asof_binned",
+    "agg_reduce_sum",
+    "agg_salted_hotkey",
+    "window_ntile_cume",
+    "setop_except_all",
+    "str_fuzzy_levenshtein",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_tumbling_true",
+    "stream_stateful_ema",
+    "stream_stateful_ema_batches",  # pyarrow take on empty index
+    "stream_stream_join_true",
+    "timeseries_gapfill",
+    "dedup_near_minhash",
+    "dedup_cluster",
+    "text_collocations_pmi",
+    "text_quality_c4",
+    "sample_stratified_rebalance",
+    "quality_dedup_rates",
+    "sim_quantized_recall",
+    "multimodal_decode_wav",
+)
+
+
+def _empty_fixture(tmp_path_factory) -> str:
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path_factory.mktemp("empty_fixture")
+    import os
+
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            s = pq.read_schema(f"{src}/{f}")
+            pq.write_table(s.empty_table(), str(dst / f))
+    return str(dst)
+
+
+def test_empty_corpus_does_not_crash(spark, tmp_path_factory):
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    dst = _empty_fixture(tmp_path_factory)
+    failures = []
+    for name in _EMPTY_SWEEP_KEYS:
+        try:
+            QUERIES[name](spark, dst).count()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
