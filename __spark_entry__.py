@@ -55,6 +55,7 @@ _SWEEP_PRIORITY = [
     "setop_intersect_all",
     "str_fuzzy_levenshtein",
     "scan_partition_prune",
+    "agg_hll_sketch_merge",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -97,7 +98,6 @@ _SWEEP_PRIORITY = [
     "join_semi",
     "join_anti",
     "agg_minmax_stats",
-    "agg_count_distinct",
 ]
 
 

@@ -358,3 +358,37 @@ def agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"combine), plan has {n_ex} — the salt stage collapsed"
         )
     return out
+
+
+@query("agg_hll_sketch_merge")  # rows-only: DataSketches HLL, no DuckDB twin
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    F.hll_sketch_agg / hll_union_agg) — the pattern that makes
+    distinct counts composable at 100 TB: build one sketch per
+    partition/day/nation ONCE, then answer any rollup by unioning
+    sketches instead of rescanning raw data. agg_approx_distinct
+    shows the one-shot estimator; this shows the two-level form a
+    warehouse actually materializes (per-nation sketches → global
+    union) next to the one-shot global sketch and the exact count.
+
+    Emits all three so the error structure is visible: the merged
+    estimate differs slightly from the direct one (sketch union is
+    lossy relative to sketching the raw stream) and both sit within
+    ~1% of exact at this cardinality. Deterministic — the golden test
+    pins the values."""
+    cu = load_table(spark, sf_dir, "customer")
+    per_nation = cu.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = cu.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias(
+            "est_direct"
+        ),
+        F.countDistinct("c_custkey").alias("n_exact"),
+    )
+    return direct.crossJoin(merged).select(
+        "n_exact", "est_direct", "est_merged"
+    )

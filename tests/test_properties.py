@@ -217,3 +217,24 @@ def test_survivor_drops_matches_union_find(spark, seed):
     survivors = set(expect) - got_drops
     assert {expect[s] for s in survivors} == set(expect.values())
     assert len(survivors) == len(set(expect.values()))
+
+
+def test_hll_sketch_merge_golden(spark):
+    """The two-level HLL rollup is deterministic: pin the estimates at
+    sf0.001 and require both within 2% of exact — the mergeability
+    contract (union of per-nation sketches answers the global
+    question) with its accuracy cost made visible."""
+    from tests.conftest import SF_DIR
+
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    [r] = QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+    assert r["n_exact"] > 0
+    for col in ("est_direct", "est_merged"):
+        assert abs(r[col] - r["n_exact"]) / r["n_exact"] < 0.02
+    # determinism: identical plan, identical sketch estimates
+    [r2] = QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+    assert (r2["est_direct"], r2["est_merged"]) == (
+        r["est_direct"],
+        r["est_merged"],
+    )
