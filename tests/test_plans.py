@@ -136,3 +136,31 @@ def test_stratified_rebalance_is_broadcast_no_corpus_shuffle(spark):
     # exchanges exist only below the counts/floor aggregates (tiny);
     # the documents scan feeds the broadcast join directly
     assert "SortMergeJoin" not in plan
+
+
+_FACT_PATH_QUERIES = (
+    "agg_reduce_sum", "join_shuffle_equi", "join_asof", "join_asof_binned",
+    "window_running_sum", "window_ntile_cume", "window_topk_per_group",
+    "stream_session", "dedup_exact", "text_term_freq", "setop_except_all",
+    "filter_compound", "project_arith", "sort_multi_key", "limit_topk",
+    "timeseries_gapfill", "quality_dedup_rates", "str_fuzzy_levenshtein",
+    "setop_dedup", "window_lag_delta", "window_moving_avg",
+    "stream_tumbling", "stream_sliding", "agg_salted_hotkey",
+)
+
+
+@pytest.mark.parametrize("name", _FACT_PATH_QUERIES)
+def test_fact_paths_have_no_single_partition_exchange(spark, name):
+    """The scale-killer class: a SinglePartition exchange on a
+    fact-table path serializes the whole table through one task (the
+    r4-weak stream_watermark_late shape). None of these fact queries
+    has a global scalar aggregate, so their plans must contain ZERO
+    single-partition exchanges — grouped aggregates hash-partition,
+    global sorts range-partition, top-k rides TakeOrdered. (Queries
+    with legitimate tiny global pieces — one-row broadcast scalars,
+    bucket-level prefix passes — are deliberately not in this list;
+    stream_watermark_late self-lints its own bounded exception.)"""
+    plan = formatted_plan(q(spark, name))
+    assert "SinglePartition" not in plan, (
+        f"{name}: single-partition exchange appeared on a fact path\n{plan}"
+    )
