@@ -56,6 +56,8 @@ _SWEEP_PRIORITY = [
     "str_fuzzy_levenshtein",
     "scan_partition_prune",
     "agg_hll_sketch_merge",
+    "join_full_outer",
+    "agg_mode_deterministic",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -96,8 +98,6 @@ _SWEEP_PRIORITY = [
     "join_multiway_star",
     "join_left_outer",
     "join_semi",
-    "join_anti",
-    "agg_minmax_stats",
 ]
 
 

@@ -392,3 +392,40 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.crossJoin(merged).select(
         "n_exact", "est_direct", "est_merged"
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+SELECT user_id, event_type AS mode_type, c AS mode_count
+FROM (
+    SELECT user_id, event_type, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM events
+    GROUP BY user_id, event_type
+)
+WHERE rn = 1
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent value per group (mode), with a PINNED tie-break
+    (highest count, then lexicographic value) — F.mode deliberately
+    not used: its tie behavior is engine-internal and
+    non-deterministic across plans, which would make the result
+    unhashable. Counts partial-aggregate; the per-group argmax is one
+    partitioned window over group-cardinality rows."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("c").alias("mode_count"),
+        )
+    )

@@ -442,3 +442,42 @@ def join_asof_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("day_click_id", "carry_click_id").alias("last_click_id"),
         )
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT c.user_id AS click_user, v.user_id AS view_user,
+       c.n_clicks, v.n_views
+FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id) c
+FULL OUTER JOIN
+     (SELECT user_id, COUNT(*) AS n_views FROM events
+      WHERE event_type = 'view' GROUP BY user_id) v
+  ON c.user_id = v.user_id
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — reconciling two feeds where either side may
+    be missing (users who click but never view, view but never click,
+    or both). Rows survive from BOTH sides with NULLs opposite the
+    absent one; the pre-aggregation keeps the join sides key-unique so
+    the reconciliation is row-per-user. Shuffles both sides on the
+    key; a full outer join can never broadcast (either side's
+    non-matches must survive)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+        .select(F.col("user_id").alias("click_user"), "n_clicks")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_views"))
+        .select(F.col("user_id").alias("view_user"), "n_views")
+    )
+    return clicks.join(
+        views, clicks.click_user == views.view_user, "full_outer"
+    ).select("click_user", "view_user", "n_clicks", "n_views")
