@@ -58,6 +58,9 @@ _SWEEP_PRIORITY = [
     "agg_hll_sketch_merge",
     "join_full_outer",
     "agg_mode_deterministic",
+    "window_rank_stake",
+    "window_row_number",
+    "window_range_frame",
     # (2) changed this round. The ts-encoding fix (events.ts went
     # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
     # loader + streaming reader now normalize both) touches every
@@ -88,11 +91,8 @@ _SWEEP_PRIORITY = [
     # (3) refresh the oldest green rows (hash-green in r3, untouched
     # since) — projections, joins, aggregations, llm batch family
     "project_arith",
-    "project_conditional",
-    "filter_membership",
     "filter_compound",
     "filter_null_semantics",
-    "project_cast",
     "join_broadcast",
     "join_shuffle_equi",
     "join_multiway_star",

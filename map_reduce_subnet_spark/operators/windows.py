@@ -37,7 +37,10 @@ def window_rank_stake(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is safe here: supplier is a bounded dim table."""
     su = load_table(spark, sf_dir, "supplier")
     w = Window.orderBy(F.desc("s_acctbal"))
-    return su.select("s_suppkey", "s_name", F.rank().over(w).alias("rnk"))
+    # cast: Spark rank emits INT, DuckDB BIGINT (NOTES dtype gotcha)
+    return su.select(
+        "s_suppkey", "s_name", F.rank().over(w).cast("long").alias("rnk")
+    )
 
 
 @query(
@@ -52,8 +55,11 @@ def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense per-partition numbering (hotkeys.index → uid)."""
     cu = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    # cast: Spark row_number emits INT, DuckDB BIGINT
     return cu.select(
-        "c_custkey", "c_nationkey", F.row_number().over(w).alias("uid")
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).cast("long").alias("uid"),
     )
 
 
@@ -181,7 +187,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dates are mapped to integer day offsets so the range bound is a
     plain numeric frame in both engines."""
     o = load_table(spark, sf_dir, "orders").withColumn(
-        "d", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        # cast: Spark datediff emits INT, DuckDB date_diff BIGINT
+        "d",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("long"),
     )
     w = (
         Window.partitionBy("o_custkey")
