@@ -52,6 +52,61 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def centroid_array(cents_df) -> Column:
+    """Collapse a tiny centroid frame (cent_id, cent) into ONE row
+    holding array<struct<cent_id, cent>> sorted by cent_id — the
+    broadcast side of shuffle-free assignment (nearest_centroid).
+    The single-partition exchange this agg implies moves only the
+    centroid rows (8 here), never the corpus."""
+    return cents_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cent_id"), F.col("cent")))
+        ).alias("cents")
+    )
+
+
+def nearest_centroid(vec: Column, cents: Column) -> Column:
+    """Argmax-cosine centroid assignment as a single per-row fold —
+    struct<cos double, cent_id long> of the centroid nearest to
+    ``vec`` out of an array<struct<cent_id, cent>> column (sorted by
+    cent_id, see centroid_array).
+
+    This replaces the row_number()-over-Window argmax, which forced a
+    full hash shuffle of corpus×n_centroids rows just to reduce
+    n_centroids rows per key: here the centroids ride a broadcast
+    one-row frame and the argmax runs inside the row — ZERO exchanges
+    on the corpus path, the plan that survives 100 TB.
+
+    Tie/edge semantics exactly match the old
+    (cos desc, cent_id asc) window order: each cosine is computed
+    once (transform), the fold keeps the EARLIEST (lowest cent_id) on
+    exact ties via strict >, Spark orders NaN above every real so a
+    NaN cosine wins just as it led the desc sort, a NULL cosine
+    (zero-norm side, try_divide) loses to any real value, and an
+    all-NULL row yields the first centroid with cos NULL — the
+    nulls-last desc window picked the same."""
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            cosine(vec, c["cent"]).alias("cos"),
+            c["cent_id"].cast("long").alias("cent_id"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("double").alias("cos"),
+            F.lit(None).cast("long").alias("cent_id"),
+        ),
+        lambda acc, x: F.when(
+            acc["cent_id"].isNull()  # seed with the first element
+            | (x["cos"] > acc["cos"])  # strict: earliest wins ties
+            | (acc["cos"].isNull() & x["cos"].isNotNull()),
+            x,
+        ).otherwise(acc),
+    )
+
+
 def hyperplane_matrix(
     dim: int, n_bits: int, seed: int = 42
 ) -> list[list[float]]:

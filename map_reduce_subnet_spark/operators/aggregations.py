@@ -280,12 +280,31 @@ def agg_normalize_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_ema",
     oracle="""
-SELECT user_id,
-       ROUND(list_reduce(list_prepend(1.0, list(value ORDER BY ts, event_id)),
-                         (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ema,
-       COUNT(*) AS n_events
-FROM events
-GROUP BY user_id
+WITH per_bin AS (
+  SELECT user_id, CAST(ts AS DATE) AS bin,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                                  list(CAST(0.9 AS DOUBLE) ORDER BY ts, event_id)),
+                     (acc, x) -> acc * x) AS a,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(value ORDER BY ts, event_id)),
+                     (acc, x) -> acc * 0.9 + x * 0.1) AS t,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, ROUND(m.a * 1.0 + m.t, 6) AS ema, n_events
+FROM (
+  SELECT user_id,
+         list_reduce(
+             list_prepend(struct_pack(a := CAST(1.0 AS DOUBLE),
+                                      t := CAST(0.0 AS DOUBLE)),
+                          list(struct_pack(a := a, t := t) ORDER BY bin)),
+             (acc, x) -> struct_pack(a := x.a * acc.a,
+                                     t := x.a * acc.t + x.t)) AS m,
+         CAST(SUM(n) AS BIGINT) AS n_events
+  FROM per_bin
+  GROUP BY user_id
+)
 """,
 )
 def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,28 +312,64 @@ def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's score fold, validator.py:146: s ← α·s + (1−α)·x,
     seeded with 1.0 like torch.ones_like at validator.py:110).
 
-    Closed form per group via collect_list + F.aggregate: stays JVM-side
-    (no Python UDF), shuffles once on user_id. Groups are bounded
-    (per-key event history), so collect_list per group is safe at scale;
-    the unbounded-stream variant is streaming/jobs.py::stateful_ema.
+    Scale shape — TWO-LEVEL BINNED FOLD (the join_asof_binned pattern):
+    each event is the linear map s → 0.9·s + 0.1·x, and linear maps
+    compose, so a (user, day) bin folds to the pair (a, t) with
+    s → a·s + t (a = ∏0.9, t = the bin's fold from 0). Level 1 groups
+    by (user_id, day) — partitions bounded by per-day event rate, so
+    one hot user with years of history never becomes one giant
+    collect_list row in one task (the pre-r6 single-level form did
+    exactly that). Level 2 folds the per-day pairs in day order —
+    bins per user = history span in days, ~1000× smaller than events.
+    Both levels stay JVM-side (collect_list + F.aggregate, no Python).
 
-    SQL-oracled bit-exact: DuckDB list_reduce folds the same ordered
-    list left-to-right with the same seed (verified at all three SFs) —
-    the order-sensitive recurrence IS deterministic once the sort key
-    (ts, event_id) is total.
-    """
+    Bit-exact with the oracle BY CONSTRUCTION: the DuckDB SQL spells
+    out the IDENTICAL two-level computation (same bin cut, same
+    seeds, same left-to-right IEEE mul/add sequence — a is a repeated
+    0.9 product, never pow(), whose libm results could differ), so
+    both engines execute the same float program. In exact arithmetic
+    the binned fold equals the sequential one; in doubles they differ
+    ~1e-15, which is why the oracle mirrors the binning instead of
+    the naive single fold."""
     ev = load_table(spark, sf_dir, "events")
     pairs = F.array_sort(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
     )
-    ema = F.aggregate(
+    seg = F.aggregate(
         pairs,
-        F.lit(1.0).cast("double"),
-        lambda acc, x: acc * F.lit(0.9) + x["value"] * F.lit(0.1),
+        F.struct(
+            F.lit(1.0).cast("double").alias("a"),
+            F.lit(0.0).cast("double").alias("t"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["a"] * F.lit(0.9)).alias("a"),
+            (acc["t"] * F.lit(0.9) + x["value"] * F.lit(0.1)).alias("t"),
+        ),
     )
-    return (
-        ev.groupBy("user_id")
-        .agg(F.round(ema, 6).alias("ema"), F.count("*").alias("n_events"))
+    per_bin = (
+        ev.withColumn("bin", F.col("ts").cast("date"))
+        .groupBy("user_id", "bin")
+        .agg(seg.alias("seg"), F.count("*").alias("n"))
+    )
+    bins = F.array_sort(F.collect_list(F.struct(F.col("bin"), F.col("seg"))))
+    # level 2 COMPOSES the per-day maps ((a2,t2)∘(a1,t1) =
+    # (a2·a1, a2·t1 + t2)) and applies the result to the 1.0 seed at
+    # the end — the same float program the oracle runs
+    m = F.aggregate(
+        bins,
+        F.struct(
+            F.lit(1.0).cast("double").alias("a"),
+            F.lit(0.0).cast("double").alias("t"),
+        ),
+        lambda acc, b: F.struct(
+            (b["seg"]["a"] * acc["a"]).alias("a"),
+            (b["seg"]["a"] * acc["t"] + b["seg"]["t"]).alias("t"),
+        ),
+    )
+    ema = m["a"] * F.lit(1.0) + m["t"]
+    return per_bin.groupBy("user_id").agg(
+        F.round(ema, 6).alias("ema"),
+        F.sum("n").alias("n_events"),
     )
 
 

@@ -599,42 +599,43 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale path: assignment is a broadcast map (centroids are tiny),
     the search probes one cell ≈ 1/8 of the corpus; real IVF trains
-    centroids — here they're pinned for determinism.
+    centroids — here they're pinned for determinism. The argmax runs
+    INSIDE each corpus row (sim.nearest_centroid over a broadcast
+    one-row centroid array): zero exchanges on the corpus before the
+    cell probe — the old row_number-window form shuffled corpus×8
+    rows just to reduce 8 per key (plan-linted in test_plans.py).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        e.where(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    cents_arr = F.broadcast(
+        sim.centroid_array(
+            e.where(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent"),
+            )
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     assigned = (
-        e.crossJoin(cents)
+        e.crossJoin(cents_arr)
         .select(
             "vec_id",
             "embedding",
-            "cent_id",
-            sim.cosine(F.col("embedding"), F.col("cent")).alias("cos_c"),
+            sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
+                "cent_id"
+            ].alias("cent_id"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
     )
     # the probe's cell is derived from the probe row alone (8 cosines),
     # NOT by filtering `assigned` — that would re-execute the whole
     # corpus×centroids assignment subtree a second time (no auto-cache)
-    probe_w = Window.orderBy(F.desc("cos_c"), F.asc("cent_id"))
     probe_cell = (
         e.where(F.col("vec_id") == 42)
-        .crossJoin(cents)
+        .crossJoin(cents_arr)
         .select(
-            "cent_id",
+            sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
+                "cent_id"
+            ].alias("probe_cell"),
             F.col("embedding").alias("probe"),
-            sim.cosine(F.col("embedding"), F.col("cent")).alias("cos_c"),
         )
-        .withColumn("rn", F.row_number().over(probe_w))
-        .where(F.col("rn") == 1)
-        .select(F.col("cent_id").alias("probe_cell"), "probe")
     )
     return (
         assigned.join(
@@ -827,33 +828,32 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- IVF: assign corpus to pinned centroid cells, search the
-    # probe's cell only (the sim_ann_ivf machinery, n probes at once)
-    cents = F.broadcast(
-        e.where(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    # probes' cells only (the sim_ann_ivf machinery, n probes at once;
+    # same shuffle-free per-row argmax — no corpus exchange before
+    # the cell-probe join)
+    cents_arr = F.broadcast(
+        sim.centroid_array(
+            e.where(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent"),
+            )
         )
     )
-    cos_c = sim.cosine(F.col("embedding"), F.col("cent"))
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
-    assigned = (
-        e.crossJoin(cents)
-        .select("vec_id", "embedding", "cent_id", cos_c.alias("cos_c"))
-        .withColumn("rn", F.row_number().over(aw))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+    assigned = e.crossJoin(cents_arr).select(
+        "vec_id",
+        "embedding",
+        sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
+            "cent_id"
+        ].alias("cent_id"),
     )
-    pw = Window.partitionBy("p_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     probe_cells = F.broadcast(
-        probes.crossJoin(cents)
-        .select(
+        probes.crossJoin(cents_arr).select(
             "p_id",
             "probe",
-            "cent_id",
-            sim.cosine(F.col("probe"), F.col("cent")).alias("cos_c"),
+            sim.nearest_centroid(F.col("probe"), F.col("cents"))[
+                "cent_id"
+            ].alias("probe_cell"),
         )
-        .withColumn("rn", F.row_number().over(pw))
-        .where(F.col("rn") == 1)
-        .select("p_id", "probe", F.col("cent_id").alias("probe_cell"))
     )
     ivf = topk(
         assigned.join(probe_cells, F.col("cent_id") == F.col("probe_cell"))

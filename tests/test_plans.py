@@ -126,6 +126,19 @@ def test_quality_c4_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF centroid assignment must be a per-row fold over a broadcast
+    centroid array (sim.nearest_centroid), never a row_number window —
+    the window form hash-shuffles corpus×n_centroids rows just to
+    reduce n_centroids per key. The only allowed exchanges are the
+    tiny single-partition centroid collect (8 rows) and broadcasts;
+    the corpus path reaches the cell-probe join unshuffled."""
+    plan = formatted_plan(q(spark, "sim_ann_ivf"))
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_stratified_rebalance_is_broadcast_no_corpus_shuffle(spark):
     """The rebalance sampler must broadcast the per-stratum counts and
     the floor scalar — the corpus itself must not shuffle (its only
