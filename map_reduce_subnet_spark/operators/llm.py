@@ -1593,7 +1593,8 @@ SELECT doc_id, d.lang
 FROM documents d
 JOIN counts ON d.lang = counts.lang
 CROSS JOIN floor_c
-WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+WHERE CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
+      / 4294967296.0
       < CAST(min_c AS DOUBLE) / CAST(c AS DOUBLE)
 """,
 )
@@ -1606,7 +1607,13 @@ def sample_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     selector (Knuth's 2654435761 mod 2^32 mapped to [0,1)), NOT
     rand(): the same doc set is chosen on every engine and every run,
     which is what makes the query SQL-oracled — and what a production
-    pipeline wants anyway (reproducible corpus builds).
+    pipeline wants anyway (reproducible corpus builds). doc_id is
+    reduced mod 2^31 BEFORE the multiply so the product is at most
+    (2^31−1)·2654435761 ≈ 5.7e18 < 2^63−1: without the reduction a
+    doc_id beyond ~3.47e9 overflows int64, where Spark silently
+    wraps but DuckDB RAISES — the engines would diverge exactly at
+    the scales this operator claims to serve. (mod 2^32 is NOT
+    enough: (2^32−1)·2654435761 ≈ 1.14e19 still overflows.)
 
     Scale shape: one partial-aggregated count per stratum (tiny), the
     floor is a one-row broadcast, the per-doc predicate is scan-local
@@ -1617,7 +1624,8 @@ def sample_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("lang").agg(F.count("*").alias("c"))
     floor_c = counts.agg(F.min("c").alias("min_c"))
     frac = (
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+         % F.lit(4294967296))
         .cast("double")
         / F.lit(4294967296.0)
     )

@@ -155,16 +155,22 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket aggregates only (n / 4096 rows — the one intentionally
     tiny serial pass), joined back on the bucket key so the join
     reuses the bucket hash partitioning. max_seen = greatest(in-bucket
-    running max, prior-bucket max). The query self-lints: it RAISES
-    unless the row-level window runs bucket-partitioned and at most
-    one single-partition exchange (the compressed bucket pass) appears
-    in the plan — the regression that would reintroduce the global
-    sort."""
+    running max, prior-bucket max). The query self-lints with a
+    WARNING (tests/test_plans.py asserts the same invariants hard):
+    explain-output wording shifts across Spark/optimizer versions, so
+    a healthy plan must never become a runtime failure — but a
+    degraded plan should still announce itself outside the test
+    suite."""
+    import warnings
     from map_reduce_subnet_spark.plans import formatted_plan
 
     bucket_size = 4096  # events per arrival-order block
+    # integer DIV, not double division + cast: the cast truncates
+    # toward zero (wrong block for negative ids) and double loses
+    # exactness past 2^53 — either silently mis-buckets the running
+    # max at the scales this operator advertises
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "bucket", (F.col("event_id") / bucket_size).cast("long")
+        "bucket", F.expr(f"event_id DIV {bucket_size}")
     )
     w_row = (
         Window.partitionBy("bucket")
@@ -193,15 +199,21 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     # line, so match the partitioning spec, not "Exchange <spec>"
     plan = formatted_plan(out)
     if "hashpartitioning(bucket" not in plan:
-        raise RuntimeError(
-            "stream_watermark_late: row-level running max is not "
-            f"bucket-partitioned — global sort regression. Plan:\n{plan}"
+        warnings.warn(
+            "stream_watermark_late: row-level running max does not "
+            "appear bucket-partitioned — possible global-sort "
+            "regression (or explain-format drift; see "
+            "tests/test_plans.py::test_watermark_late_two_level_prefix)",
+            RuntimeWarning,
+            stacklevel=2,
         )
     if plan.count("SinglePartition") > 1:
-        raise RuntimeError(
+        warnings.warn(
             "stream_watermark_late: more than one single-partition "
-            "exchange — a full-table serial pass crept back in. "
-            f"Plan:\n{plan}"
+            "exchange in the plan — a full-table serial pass may have "
+            "crept back in",
+            RuntimeWarning,
+            stacklevel=2,
         )
     return out
 

@@ -75,11 +75,33 @@ def _read_events_stream(
     timestamp[us] since round 4 (FIXTURES.md); declaring nanos against
     a microsecond file silently compresses event time 1000x, which is
     exactly the regression this probe exists to prevent
-    (tests/test_edge_inputs.py pins all three encodings)."""
+    (tests/test_edge_inputs.py pins all three encodings).
+
+    EVERY file matched by the glob is probed, not just one: a
+    directory mixing ns and us files (plausible across fixture
+    regenerations) would otherwise read the other encoding 1000x off
+    with no error — a mixed directory RAISES instead. Footer probes
+    are O(KB) metadata reads and happen once at stream start, so this
+    stays cheap even over many files."""
+    import glob as _glob
+    import os
+
     import pyarrow.parquet as pq
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ts_type = str(pq.read_schema(probe_file).field("ts").type)
+    candidates = (
+        sorted(_glob.glob(os.path.join(glob_path, "*.parquet")))
+        if os.path.isdir(glob_path)
+        else sorted(_glob.glob(glob_path))
+    ) or [probe_file]
+    ts_types = {f: str(pq.read_schema(f).field("ts").type) for f in candidates}
+    if len(set(ts_types.values())) > 1:
+        raise ValueError(
+            "mixed events.ts parquet encodings in one stream source — "
+            "a single declared schema would silently misread some "
+            f"files: {ts_types}"
+        )
+    ts_type = next(iter(ts_types.values()))
     if ts_type == "timestamp[ns]":
         declared: DataType = LongType()
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

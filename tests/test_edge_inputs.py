@@ -189,6 +189,27 @@ def test_ts_matrix_streaming_reader_agrees(spark, tmp_path):
     assert len(seen["ns"]) == 24
 
 
+def test_streaming_reader_rejects_mixed_encodings(spark, tmp_path):
+    """A directory mixing ns and us parquet files cannot be read under
+    ONE declared stream schema — whichever encoding loses is off by
+    1000x with no error. The reader must probe every file's footer and
+    refuse the mix loudly."""
+    import shutil
+
+    import pytest
+
+    from map_reduce_subnet_spark.streaming.jobs import _read_events_stream
+
+    d_ns = _write_events_encoded(tmp_path, "ns")
+    d_us = _write_events_encoded(tmp_path, "us_ntz")
+    mixed = tmp_path / "events_mixed"
+    mixed.mkdir()
+    shutil.copy(f"{d_ns}/events.parquet", str(mixed / "a.parquet"))
+    shutil.copy(f"{d_us}/events.parquet", str(mixed / "b.parquet"))
+    with pytest.raises(ValueError, match="mixed events.ts"):
+        _read_events_stream(spark, str(mixed / "a.parquet"), str(mixed))
+
+
 # ---------------------------------------------------------------------------
 # Empty-corpus robustness: every operator family must return a
 # schema-stable (possibly empty) result over zero-row tables instead of

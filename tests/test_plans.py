@@ -139,6 +139,18 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_watermark_late_two_level_prefix(spark):
+    """stream_watermark_late's running max must stay the two-level
+    parallel prefix: the row-level window bucket-partitioned, and at
+    most ONE single-partition exchange (the n/4096-row bucket pass) —
+    never a global sort of the fact table. The query itself only
+    WARNS on these (explain wording can drift across Spark versions);
+    this test is the hard gate."""
+    plan = formatted_plan(q(spark, "stream_watermark_late"))
+    assert "hashpartitioning(bucket" in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+
+
 def test_stratified_rebalance_is_broadcast_no_corpus_shuffle(spark):
     """The rebalance sampler must broadcast the per-stratum counts and
     the floor scalar — the corpus itself must not shuffle (its only
