@@ -10,7 +10,11 @@ Decode support is split by what the container can honestly do:
   uncompressed PCM WAV (RIFF header + samples — stdlib ``struct`` +
   numpy) and binary PPM (P6 — ASCII header + raw RGB). The registered
   query ``multimodal_decode_wav`` runs this path end to end.
-- **Codec-compressed formats (JPEG/PNG/MP4/Opus...) remain a
+- **PNG decodes for real too** (``decode_png``): a genuinely
+  DEFLATE-compressed format handled with stdlib ``zlib`` + ``struct``
+  — chunk walk, CRC check, IDAT inflate, all five per-row unfilters.
+  ``multimodal_decode_png`` runs it end to end.
+- **Codec-compressed formats (JPEG/MP4/Opus...) remain a
   clearly-marked stub** (NotImplementedError): real decoding needs
   codec libraries (Pillow/ffmpeg) that are not in this environment.
   The surrounding Spark plumbing (schema, batch iteration, partition
@@ -26,6 +30,7 @@ any wide operation).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -94,6 +99,159 @@ def decode_ppm_p6(payload: bytes) -> np.ndarray:
     return raw.reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def _paeth(left: int, up: int, upleft: int) -> int:
+    """The Paeth predictor (PNG spec §9.4)."""
+    p = left + up - upleft
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else upleft
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG blob → uint8 array (h, w, channels) with pure
+    stdlib ``zlib`` + ``struct`` — a REAL decode of a genuinely
+    DEFLATE-compressed format, no codec libraries: chunk walk with
+    CRC32 verification, concatenated-IDAT inflate, then per-row
+    unfiltering of all five PNG filter types (None/Sub/Up/Average/
+    Paeth). Supports 8-bit depth, color types 0/2/4/6 (gray, RGB,
+    gray+alpha, RGBA), non-interlaced — the shapes synthesize_png
+    emits and the overwhelmingly common web case. Raises ValueError
+    on anything else (palette, 16-bit, Adam7).
+
+    The per-row unfilter runs vectorized where the recurrence allows
+    (Up is a plain numpy add); Sub/Average/Paeth are sequential in
+    the defined byte order. Inside mapInPandas this is per-task
+    Python — fine for the decode-stage demonstration; a production
+    deployment swaps in a codec lib behind the same decode_media
+    dispatch."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 12 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if zlib.crc32(cid + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {cid!r} chunk")
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG shape (depth={depth}, color={ctype}, "
+            f"interlace={interlace}); 8-bit 0/2/4/6 non-interlaced only"
+        )
+    nch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length does not match IHDR dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for i in range(nch, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - nch])) & 0xFF
+        elif ftype == 2:  # Up — uint8 add wraps mod 256, vectorized
+            cur = line + prev
+        elif ftype == 3:  # Average
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - nch]) if i >= nch else 0
+                cur[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - nch]) if i >= nch else 0
+                upleft = int(prev[i - nch]) if i >= nch else 0
+                cur[i] = (
+                    int(line[i]) + _paeth(left, int(prev[i]), upleft)
+                ) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, nch)
+
+
+def synthesize_png(seed: int, w: int = 24, h: int = 16, ctype: int = 2) -> bytes:
+    """Deterministic PNG bytes: a seed-derived 8-bit pixel gradient,
+    DEFLATE-compressed with the row filter type CYCLING 0→4 so a
+    decoder must exercise every unfilter path (None, Sub, Up, Average,
+    Paeth) on every image — the forward filters here are the spec's
+    §9 definitions, byte order and all. Gives the decode path real
+    compressed PNGs without codec libs or binary fixtures."""
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    # seed-derived pixels with enough structure that every filter
+    # actually transforms the row
+    yy, xx = np.mgrid[0:h, 0:stride]
+    img = ((xx * 7 + yy * 13 + seed * 31) + (xx * yy) // 3).astype(np.uint8)
+    filtered = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = img[y]
+        ftype = y % 5
+        filtered.append(ftype)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:  # Sub
+            enc = cur.copy()
+            enc[nch:] = (cur[nch:].astype(np.int16) - cur[:-nch]) & 0xFF
+        elif ftype == 2:  # Up
+            enc = cur - prev
+        elif ftype == 3:  # Average
+            enc = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - nch]) if i >= nch else 0
+                enc[i] = (int(cur[i]) - ((left + int(prev[i])) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - nch]) if i >= nch else 0
+                upleft = int(prev[i - nch]) if i >= nch else 0
+                enc[i] = (
+                    int(cur[i]) - _paeth(left, int(prev[i]), upleft)
+                ) & 0xFF
+        filtered.extend(enc.tobytes())
+        prev = cur
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synthesize_wav(seed: int, n_frames: int = 800, rate: int = 8000) -> bytes:
     """Deterministic 16-bit mono PCM WAV: a fixed-point sine whose
     frequency derives from the seed. Gives the decode path REAL wav
@@ -127,9 +285,12 @@ def decode_media(payload: bytes, media_type: str):
         return decode_wav_pcm(payload)
     if media_type == "image/ppm":
         return decode_ppm_p6(payload)
+    if media_type == "image/png":
+        return decode_png(payload)
     raise NotImplementedError(
         f"media decoding for {media_type!r} requires codec libraries; "
         "this build decodes pure-bytes formats (audio/wav, image/ppm) "
-        "and ships the Spark plumbing + a deterministic fake featurizer "
-        "for the rest (see operators/llm.py::multimodal_features)"
+        "and DEFLATE-compressed PNG (image/png, stdlib zlib) and ships "
+        "the Spark plumbing + a deterministic fake featurizer for the "
+        "rest (see operators/llm.py::multimodal_features)"
     )

@@ -107,6 +107,24 @@ def nearest_centroid(vec: Column, cents: Column) -> Column:
     )
 
 
+def int8_dequantized(col: Column) -> Column:
+    """Symmetric per-vector int8 quantize→dequantize roundtrip
+    (scale = max|x| / 127, dequantize = round(x / scale) · scale) as a
+    pure array transform — JVM-side, no Python. The column this
+    returns is what a deployment that stores its corpus quantized
+    actually searches over, so recall measurements
+    (sim_quantized_recall, sim_ann_recall's lsh_int8_quant leg) run
+    their candidate generation AND scoring on it. A zero vector keeps
+    scale 0 and dequantizes to zeros instead of dividing by zero."""
+    absmax = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    scale = absmax / F.lit(127.0)
+    return F.when(
+        absmax == 0.0, F.transform(col, lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(col, lambda x: F.round(x.cast("double") / scale) * scale)
+    )
+
+
 def hyperplane_matrix(
     dim: int, n_bits: int, seed: int = 42
 ) -> list[list[float]]:

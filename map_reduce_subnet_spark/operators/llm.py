@@ -780,9 +780,9 @@ ANN_RECALL_K = 10
 
 @query("sim_ann_recall")  # rows-only: measurement harness over hash-based ANN
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the three approximate methods (IVF cells, sign-LSH
-    bands, multi-probe LSH) against the exact brute-force top-10,
-    averaged over 20 probe vectors — turns "the ANN runs" into "the
+    """Recall@10 of the four approximate methods (IVF cells, sign-LSH
+    bands, multi-probe LSH, int8-quantized LSH) against the exact
+    brute-force top-10, averaged over 20 probe vectors — turns "the ANN runs" into "the
     ANN is this good", the number a deployment tunes bands/cells
     against. The lsh vs lsh_multiprobe pair prices the multi-probe
     trade directly: recall lift per 9x bucket occupancy.
@@ -938,6 +938,29 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh_mp = topk(lsh_mp_cand)
 
+    # --- int8 + LSH composed: a deployment that stores its corpus
+    # quantized builds the sketches AND scores candidates from the
+    # dequantized int8 vectors (probes stay float — asymmetric
+    # search). This leg prices the quantized DEPLOYMENT as a whole:
+    # banding on dequantized vectors can move a sketch bit, so its
+    # recall can differ from the float-lsh leg even though int8
+    # ranking alone is near-lossless (sim_quantized_recall).
+    deq = e.select(
+        "vec_id", sim.int8_dequantized(F.col("embedding")).alias("embedding")
+    )
+    corpus_bands_q = stable_checkpoint(band_frame(deq, "vec_id", "embedding"))
+    lsh_q_cand = (
+        corpus_bands_q.join(
+            probe_bands,
+            (F.col("band") == F.col("p_band"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .where(F.col("vec_id") != F.col("p_id"))
+        .dropDuplicates(["p_id", "vec_id"])
+        .select("p_id", "vec_id", cos_pe.alias("cos"))
+    )
+    lsh_q = topk(lsh_q_cand)
+
     denom = float(n_probes * k)
 
     def recall_row(ann, method):
@@ -959,6 +982,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_row(ivf, "ivf")
         .unionAll(recall_row(lsh, "lsh"))
         .unionAll(recall_row(lsh_mp, "lsh_multiprobe"))
+        .unionAll(recall_row(lsh_q, "lsh_int8_quant"))
     )
 
 
@@ -1725,6 +1749,66 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_decode_png")  # rows-only: zlib decode, python parity test
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a genuinely COMPRESSED format, no codec libs:
+    each doc gets a deterministic DEFLATE-compressed PNG payload
+    (BinaryType) whose row filters cycle through all five PNG filter
+    types, and a mapInPandas stage inflates the IDAT stream, verifies
+    chunk CRCs and unfilters every row (functions/multimodal.py::
+    decode_png — validated against real-world encoder output, e.g.
+    256x256 RGBA icons) — emitting width, height, channels, the mean
+    pixel value and an order-sensitive pixel checksum per blob.
+
+    The decoder/synthesizer live once in functions/multimodal.py and
+    are shipped BY VALUE (register_pickle_by_value): module-level
+    functions otherwise pickle by reference and break on workers
+    whose sys.path lacks this repo — the exact failure mode the WAV
+    query avoids by inlining. tests/test_llm.py pins the decoded
+    pixels against the library decode run driver-side.
+
+    Scale: payload synthesis and decode are scan-local per-batch work
+    (constant memory per Arrow batch, no shuffle of binary columns);
+    at 100 TB the decode stage parallelizes with input partitioning
+    exactly like any other mapInPandas featurizer."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.functions import multimodal as _mm
+
+    _cp.register_pickle_by_value(_mm)
+    synthesize, decode = _mm.synthesize_png, _mm.decode_png
+
+    def decode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = decode(synthesize(int(doc_id)))
+                h, w, nch = img.shape
+                flat = img.reshape(-1).astype(np.uint64)
+                weights = (np.arange(flat.size, dtype=np.uint64) % 251) + 1
+                checksum = int((flat * weights).sum() % (2**31 - 1))
+                rows.append(
+                    (int(doc_id), w, h, nch, float(img.mean()), checksum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels",
+                    "mean_pixel", "pixel_checksum",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, n_channels long, "
+        "mean_pixel double, pixel_checksum long",
+    )
+
+
 @query(
     "quality_dedup_rates",
     oracle="""
@@ -1796,18 +1880,7 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def dequantized(col):
-        absmax = F.array_max(
-            F.transform(col, lambda x: F.abs(x.cast("double")))
-        )
-        scale = absmax / F.lit(127.0)
-        return F.when(
-            absmax == 0.0, F.transform(col, lambda x: F.lit(0.0))
-        ).otherwise(
-            F.transform(
-                col, lambda x: F.round(x.cast("double") / scale) * scale
-            )
-        )
+    dequantized = sim.int8_dequantized
 
     topw = Window.partitionBy("p_id").orderBy(F.desc("cos"), F.asc("vec_id"))
 

@@ -296,13 +296,18 @@ def test_ann_recall_golden(spark):
         r["method"]: r
         for r in QUERIES["sim_ann_recall"](spark, SF_DIR).collect()
     }
-    assert set(got) == {"ivf", "lsh", "lsh_multiprobe"}
+    assert set(got) == {"ivf", "lsh", "lsh_multiprobe", "lsh_int8_quant"}
     for r in got.values():
         assert r["n_probes"] == 20 and r["k"] == 10
         assert 0.0 <= r["recall_at_k"] <= 1.0
     assert got["ivf"]["recall_at_k"] == 0.55
     assert got["lsh"]["recall_at_k"] == 0.1
     assert got["lsh_multiprobe"]["recall_at_k"] == 0.58
+    # int8 quantization does not move the fixture's sketch bits or the
+    # candidate ranking at this SF: the quantized deployment keeps
+    # float-LSH recall exactly (sim_quantized_recall separately shows
+    # int8 ranking fidelity ~1.0 on the exact path)
+    assert got["lsh_int8_quant"]["recall_at_k"] == 0.1
     # the exact baseline dominates any ANN: recall is a fraction of it
     assert got["ivf"]["recall_at_k"] > got["lsh"]["recall_at_k"]
     # multi-probe's whole point: strictly more recall than single-probe
@@ -474,6 +479,71 @@ def test_multimodal_decode_wav_parity(spark):
         assert got.loc[doc_id, "sample_rate"] == rate
 
 
+def test_png_decode_roundtrip_and_rejections():
+    """decode_png must invert synthesize_png for every supported color
+    type (the synthesizer cycles all five row filters, so each image
+    exercises every unfilter path), reproduce the seed formula's
+    pixels exactly, and reject corrupted CRCs and unsupported shapes
+    loudly instead of emitting garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_subnet_spark.functions.multimodal import (
+        _PNG_CHANNELS,
+        decode_png,
+        synthesize_png,
+    )
+
+    for ctype in (0, 2, 4, 6):
+        nch = _PNG_CHANNELS[ctype]
+        img = decode_png(synthesize_png(9, w=24, h=16, ctype=ctype))
+        assert img.shape == (16, 24, nch)
+        stride = 24 * nch
+        yy, xx = np.mgrid[0:16, 0:stride]
+        exp = ((xx * 7 + yy * 13 + 9 * 31) + (xx * yy) // 3).astype(
+            np.uint8
+        ).reshape(16, 24, nch)
+        assert np.array_equal(img, exp), ctype
+    # real compression happened (not a stored block)
+    assert len(synthesize_png(5)) < 16 * 24 * 3
+    bad = bytearray(synthesize_png(1))
+    bad[-5] ^= 0xFF  # flip a bit inside the IEND CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + b"\x00" * 64)
+
+
+def test_multimodal_decode_png_parity(spark):
+    """The PNG decode query must bit-match the library
+    synthesize_png/decode_png pair driver-side — including the
+    weighted pixel checksum, which is order-sensitive so any
+    mis-unfiltered byte anywhere in the image changes it."""
+    import numpy as np
+
+    from map_reduce_subnet_spark.functions.multimodal import (
+        decode_png,
+        synthesize_png,
+    )
+
+    got = (
+        QUERIES["multimodal_decode_png"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (got["width"] == 24).all()
+    assert (got["height"] == 16).all()
+    assert (got["n_channels"] == 3).all()
+    for doc_id in list(got.index[:5]):
+        img = decode_png(synthesize_png(int(doc_id)))
+        flat = img.reshape(-1).astype(np.uint64)
+        weights = (np.arange(flat.size, dtype=np.uint64) % 251) + 1
+        checksum = int((flat * weights).sum() % (2**31 - 1))
+        assert got.loc[doc_id, "pixel_checksum"] == checksum
+        assert got.loc[doc_id, "mean_pixel"] == float(img.mean())
+
+
 def test_decode_media_dispatch():
     """decode_media routes pure-bytes formats to the real decoders and
     still raises the honest stub error for codec formats."""
@@ -490,6 +560,10 @@ def test_decode_media_dispatch():
     ppm = b"P6\n2 2\n255\n" + bytes(range(12))
     img = decode_media(ppm, "image/ppm")
     assert img.shape == (2, 2, 3) and img[0, 0, 0] == 0 and img[1, 1, 2] == 11
+    from map_reduce_subnet_spark.functions.multimodal import synthesize_png
+
+    png = decode_media(synthesize_png(3), "image/png")
+    assert png.shape == (16, 24, 3)
     with _pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
 
