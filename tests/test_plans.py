@@ -139,6 +139,23 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_skew_join_really_splits(spark):
+    """join_skew_aqe must actually trigger the runtime skew split:
+    after execution the FINAL adaptive plan shows skew=true on the
+    sort-merge join — otherwise the query is just a slow skewed SMJ
+    wearing an AQE costume. Runs at sf0.01 because the hot
+    partition's shuffle bytes at sf0.001 sit under the (already
+    lowered) trigger threshold. Also asserts the conf sandbox: the
+    isolated newSession must not leak the demo thresholds back into
+    the shared session."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = QUERIES["join_skew_aqe"](spark, "/root/testdata/sf0.01")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final, final
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
 def test_watermark_late_two_level_prefix(spark):
     """stream_watermark_late's running max must stay the two-level
     parallel prefix: the row-level window bucket-partitioned, and at
