@@ -37,67 +37,60 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # (1) new in round 5 — need their first driver row
-    "text_quality_c4",
-    "text_collocations_pmi",
-    "sim_ann_multiprobe_topk",
-    "stream_stream_join_true",
-    "sample_stratified_rebalance",
-    "multimodal_decode_wav",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "join_asof_binned",
-    "window_ntile_cume",
-    "timeseries_gapfill",
-    "quality_dedup_rates",
+    # (1) new in round 6 — need their first driver row
+    "join_skew_aqe",
+    "multimodal_decode_png",
+    # (2) changed this round: agg_ema moved to the two-level
+    # (user, day)-binned fold (new oracle too); sim_ann_ivf and
+    # sim_ann_recall's IVF leg moved to the shuffle-free
+    # nearest_centroid fold; sim_ann_recall grew the lsh_int8_quant
+    # leg and sim_quantized_recall now shares int8_dequantized;
+    # sample_stratified_rebalance got the overflow-safe mod-2^31
+    # selector (both engines); stream_watermark_late buckets with
+    # integer DIV; join_bucketed caches its bucketed scratch; every
+    # streaming job reads through the all-files footer probe
+    "agg_ema",
+    "sim_ann_ivf",
+    "sim_ann_recall",
     "sim_quantized_recall",
-    "setop_except_all",
-    "setop_intersect_all",
-    "str_fuzzy_levenshtein",
-    "scan_partition_prune",
-    "agg_hll_sketch_merge",
-    "join_full_outer",
-    "agg_mode_deterministic",
-    "window_rank_stake",
-    "window_row_number",
-    "window_range_frame",
-    # (2) changed this round. The ts-encoding fix (events.ts went
-    # timestamp[ns]→timestamp[us] in the regenerated fixtures; batch
-    # loader + streaming reader now normalize both) touches every
-    # events-ts consumer; stream_session_true was PROMOTED rows→SQL;
-    # stream_watermark_late got the partition-parallel prefix plan;
-    # the two UDTF demos moved to Arrow-native applyInArrow;
-    # sim_ann_recall grew the lsh_multiprobe leg and the LSH/near-dup
-    # queries share the new band_struct_array helper
-    "stream_session_true",
-    "stream_tumbling_true",
-    "stream_sliding_true",
-    "stream_dedup_true",
+    "sample_stratified_rebalance",
+    "stream_watermark_late",
+    "join_bucketed",
     "stream_stateful_ema",
     "stream_stateful_ema_batches",
+    "stream_sliding_true",
+    "stream_tumbling_true",
+    "stream_dedup_true",
+    "stream_session_true",
     "stream_static_join_true",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_dedup",
-    "join_asof",
-    "join_theta_range",
-    "udtf_grouped_map",
-    "udtf_cogrouped_map",
-    "sim_ann_recall",
-    "sim_ann_lsh_topk",
-    "embed_neardup_cosine",
-    # (3) refresh the oldest green rows (hash-green in r3, untouched
-    # since) — projections, joins, aggregations, llm batch family
-    "project_arith",
-    "filter_compound",
-    "filter_null_semantics",
-    "join_broadcast",
-    "join_shuffle_equi",
-    "join_multiway_star",
-    "join_left_outer",
-    "join_semi",
+    "stream_stream_join_true",
+    # (3) the 25 keys whose newest driver row is still r1/r2 (rotated
+    # out by the 50-slot cap in r3-r5; several sit above shared
+    # helpers that changed since) — refresh them all this round
+    "agg_global",
+    "agg_approx_distinct",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_percentile",
+    "agg_string_agg",
+    "agg_corr",
+    "join_cross_bipartite",
+    "dedup_simhash",
+    "text_chunking",
+    "text_pii_scrub",
+    "multimodal_features",
+    "scan_filter_pushdown",
+    "scan_json_props",
+    "sink_roundtrip",
+    "str_posexplode",
+    "gen_date_spine",
+    "project_try_cast",
+    "agg_max_by",
+    "merge_upsert",
+    "join_broadcast_nested_loop",
+    "agg_approx_percentile",
+    "window_first_last",
+    "sink_csv_roundtrip",
 ]
 
 
