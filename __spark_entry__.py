@@ -40,6 +40,12 @@ _SWEEP_PRIORITY = [
     # (1) new in round 6 — need their first driver row
     "join_skew_aqe",
     "multimodal_decode_png",
+    "sessionize_events",
+    "join_interval_overlap",
+    "agg_histogram",
+    "window_zscore_anomaly",
+    "scan_orc_roundtrip",
+    "sim_ann_ivf_kmeans",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free

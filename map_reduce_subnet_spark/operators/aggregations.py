@@ -484,3 +484,46 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+       CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) * 5000.0 AS bin_lo,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (5000-wide bins) — the
+    value-distribution profile a scoring loop summarizes before
+    re-weighting (reference neurons/validator.py:130-136 folds raw
+    scores the same way before normalizing).
+
+    Scale shape: the bin key is computed scan-side, so the groupBy
+    partial-aggregates map-side down to O(n_bins) rows per task before
+    the shuffle — the cheapest possible distribution sketch. The bin
+    arithmetic (double divide, FLOOR, cast) is the identical float
+    program in both engines, so bin assignment is bit-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("long")
+    return (
+        li.select(
+            bin_col.alias("bin"),
+            F.col("l_extendedprice"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * F.lit(5000.0)).alias("bin_lo"),
+            "n_rows",
+            "sum_price",
+        )
+    )

@@ -577,3 +577,83 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(su, li.k == su.s_suppkey).select(
         "l_orderkey", "l_linenumber", "k", "s_name"
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+SELECT a.event_id AS err_id,
+       b.event_id AS buy_id,
+       LEAST(epoch_us(a.ts) + 120000000, epoch_us(b.ts) + 120000000)
+         - GREATEST(epoch_us(a.ts), epoch_us(b.ts) - 120000000)
+         AS overlap_us
+FROM events a
+JOIN events b
+  ON a.event_type = 'error'
+ AND b.event_type = 'purchase'
+ AND epoch_us(a.ts) <= epoch_us(b.ts) + 120000000
+ AND epoch_us(b.ts) - 120000000 <= epoch_us(a.ts) + 120000000
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key, made shuffle-joinable by
+    time-binning: error windows [ts, ts+2m] x purchase windows
+    [ts-2m, ts+2m], pairs whose closed intervals overlap (the staleness
+    overlap test of reference neurons/validator.py:166-170 generalized
+    to interval x interval).
+
+    The naive form is a cross join with a theta predicate — quadratic
+    at 100 TB. The scale plan: explode each interval into the 5-minute
+    buckets it covers (an interval of length <= 4m spans <= 2 buckets,
+    so the explode is a bounded x2, not a blow-up), equi-join on the
+    bucket, and keep a pair only in the ONE bucket containing
+    GREATEST(start_a, start_b) — that instant lies inside any overlap,
+    so each overlapping pair survives exactly once and needs no
+    distinct. All arithmetic on BIGINT epoch micros (exact for all
+    longs). Spark plans a plain hash shuffle on the bucket key; bucket
+    width tunes fan-out vs bucket occupancy like the LSH band caps."""
+    us = 1_000_000
+    width = 300 * us
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(etype: str, lo_off: int, hi_off: int, idc: str):
+        base = ev.where(F.col("event_type") == etype).select(
+            F.col("event_id").alias(idc),
+            (F.unix_micros(F.col("ts")) + lo_off).alias(f"{idc}_s"),
+            (F.unix_micros(F.col("ts")) + hi_off).alias(f"{idc}_e"),
+        )
+        return base.select(
+            idc,
+            f"{idc}_s",
+            f"{idc}_e",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{idc}_s") / width).cast("long"),
+                    F.floor(F.col(f"{idc}_e") / width).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+
+    a = side("error", 0, 120 * us, "err_id")
+    b = side("purchase", -120 * us, 120 * us, "buy_id")
+    return (
+        a.join(b, "bucket")
+        .where(
+            (F.col("err_id_s") <= F.col("buy_id_e"))
+            & (F.col("buy_id_s") <= F.col("err_id_e"))
+            & (
+                F.col("bucket")
+                == F.floor(
+                    F.greatest("err_id_s", "buy_id_s") / width
+                ).cast("long")
+            )
+        )
+        .select(
+            "err_id",
+            "buy_id",
+            (
+                F.least("err_id_e", "buy_id_e")
+                - F.greatest("err_id_s", "buy_id_s")
+            ).alias("overlap_us"),
+        )
+    )

@@ -1929,3 +1929,103 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k",
         )
     )
+
+
+@query("sim_ann_ivf_kmeans")  # rows-only: iterative training, not SQL
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids: 3 distributed Lloyd iterations of
+    k-means (k=8, cosine assignment) refine the pinned seeds that
+    sim_ann_ivf uses as-is, then the probe (vec_id 42) searches only
+    its trained cell — the missing "train" stage of the IVF story
+    (the reference re-fits its scoring state per round the same way,
+    reference neurons/validator.py:130-136: fold scores, re-derive the
+    structure, apply it next pass).
+
+    Scale shape per iteration: assignment is the shuffle-free
+    broadcast fold (sim.nearest_centroid — zero corpus exchanges);
+    the centroid update is posexplode → groupBy(cent_id, pos) with
+    map-side partial aggregation, so the shuffle carries O(k x dim)
+    partials per task, never the corpus. Component means use
+    decimal-exact sums (order-independent ⇒ deterministic centroids ⇒
+    golden-pinnable results). Each iteration syncs k x dim doubles
+    through the driver (k-means' inherent barrier; MLlib's
+    implementation does the same reduce) — 8 x 64 values here,
+    independent of corpus size. A drained centroid drops out
+    (standard k-means degeneracy; does not occur on the fixture)."""
+    from map_reduce_subnet_spark.functions.stable import SUM_DECIMAL
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    cents = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("long").alias("cent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
+    )
+    for _ in range(3):
+        cents_arr = F.broadcast(sim.centroid_array(cents))
+        assigned = e.crossJoin(cents_arr).select(
+            "embedding",
+            sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
+                "cent_id"
+            ].alias("cent_id"),
+        )
+        comp = assigned.select(
+            "cent_id", F.posexplode("embedding").alias("pos", "x")
+        )
+        means = comp.groupBy("cent_id", "pos").agg(
+            (
+                F.sum(F.col("x").cast(SUM_DECIMAL)).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        new_cents = (
+            means.groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cent_id",
+                F.transform("pm", lambda s: s["m"]).alias("cent"),
+            )
+        )
+        # sync the k x dim centroid block through the driver: breaks
+        # the per-iteration lineage (otherwise iteration i re-executes
+        # every prior assignment pass) and is corpus-size-independent
+        rows = new_cents.collect()
+        cents = spark.createDataFrame(
+            rows, "cent_id long, cent array<double>"
+        )
+    cents_arr = F.broadcast(sim.centroid_array(cents))
+    assigned = e.crossJoin(cents_arr).select(
+        "vec_id",
+        "embedding",
+        sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
+            "cent_id"
+        ].alias("cent_id"),
+    )
+    probe_cell = (
+        e.where(F.col("vec_id") == 42)
+        .crossJoin(cents_arr)
+        .select(
+            sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
+                "cent_id"
+            ].alias("probe_cell"),
+            F.col("embedding").alias("probe"),
+        )
+    )
+    return (
+        assigned.join(
+            F.broadcast(probe_cell), F.col("cent_id") == F.col("probe_cell")
+        )
+        .where(F.col("vec_id") != 42)
+        .select(
+            "vec_id",
+            F.round(sim.cosine(F.col("embedding"), F.col("probe")), 6).alias(
+                "cos_sim"
+            ),
+            "cent_id",
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )

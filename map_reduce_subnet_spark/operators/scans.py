@@ -348,3 +348,50 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a source/sink format: a lineitem slice lands in scratch
+    ORC and is read back; the aggregate over the ORC read must
+    hash-match the SQL over the original parquet, pinning the
+    roundtrip value-exact (doubles and strings are stored natively in
+    ORC — no text encoding involved).
+
+    Scale shape: ORC is the other mainstream columnar container —
+    splittable stripes, footer statistics, predicate pushdown and
+    column pruning all work exactly as with parquet, so a deployment
+    whose upstream lands ORC plugs into the same loader posture. The
+    columns are pruned at write time (select before write) and the
+    read-back scan prunes to the aggregate's inputs."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_orc_{uuid.uuid4().hex[:12]}"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    try:
+        li.write.orc(out)
+        back = spark.read.orc(out)
+        agg = back.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n_rows"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -308,3 +308,78 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         F.last("s", ignorenulls=True).over(w).alias("filled_sum"),
     )
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id,
+           event_id,
+           epoch_us(ts) AS ts_us,
+           value,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts_us, value,
+           CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_seq
+    FROM ordered
+)
+SELECT user_id,
+       session_seq,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: assign explicit session ids per user
+    (gap > 30 min starts a new session), then aggregate each session
+    (the axon request-session shape, reference neurons/miner.py:151-169,
+    as a batch lineage operator — stream_session aggregates the same
+    windows but never materializes a session ID you can join on).
+
+    Two window passes over ONE shuffle: lag() flags session starts,
+    a running sum converts flags to a per-user session sequence — both
+    windows share partitionBy(user_id)/orderBy(ts, event_id) so
+    Catalyst plans a single Exchange + Sort. Gap arithmetic runs on
+    BIGINT epoch micros (exact for all longs; doubles lose exactness
+    past 2^53). The final groupBy re-uses the same user_id-keyed
+    distribution. Per-user state is a sort, not a collect_list — hot
+    users spill gracefully instead of materializing one giant row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        dsum("value", "sum_value"),
+    )

@@ -300,3 +300,61 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "window_zscore_anomaly",
+    oracle="""
+WITH stats AS (
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v,
+           ROUND(SQRT((CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE)
+                       - CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                         * CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE))
+                      / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS sd_v
+    FROM events
+    GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s.mean_v) / s.sd_v AS z
+FROM events e
+JOIN stats s ON e.event_type = s.event_type
+WHERE ABS((e.value - s.mean_v) / s.sd_v) > 2.5
+""",
+)
+def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging: events whose value sits > 2.5 sample
+    standard deviations from its event_type's mean (the scoring-outlier
+    cut of reference neurons/validator.py:130-136, where mis-scored
+    responses are cut before the weight fold).
+
+    Scale shape: per-type moments come from ONE partial-aggregated
+    pass (decimal-exact sums, so the mean/sd are order-independent —
+    see functions/stable.py), the tiny stats frame broadcasts back
+    onto the fact scan, and the z computation + threshold run
+    scan-side with zero additional shuffles. The mean/sd are rounded
+    at 6dp IDENTICALLY in both engines and z is the same double
+    program after that, so the emitted z hashes bit-exact. A window
+    (AVG() OVER (PARTITION BY type)) would express the same thing but
+    shuffle the whole fact table; the broadcast-stats form is the
+    100 TB plan."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count("*").cast("double")
+    sx = F.sum(F.col("value").cast(SUM_DECIMAL)).cast("double")
+    sxx = F.sum((F.col("value") * F.col("value")).cast(SUM_DECIMAL)).cast(
+        "double"
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.round(sx / n, 6).alias("mean_v"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 6).alias(
+            "sd_v"
+        ),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > F.lit(2.5))
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )

@@ -578,3 +578,33 @@ def test_quantized_recall_golden(spark):
     assert r["method"] == "int8_dequant"
     assert r["n_probes"] == 20 and r["k"] == 10
     assert r["recall_at_k"] == 1.0
+
+
+def test_ann_ivf_kmeans_golden(spark):
+    """sim_ann_ivf_kmeans is fully deterministic (decimal-exact
+    component means, pinned seeds, explicit tie-breaks): pin the
+    trained-cell top-5 at sf0.001. Training must EARN its cost: the
+    untrained IVF cell for probe 42 misses the true nearest neighbor
+    (vec 52, exact rank #1) while 3 Lloyd iterations pull it into the
+    probed cell — recall@5 vs the exact top-5 goes 1/5 -> 2/5. Every
+    returned cosine must still be the TRUE cosine (numpy parity)."""
+    got = QUERIES["sim_ann_ivf_kmeans"](spark, SF_DIR).toPandas()
+    assert got["vec_id"].tolist() == [52, 27, 478, 361, 269]
+    emb = _embeddings().set_index("vec_id")["embedding"]
+    probe = np.asarray(emb.loc[42], dtype=np.float64)
+    for _, row in got.iterrows():
+        v = np.asarray(emb.loc[row["vec_id"]], dtype=np.float64)
+        cos = float(
+            np.dot(v, probe) / (np.linalg.norm(v) * np.linalg.norm(probe))
+        )
+        assert row["cos_sim"] == pytest.approx(cos, abs=1e-5)
+    # exact top-5 via numpy: trained cell recovers 2 of 5 (incl. #1)
+    ids = emb.index.to_numpy()
+    M = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+    cos_all = (M @ probe) / (
+        np.linalg.norm(M, axis=1) * np.linalg.norm(probe)
+    )
+    mask = ids != 42
+    exact5 = set(ids[mask][np.argsort(-cos_all[mask])][:5].tolist())
+    assert len(set(got["vec_id"]) & exact5) == 2
+    assert 52 in exact5

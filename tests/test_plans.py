@@ -206,3 +206,35 @@ def test_fact_paths_have_no_single_partition_exchange(spark, name):
     assert "SinglePartition" not in plan, (
         f"{name}: single-partition exchange appeared on a fact path\n{plan}"
     )
+
+
+def test_sessionize_reuses_one_exchange(spark):
+    """sessionize_events runs two window passes and a grouped
+    aggregate over the SAME user_id partitioning — Catalyst must plan
+    exactly one Exchange (the user_id hash shuffle); a second exchange
+    would mean the windows/groupBy diverged in their keys."""
+    df = q(spark, "sessionize_events")
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_interval_overlap_is_binned_equi_join(spark):
+    """join_interval_overlap must stay an equi join on the time bucket
+    (hash-shuffleable at any scale) — never a cartesian/nested-loop
+    theta join, which is the quadratic plan the binning exists to
+    avoid."""
+    df = q(spark, "join_interval_overlap")
+    plan = formatted_plan(df)
+    assert not has_cartesian(df), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zscore_stats_are_broadcast(spark):
+    """window_zscore_anomaly's per-type moments (5 rows) must ride a
+    broadcast back onto the fact scan — a SortMergeJoin here would
+    shuffle the whole events table to meet 5 rows."""
+    df = q(spark, "window_zscore_anomaly")
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
