@@ -46,6 +46,7 @@ _SWEEP_PRIORITY = [
     "window_zscore_anomaly",
     "scan_orc_roundtrip",
     "sim_ann_ivf_kmeans",
+    "stream_upsert_foreachbatch",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free

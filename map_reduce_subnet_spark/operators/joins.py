@@ -612,48 +612,24 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct. All arithmetic on BIGINT epoch micros (exact for all
     longs). Spark plans a plain hash shuffle on the bucket key; bucket
     width tunes fan-out vs bucket occupancy like the LSH band caps."""
+    from map_reduce_subnet_spark.functions.intervals import overlap_join
+
     us = 1_000_000
-    width = 300 * us
     ev = load_table(spark, sf_dir, "events")
 
     def side(etype: str, lo_off: int, hi_off: int, idc: str):
-        base = ev.where(F.col("event_type") == etype).select(
+        return ev.where(F.col("event_type") == etype).select(
             F.col("event_id").alias(idc),
             (F.unix_micros(F.col("ts")) + lo_off).alias(f"{idc}_s"),
             (F.unix_micros(F.col("ts")) + hi_off).alias(f"{idc}_e"),
         )
-        return base.select(
-            idc,
-            f"{idc}_s",
-            f"{idc}_e",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(f"{idc}_s") / width).cast("long"),
-                    F.floor(F.col(f"{idc}_e") / width).cast("long"),
-                )
-            ).alias("bucket"),
-        )
 
     a = side("error", 0, 120 * us, "err_id")
     b = side("purchase", -120 * us, 120 * us, "buy_id")
-    return (
-        a.join(b, "bucket")
-        .where(
-            (F.col("err_id_s") <= F.col("buy_id_e"))
-            & (F.col("buy_id_s") <= F.col("err_id_e"))
-            & (
-                F.col("bucket")
-                == F.floor(
-                    F.greatest("err_id_s", "buy_id_s") / width
-                ).cast("long")
-            )
-        )
-        .select(
-            "err_id",
-            "buy_id",
-            (
-                F.least("err_id_e", "buy_id_e")
-                - F.greatest("err_id_s", "buy_id_s")
-            ).alias("overlap_us"),
-        )
-    )
+    return overlap_join(
+        a,
+        b,
+        width=300 * us,
+        a_cols=("err_id", "err_id_s", "err_id_e"),
+        b_cols=("buy_id", "buy_id_s", "buy_id_e"),
+    ).withColumnRenamed("overlap", "overlap_us")

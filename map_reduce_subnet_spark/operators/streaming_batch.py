@@ -356,26 +356,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     past 2^53). The final groupBy re-uses the same user_id-keyed
     distribution. Per-user state is a sort, not a collect_list — hot
     users spill gracefully instead of materializing one giant row."""
+    from map_reduce_subnet_spark.functions.sessions import assign_sessions
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "value",
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(
-            F.lag("ts_us").over(w).isNull()
-            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    numbered = flagged.withColumn(
-        "session_seq",
-        F.sum("new_sess")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
+    numbered = assign_sessions(
+        ev, key="user_id", ts="ts_us", gap=1_800_000_000, tiebreak="event_id"
     )
     return numbered.groupBy("user_id", "session_seq").agg(
         F.min("ts_us").alias("session_start_us"),

@@ -670,3 +670,147 @@ def stream_stateful_topk_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, spark, output_mode="update")
+
+
+@query(
+    "stream_upsert_foreachbatch",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id,
+           epoch_us(ts) AS last_ts_us,
+           event_id AS last_event_id,
+           value AS last_value,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, last_ts_us, last_event_id, last_value
+FROM ranked
+WHERE rn = 1
+""",
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental UPSERT sink via foreachBatch: the event stream
+    arrives as 3 real micro-batches (time-split files,
+    maxFilesPerTrigger=1) and each batch MERGES its per-user latest
+    row into a keyed parquet state table — latest (ts, event_id) wins.
+    This is the production "stream → serving table" pattern
+    (foreachBatch + MERGE) that memory/append sinks can't express, and
+    the streaming twin of the batch merge_upsert operator; the
+    reference's validator holds exactly this latest-state-per-peer
+    table across rounds (reference neurons/validator.py:166-170).
+
+    Mechanics: each batch reduces to one row per user BEFORE the merge
+    (batch-local row_number), then the merge re-ranks
+    old-state ∪ batch-delta — both sides already one-row-per-user, so
+    the merge input is bounded by |users|, never by event volume. The
+    state table is written to a NEW versioned directory each batch and
+    the pointer swapped after the write completes (an overwrite of the
+    directory being read would race the readers that feed it — the
+    same swap discipline a lakehouse MERGE provides transactionally).
+    The final table equals the global per-user argmax — the SQL
+    oracle — regardless of how events are split across batches,
+    because per-key latest-wins merges are associative."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from pyspark.sql import Window
+
+    tbl = pq_mod.read_table(f"{sf_dir}/events.parquet")
+    pdf_order = (
+        tbl.select(["ts", "event_id"])
+        .to_pandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .index
+    )
+    tbl = tbl.take(pa.array(pdf_order, type=pa.int64()))
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_upsert_{uuid.uuid4().hex[:12]}"
+    )
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    n_files = 3
+    step = (tbl.num_rows + n_files - 1) // n_files
+    now = _time.time()
+    state = {"dir": None, "version": 0}
+
+    def upsert_batch(batch_df, batch_id):
+        # driver-side merge logic (foreachBatch runs on the driver;
+        # the plans inside still execute distributed)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("last_ts_us"), F.desc("last_event_id")
+        )
+        delta = (
+            batch_df.select(
+                "user_id",
+                F.unix_micros(F.col("ts")).alias("last_ts_us"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if state["dir"] is not None:
+            old = batch_df.sparkSession.read.parquet(state["dir"])
+            delta = (
+                old.unionByName(delta)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+        state["version"] += 1
+        new_dir = os.path.join(root, f"state_v{state['version']}")
+        delta.write.parquet(new_dir)
+        state["dir"] = new_dir  # swap AFTER the write completes
+
+    try:
+        for i in range(n_files):
+            p = os.path.join(src, f"part{i}.parquet")
+            pq_mod.write_table(tbl.slice(i * step, step), p)
+            os.utime(p, (now + i, now + i))
+        ev = _read_events_stream(
+            spark,
+            os.path.join(src, "part0.parquet"),
+            src,
+            maxFilesPerTrigger="1",
+        )
+        q = (
+            ev.writeStream.foreachBatch(upsert_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", os.path.join(root, "ckpt")
+            )
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("upsert stream did not drain within 300s")
+        if state["dir"] is None:  # empty fixture: no batch ever fired
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("user_id", LongType()),
+                        StructField("last_ts_us", LongType()),
+                        StructField("last_event_id", LongType()),
+                        StructField("last_value", DoubleType()),
+                    ]
+                ),
+            )
+        return spark.read.parquet(state["dir"]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

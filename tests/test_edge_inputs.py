@@ -102,12 +102,17 @@ def _write_events_encoded(tmp_path, encoding: str) -> str:
 
     base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, in µs
     n = 24
-    ts_us = [base_us + i * 300_000_000 + i * 7 for i in range(n)]  # 5-min + 7µs steps
+    # 3-min + 7µs steps: close enough that adjacent error/purchase
+    # events' ±2-min windows overlap (join_interval_overlap must see
+    # nonzero rows in the matrix), far enough apart that tumbling
+    # panes stay multi-window
+    ts_us = [base_us + i * 180_000_000 + i * 7 for i in range(n)]
+    etypes = ["error", "purchase", "a", "b"]
     cols = {
         "event_id": pa.array(range(n), pa.int64()),
         "ts": pa.array(ts_us, pa.timestamp("us")),
         "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
-        "event_type": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+        "event_type": pa.array([etypes[i % 4] for i in range(n)]),
         "value": pa.array([float(i) for i in range(n)], pa.float64()),
         "props": pa.array(['{"k":%d}' % i for i in range(n)]),
     }
@@ -147,7 +152,13 @@ def test_ts_matrix_batch_queries_agree(spark, tmp_path):
     call that crashed on the r4 NTZ fixture)."""
     from map_reduce_subnet_spark.operators import QUERIES
 
-    for key in ("stream_tumbling", "stream_session", "stream_watermark_late"):
+    for key in (
+        "stream_tumbling",
+        "stream_session",
+        "stream_watermark_late",
+        "sessionize_events",
+        "join_interval_overlap",
+    ):
         results = []
         for enc in _TS_ENCODINGS:
             d = _write_events_encoded(tmp_path, enc)
@@ -247,6 +258,11 @@ _EMPTY_SWEEP_KEYS = (
     "quality_dedup_rates",
     "sim_quantized_recall",
     "multimodal_decode_wav",
+    "sessionize_events",
+    "join_interval_overlap",
+    "scan_orc_roundtrip",       # empty ORC dir needs a readable footer
+    "sim_ann_ivf_kmeans",       # empty corpus: zero-member centroids
+    "stream_upsert_foreachbatch",  # no batch ever fires: typed empty
 )
 
 

@@ -238,3 +238,77 @@ def test_hll_sketch_merge_golden(spark):
         r["est_direct"],
         r["est_merged"],
     )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_overlap_join_matches_naive_random_intervals(spark, seed):
+    """The binned interval-overlap join must equal the naive O(n²)
+    scan on random intervals — for ANY bucket width, including widths
+    far smaller than the interval length (many buckets per interval,
+    the exactly-once attribution's hard case) and far larger (all
+    candidates in one bucket). Negative coordinates exercise the
+    floor-vs-truncate division edge."""
+    from map_reduce_subnet_spark.functions.intervals import overlap_join
+
+    rng = random.Random(seed)
+    width = rng.choice([3, 7, 50, 1000])
+
+    def mk(n, idc):
+        rows = []
+        for i in range(n):
+            s = rng.randint(-200, 200)
+            e = s + rng.randint(0, 40)
+            rows.append((i, s, e))
+        return rows
+
+    a_rows, b_rows = mk(60, "a"), mk(60, "b")
+    a = spark.createDataFrame(a_rows, "a_id long, a_s long, a_e long")
+    b = spark.createDataFrame(b_rows, "b_id long, b_s long, b_e long")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["overlap"])
+        for r in overlap_join(a, b, width=width).collect()
+    )
+    want = sorted(
+        (ai, bi, min(ae, be) - max(as_, bs))
+        for (ai, as_, ae) in a_rows
+        for (bi, bs, be) in b_rows
+        if as_ <= be and bs <= ae
+    )
+    assert got == want, f"width={width}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_assign_sessions_matches_naive_fold(spark, seed):
+    """Sessionization must equal the per-key python fold on random
+    event streams: duplicate timestamps (tiebreak order), singleton
+    keys, and gaps exactly AT the threshold (strict >: equal gap does
+    NOT split) all drawn by the generator."""
+    from map_reduce_subnet_spark.functions.sessions import assign_sessions
+
+    rng = random.Random(seed)
+    gap = rng.choice([1, 5, 20])
+    rows = []
+    rid = 0
+    for key in range(rng.randint(1, 6)):
+        t = 0
+        for _ in range(rng.randint(1, 40)):
+            t += rng.choice([0, 1, gap, gap + 1, gap * 3])
+            rows.append((rid, key, t))
+            rid += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "rid long, k long, t long")
+    got = {
+        r["rid"]: r["session_seq"]
+        for r in assign_sessions(
+            df, key="k", ts="t", gap=gap, tiebreak="rid"
+        ).collect()
+    }
+    want = {}
+    bykey = {}
+    for rid_, key, t in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        prev_t, seq = bykey.get(key, (None, 0))
+        if prev_t is None or t - prev_t > gap:
+            seq += 1
+        bykey[key] = (t, seq)
+        want[rid_] = seq
+    assert got == want, f"gap={gap}"

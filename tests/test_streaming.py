@@ -8,6 +8,7 @@ differential oracle.
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from map_reduce_subnet_spark.operators import QUERIES
 from tests.conftest import SF_DIR
@@ -276,3 +277,55 @@ def test_stateful_topk_transform_with_state(spark):
                 assert pd.isna(row[col])
             else:
                 assert row[col] == w
+
+
+def test_kafka_parser_decodes_kafka_shaped_rows(spark):
+    """The Kafka value-deserialization contract is transport-
+    independent: drive parse_kafka_events with a batch frame shaped
+    exactly like Kafka's output (key/value binary + coordinates) and
+    pin the typed decode, including the malformed-JSON → NULL-fields
+    (not job-failure) posture."""
+    import json
+
+    from map_reduce_subnet_spark.sources.kafka import parse_kafka_events
+
+    msgs = [
+        (
+            "events",
+            0,
+            i,
+            json.dumps(
+                {
+                    "event_id": i,
+                    "ts": "2024-01-01 00:00:%02d" % i,
+                    "user_id": i % 3,
+                    "event_type": "click",
+                    "value": float(i),
+                    "props": "{}",
+                }
+            ).encode(),
+        )
+        for i in range(5)
+    ] + [("events", 0, 99, b"not json at all")]
+    raw = spark.createDataFrame(
+        msgs, "topic string, partition int, offset long, value binary"
+    )
+    got = parse_kafka_events(raw).orderBy("offset").collect()
+    assert len(got) == 6
+    assert [r["event_id"] for r in got[:5]] == list(range(5))
+    assert got[2]["user_id"] == 2 and got[2]["value"] == 2.0
+    assert str(got[0]["ts"]) == "2024-01-01 00:00:00"
+    bad = got[5]
+    assert bad["offset"] == 99 and bad["event_id"] is None
+
+
+def test_kafka_source_is_gated_without_connector(spark):
+    """Without the connector jar the source constructor must raise
+    the documented NotImplementedError (never a raw classpath
+    stacktrace mid-stream)."""
+    from map_reduce_subnet_spark.sources.kafka import (
+        read_kafka_events_stream,
+    )
+
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        read_kafka_events_stream(spark, "localhost:9092", "events")
