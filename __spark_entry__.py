@@ -47,6 +47,8 @@ _SWEEP_PRIORITY = [
     "scan_orc_roundtrip",
     "sim_ann_ivf_kmeans",
     "stream_upsert_foreachbatch",
+    "text_lm_unigram_score",
+    "graph_pagerank",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free

@@ -2029,3 +2029,53 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query("text_lm_unigram_score")  # rows-only: ln() is not bit-identical
+# across libm implementations, so no SQL oracle — golden + numpy
+# parity tests instead
+def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality filter (the CCNet-style LM
+    scoring pass of a training-data pipeline): train token
+    probabilities on the corpus itself, score each document by its
+    average token log-probability, surface the 20 most improbable
+    documents (the gibberish/outlier tail a quality gate drops).
+
+    Scale shape: ONE tokenize pass feeds both the model and the
+    scoring (explode → token counts with map-side partial agg; the
+    count-dictionary joins back on the token hash — the right side is
+    one row per vocabulary word, so hot tokens like "the" multiply
+    nothing); the corpus total rides a one-row broadcast. Per-doc
+    aggregation quantizes each ln at 6dp via the decimal cast
+    (functions/stable.py) so the sum is order-independent ⇒ the
+    result is deterministic and golden-pinnable despite float logs."""
+    from map_reduce_subnet_spark.functions.stable import SUM_DECIMAL
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.words("text")).alias("word"))
+    counts = toks.groupBy("word").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(counts, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                F.log(F.col("c").cast("double"))
+                - F.log(F.col("t").cast("double"))
+            ).alias("lnp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lnp").cast(SUM_DECIMAL)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -263,6 +263,8 @@ _EMPTY_SWEEP_KEYS = (
     "scan_orc_roundtrip",       # empty ORC dir needs a readable footer
     "sim_ann_ivf_kmeans",       # empty corpus: zero-member centroids
     "stream_upsert_foreachbatch",  # no batch ever fires: typed empty
+    "text_lm_unigram_score",
+    "graph_pagerank",              # zero nodes: typed empty, no 1/0
 )
 
 

@@ -608,3 +608,38 @@ def test_ann_ivf_kmeans_golden(spark):
     exact5 = set(ids[mask][np.argsort(-cos_all[mask])][:5].tolist())
     assert len(set(got["vec_id"]) & exact5) == 2
     assert 52 in exact5
+
+
+def test_lm_unigram_score_parity(spark):
+    """text_lm_unigram_score vs a plain-python unigram LM on the same
+    corpus: identical tokenization (single-space split), identical
+    quantization (each ln at 6dp, half-up — the decimal cast), so the
+    pinned ordering must agree and scores match to quantization
+    tolerance."""
+    import math
+
+    got = QUERIES["text_lm_unigram_score"](spark, SF_DIR).toPandas()
+    assert len(got) == 20
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    counts: dict[str, int] = {}
+    for t in docs["text"]:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else -(
+            math.floor(-x * 1e6 + 0.5) / 1e6
+        )
+
+    want = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        ws = t.split(" ")
+        s = sum(q6(math.log(counts[w]) - math.log(total)) for w in ws)
+        want.append((round(s / len(ws), 6), int(doc_id), len(ws)))
+    want.sort()
+    want20 = want[:20]
+    assert got["doc_id"].tolist() == [w[1] for w in want20]
+    assert got["n_tokens"].tolist() == [w[2] for w in want20]
+    for g, w in zip(got["avg_logprob"], want20):
+        assert g == pytest.approx(w[0], abs=1e-5)

@@ -312,3 +312,57 @@ def test_assign_sessions_matches_naive_fold(spark, seed):
         bykey[key] = (t, seq)
         want[rid_] = seq
     assert got == want, f"gap={gap}"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """graph_pagerank vs a plain-python power iteration replicating
+    the engine's arithmetic (w/out_w transition in double, each
+    contribution quantized at 6dp before the order-independent sum):
+    the pinned top-20 must agree in ids and rank values."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    got = QUERIES["graph_pagerank"](spark, SF_DIR).toPandas()
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).to_pandas()
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    w: dict[tuple[int, int], int] = {}
+    for c, s in zip(j["o_custkey"], j["l_suppkey"]):
+        k = (int(c), int(s) + 10_000_000)
+        w[k] = w.get(k, 0) + 1
+    edges: dict[tuple[int, int], int] = {}
+    for (c, s), n in w.items():
+        edges[(c, s)] = n
+        edges[(s, c)] = n
+    ow: dict[int, int] = {}
+    for (src, _), n in edges.items():
+        ow[src] = ow.get(src, 0) + n
+    nodes = sorted(ow)
+    n_nodes = len(nodes)
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rank = {v: 1.0 / n_nodes for v in nodes}
+    for _ in range(5):
+        s: dict[int, float] = {}
+        for (src, dst), n in edges.items():
+            s[dst] = s.get(dst, 0.0) + q6(rank[src] * (n / ow[src]))
+        rank = {
+            v: 0.15 / n_nodes + 0.85 * round(s.get(v, 0.0), 6)
+            for v in nodes
+        }
+    want = sorted(
+        ((round(r, 9), vid) for vid, r in rank.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    assert got["node_id"].tolist() == [vid for _, vid in want]
+    for g, (r, _) in zip(got["rank"], want):
+        assert g == pytest.approx(r, abs=2e-6)
