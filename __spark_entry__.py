@@ -49,6 +49,8 @@ _SWEEP_PRIORITY = [
     "stream_upsert_foreachbatch",
     "text_lm_unigram_score",
     "graph_pagerank",
+    "funnel_conversion",
+    "retention_cohort",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -87,10 +89,11 @@ _SWEEP_PRIORITY = [
     "dedup_simhash",
     "text_chunking",
     "text_pii_scrub",
-    "multimodal_features",
+    # (multimodal_features and sink_roundtrip rotated back out when
+    # the round-6 continuation keys claimed their slots: both are
+    # rows-only, whose refreshes carry the least signal)
     "scan_filter_pushdown",
     "scan_json_props",
-    "sink_roundtrip",
     "str_posexplode",
     "gen_date_spine",
     "project_try_cast",

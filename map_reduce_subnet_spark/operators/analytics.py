@@ -228,3 +228,144 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node_id"))
         .limit(20)
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_buy
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT stage, n_users,
+       CAST(n_users AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS frac_of_entry
+FROM (
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 'purchase', (SELECT COUNT(*) FROM p)
+)
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked
+    AFTER their first view, then purchased AFTER that first
+    qualifying click (the reference's request→response→score
+    progression, reference neurons/validator.py:120-141, as the
+    product-analytics funnel every event warehouse ships).
+
+    ORDERED semantics (each stage must happen after the previous
+    stage's first qualifying event — strict >) is what makes this a
+    real funnel rather than three independent filters. Scale shape:
+    each stage is a per-user MIN (partial-aggregated) equi-joined to
+    the previous stage's per-user row — three hash joins on user_id,
+    no windows over raw events; the three stage counts are scalar
+    aggregates whose single-partition exchanges move one row each."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev, prev_col: str, out_col: str):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_col))
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    v = first_after("view", None, "", "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_buy")
+    base = v.agg(F.count("*").alias("n")).select(
+        F.col("n").cast("double").alias("base")
+    )
+    stages = (
+        v.agg(F.lit("view").alias("stage"), F.count("*").alias("n_users"))
+        .unionByName(
+            c.agg(
+                F.lit("click").alias("stage"), F.count("*").alias("n_users")
+            )
+        )
+        .unionByName(
+            p.agg(
+                F.lit("purchase").alias("stage"),
+                F.count("*").alias("n_users"),
+            )
+        )
+    )
+    return stages.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("base")).alias(
+            "frac_of_entry"
+        ),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           CAST(epoch(date_trunc('week', MIN(ts))) AS BIGINT) AS cohort_s
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_s
+    FROM events
+)
+SELECT f.cohort_s AS cohort_week,
+       (a.week_s - f.cohort_s) // 604800 AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent week they return (the weeks-since-
+    signup triangle every growth dashboard draws; the reference's
+    staleness window, neurons/validator.py:166-170, asks the same
+    "seen again since?" question per peer).
+
+    Week arithmetic runs on epoch SECONDS (BIGINT) — date_trunc week
+    is Monday-aligned in both engines, and the offset is an exact
+    integer division of the second delta, immune to timestamp
+    representation. Scale shape: first-week is a partial-aggregated
+    per-user MIN; activity is a per-user-week distinct (both shuffle
+    on user_id and combine map-side); the final matrix groupBy is
+    O(cohorts × offsets) rows. Counting rows of the distinct
+    activity⋈cohort join needs no countDistinct at the matrix level."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.unix_timestamp(F.date_trunc("week", F.min("ts"))).alias(
+            "cohort_s"
+        )
+    )
+    activity = ev.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("week", F.col("ts"))).alias("week_s"),
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_s").alias("cohort_week"),
+            ((F.col("week_s") - F.col("cohort_s")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -265,6 +265,8 @@ _EMPTY_SWEEP_KEYS = (
     "stream_upsert_foreachbatch",  # no batch ever fires: typed empty
     "text_lm_unigram_score",
     "graph_pagerank",              # zero nodes: typed empty, no 1/0
+    "funnel_conversion",
+    "retention_cohort",
 )
 
 
