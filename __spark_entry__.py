@@ -51,6 +51,7 @@ _SWEEP_PRIORITY = [
     "graph_pagerank",
     "funnel_conversion",
     "retention_cohort",
+    "multimodal_image_resize",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -79,7 +80,8 @@ _SWEEP_PRIORITY = [
     # out by the 50-slot cap in r3-r5; several sit above shared
     # helpers that changed since) — refresh them all this round
     "agg_global",
-    "agg_approx_distinct",
+    # (agg_approx_distinct rotated back out with multimodal_features /
+    # sink_roundtrip — rows-only refresh, least signal)
     "agg_pivot",
     "agg_unpivot",
     "agg_percentile",

@@ -294,3 +294,16 @@ def decode_media(payload: bytes, media_type: str):
         "the Spark plumbing + a deterministic fake featurizer for the "
         "rest (see operators/llm.py::multimodal_features)"
     )
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) uint8 image — the
+    thumbnail/downsample stage of a multimodal pipeline, pure numpy
+    (no imaging libs). Sample points sit at output-pixel centers
+    (floor((i + 0.5) * H / out_h)), the standard NN convention, so
+    results match common library implementations for integer factors
+    and stay deterministic for all shapes."""
+    h, w = img.shape[0], img.shape[1]
+    ri = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    ci = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return img[ri][:, ci]

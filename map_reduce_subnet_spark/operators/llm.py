@@ -2079,3 +2079,60 @@ def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query("multimodal_image_resize")  # rows-only: binary pipeline stage
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → RESIZE: the thumbnail/downsample stage of a
+    multimodal pipeline (synthesized per-doc PNG → real zlib decode →
+    8×6 nearest-neighbor numpy resize), emitting the thumbnail's
+    dimensions, mean pixel and an order-sensitive checksum — the
+    missing middle of decode / feature-extract / RESIZE / frame-sample
+    (payload transform surface, reference template/protocol.py:59-75).
+
+    Same worker-shipping discipline as multimodal_decode_png (the
+    multimodal module rides register_pickle_by_value); same scale
+    shape — scan-local mapInPandas, constant memory per Arrow batch,
+    parallel with input partitions, binary columns never shuffle. The
+    resize itself is two gather indexings (no per-pixel python loop),
+    so the hot loop stays vectorized numpy."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.functions import multimodal as _mm
+
+    _cp.register_pickle_by_value(_mm)
+    synthesize, decode, resize = (
+        _mm.synthesize_png,
+        _mm.decode_png,
+        _mm.resize_nearest,
+    )
+
+    def resize_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                thumb = resize(decode(synthesize(int(doc_id))), 6, 8)
+                h, w, nch = thumb.shape
+                flat = thumb.reshape(-1).astype(np.uint64)
+                weights = (np.arange(flat.size, dtype=np.uint64) % 251) + 1
+                checksum = int((flat * weights).sum() % (2**31 - 1))
+                rows.append(
+                    (int(doc_id), w, h, nch, float(thumb.mean()), checksum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "thumb_w", "thumb_h", "n_channels",
+                    "mean_pixel", "pixel_checksum",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        resize_batches,
+        schema="doc_id long, thumb_w long, thumb_h long, n_channels long, "
+        "mean_pixel double, pixel_checksum long",
+    )

@@ -267,6 +267,7 @@ _EMPTY_SWEEP_KEYS = (
     "graph_pagerank",              # zero nodes: typed empty, no 1/0
     "funnel_conversion",
     "retention_cohort",
+    "multimodal_image_resize",
 )
 
 

@@ -643,3 +643,41 @@ def test_lm_unigram_score_parity(spark):
     assert got["n_tokens"].tolist() == [w[2] for w in want20]
     for g, w in zip(got["avg_logprob"], want20):
         assert g == pytest.approx(w[0], abs=1e-5)
+
+
+def test_image_resize_parity(spark):
+    """multimodal_image_resize vs the same synth→decode→resize run
+    driver-side — bit-exact per doc; plus the resize kernel itself
+    checked against an explicit per-pixel loop (center-sampling NN
+    convention) on an integer-factor case."""
+    from map_reduce_subnet_spark.functions import multimodal as mm
+
+    got = (
+        QUERIES["multimodal_image_resize"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for doc_id in list(got.index)[:25]:
+        thumb = mm.resize_nearest(
+            mm.decode_png(mm.synthesize_png(int(doc_id))), 6, 8
+        )
+        flat = thumb.reshape(-1).astype(np.uint64)
+        weights = (np.arange(flat.size, dtype=np.uint64) % 251) + 1
+        assert got.loc[doc_id, "pixel_checksum"] == int(
+            (flat * weights).sum() % (2**31 - 1)
+        )
+        assert got.loc[doc_id, "mean_pixel"] == pytest.approx(
+            float(thumb.mean()), abs=0
+        )
+        assert (got.loc[doc_id, "thumb_h"], got.loc[doc_id, "thumb_w"]) == (
+            6,
+            8,
+        )
+    img = mm.decode_png(mm.synthesize_png(7))  # 16x24x3
+    small = mm.resize_nearest(img, 8, 12)
+    for i in range(8):
+        for j in range(12):
+            si = min(int((i + 0.5) * img.shape[0] / 8), img.shape[0] - 1)
+            sj = min(int((j + 0.5) * img.shape[1] / 12), img.shape[1] - 1)
+            assert (small[i, j] == img[si, sj]).all()
