@@ -238,3 +238,13 @@ def test_zscore_stats_are_broadcast(spark):
     df = q(spark, "window_zscore_anomaly")
     assert has_broadcast_join(df)
     assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_survivors_anti_join_is_broadcast(spark):
+    """dedup_survivors' corpus filter must be a broadcast left-anti
+    join off the materialized drop set — a SortMergeJoin here would
+    shuffle the whole documents table to subtract a tiny kill-list."""
+    df = q(spark, "dedup_survivors")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
