@@ -208,6 +208,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.sum(F.col("c").cast(SUM_DECIMAL)).cast("double").alias("s"))
         )
+        # per-iteration checkpoint: measured FASTER than batching two
+        # iterations per checkpoint (the deeper plan re-executes the
+        # left join inside one job and loses AQE's per-stage
+        # coalescing) — don't "optimize" this without re-measuring
         ranks = stable_checkpoint(
             nodes.join(contrib, "src", "left").select(
                 "src",
