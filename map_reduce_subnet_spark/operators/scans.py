@@ -138,8 +138,10 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline). A changed fixture changes the key and invalidates
     the cache naturally.
     """
-    import hashlib
-
+    from map_reduce_subnet_spark.functions.cache import (
+        fixture_cache_dir,
+        is_cached,
+    )
     from map_reduce_subnet_spark.plans import formatted_plan
     from map_reduce_subnet_spark.sources.layout import (
         read_pruned,
@@ -147,13 +149,8 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    stamp = f"{os.path.getsize(src)}:{int(os.path.getmtime(src))}"
-    key = hashlib.md5(
-        f"v1|{os.path.abspath(sf_dir)}|{stamp}".encode()
-    ).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"mrs_part_cache_{key}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    out = fixture_cache_dir(sf_dir, "lineitem", "part_cache")
+    if not is_cached(out):
         write_date_partitioned(li, out, "l_shipdate", "month")
     months = ["1997-01", "1997-02", "1997-03"]
     # declared read schema (data columns + the string partition key):

@@ -296,11 +296,25 @@ def test_ann_recall_golden(spark):
         r["method"]: r
         for r in QUERIES["sim_ann_recall"](spark, SF_DIR).collect()
     }
-    assert set(got) == {"ivf", "lsh", "lsh_multiprobe", "lsh_int8_quant"}
+    assert set(got) == {
+        "ivf",
+        "ivf_kmeans",
+        "lsh",
+        "lsh_multiprobe",
+        "lsh_int8_quant",
+    }
     for r in got.values():
         assert r["n_probes"] == 20 and r["k"] == 10
         assert 0.0 <= r["recall_at_k"] <= 1.0
     assert got["ivf"]["recall_at_k"] == 0.55
+    # 3 Lloyd iterations nudge recall on the iid-random fixture
+    # (0.550 → 0.555): there is no cluster structure to learn there —
+    # the honest reading a measurement harness exists to give. Real
+    # embedding corpora (genuinely clustered) separate further.
+    assert got["ivf_kmeans"]["recall_at_k"] == 0.555
+    assert (
+        got["ivf_kmeans"]["recall_at_k"] >= got["ivf"]["recall_at_k"]
+    )
     assert got["lsh"]["recall_at_k"] == 0.1
     assert got["lsh_multiprobe"]["recall_at_k"] == 0.58
     # int8 quantization does not move the fixture's sketch bits or the
