@@ -296,3 +296,50 @@ def test_empty_corpus_does_not_crash(spark, tmp_path_factory):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "\n".join(failures)
+
+
+def test_fixture_cache_invalidates_on_changed_corpus(spark, tmp_path):
+    """The materialize-once caches key on (path, size, mtime): a
+    regenerated fixture MUST miss the old cache and recompute —
+    serving the previous corpus's artifact would be silent data
+    corruption. Drive dedup_survivors over a corpus with one dup
+    pair, then replace the corpus (different dup structure, bumped
+    mtime) and require the kill-list to change with it."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    base = ("the quick brown fox jumps over the lazy dog and runs "
+            "far away into the green forest tonight")
+    def write(docs):
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(docs)),
+            f"{tmp_path}/documents.parquet",
+        )
+
+    write({
+        "doc_id": [1, 2, 3],
+        "text": [base, base.replace("tonight", "today"), "unrelated words entirely"],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [1, 1, 1],
+    })
+    first = set(
+        QUERIES["dedup_survivors"](spark, str(tmp_path)).toPandas()["doc_id"]
+    )
+    assert first == {1, 3}  # 2 is 1's near-dup, 1 (min) survives
+    # regenerate: now 3 is the near-dup of 1, 2 is unrelated
+    _time.sleep(1.1)  # ensure a distinct integer mtime
+    write({
+        "doc_id": [1, 2, 3],
+        "text": [base, "unrelated words entirely", base.replace("tonight", "today")],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [1, 1, 1],
+    })
+    os.utime(f"{tmp_path}/documents.parquet")
+    second = set(
+        QUERIES["dedup_survivors"](spark, str(tmp_path)).toPandas()["doc_id"]
+    )
+    assert second == {1, 2}, "stale cache served after fixture change"
