@@ -136,7 +136,67 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")  # rows-only: iterative fixpoint, not SQL
+def _pagerank_oracle(n_iters: int = 5) -> str:
+    """Generate the DuckDB twin of graph_pagerank: the iteration count
+    is FIXED, so the 'iterative' fixpoint unrolls into chained CTEs
+    running the bit-identical float program — per-edge contribution
+    rank*p in double, quantized via CAST(.. AS DECIMAL(27,6)) (the
+    dsum discipline, order-independent), damped update
+    (1.0-0.85)/n + 0.85*s in the same operation sequence the Spark
+    side executes. This is what promotes PageRank from rows-only to a
+    full differential oracle."""
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+r{i} AS (
+    SELECT n.src,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE))
+             AS rank
+    FROM nodes n
+    CROSS JOIN nn
+    LEFT JOIN (
+        SELECT t.dst AS src,
+               CAST(SUM(CAST(r.rank * t.p AS DECIMAL(27,6))) AS DOUBLE) AS s
+        FROM {prev} r JOIN trans t ON r.src = t.src
+        GROUP BY t.dst
+    ) s ON n.src = s.src
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH cs AS (
+    SELECT o.o_custkey AS cust, l.l_suppkey + 10000000 AS supp,
+           COUNT(*) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+), edges AS (
+    SELECT cust AS src, supp AS dst, w FROM cs
+    UNION ALL
+    SELECT supp AS src, cust AS dst, w FROM cs
+), ow AS (
+    SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+), trans AS (
+    SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE) AS p
+    FROM edges e JOIN ow o ON e.src = o.src
+), nodes AS (
+    SELECT DISTINCT src FROM edges
+), nn AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+    SELECT src, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn
+),{",".join(iters)}
+SELECT src AS node_id,
+       CASE WHEN src >= 10000000 THEN 'supplier' ELSE 'customer' END
+           AS kind,
+       rank
+FROM {prev}
+ORDER BY rank DESC, node_id ASC
+LIMIT 20
+"""
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the customer–supplier trade graph
     (lineitem ⋈ orders gives cust↔supp edges weighted by line count;
@@ -227,7 +287,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("src") >= supp_offset, F.lit("supplier"))
             .otherwise(F.lit("customer"))
             .alias("kind"),
-            F.round("rank", 9).alias("rank"),
+            # unrounded: identical float programs are bit-exact across
+            # engines, ROUND itself is what diverges on exact halves
+            "rank",
         )
         .orderBy(F.desc("rank"), F.asc("node_id"))
         .limit(20)

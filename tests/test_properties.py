@@ -356,11 +356,11 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         for (src, dst), n in edges.items():
             s[dst] = s.get(dst, 0.0) + q6(rank[src] * (n / ow[src]))
         rank = {
-            v: 0.15 / n_nodes + 0.85 * round(s.get(v, 0.0), 6)
+            v: (1.0 - 0.85) / n_nodes + 0.85 * round(s.get(v, 0.0), 6)
             for v in nodes
         }
     want = sorted(
-        ((round(r, 9), vid) for vid, r in rank.items()),
+        ((r, vid) for vid, r in rank.items()),
         key=lambda t: (-t[0], t[1]),
     )[:20]
     assert got["node_id"].tolist() == [vid for _, vid in want]
