@@ -52,6 +52,10 @@ _SWEEP_PRIORITY = [
     "funnel_conversion",
     "retention_cohort",
     "multimodal_image_resize",
+    # promoted rows->SQL late r6 (need their first ORACLE row):
+    "sink_roundtrip",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -87,24 +91,23 @@ _SWEEP_PRIORITY = [
     "agg_percentile",
     "agg_string_agg",
     "agg_corr",
-    "join_cross_bipartite",
-    "dedup_simhash",
+    # (join_cross_bipartite, dedup_simhash, gen_date_spine rotated
+    # back out for the three newly-oracled sink keys: unchanged since
+    # their r1/r2 green rows, and dedup_simhash is rows-only)
     "text_chunking",
     "text_pii_scrub",
-    # (multimodal_features and sink_roundtrip rotated back out when
-    # the round-6 continuation keys claimed their slots: both are
-    # rows-only, whose refreshes carry the least signal)
+    # (multimodal_features rotated back out when the round-6
+    # continuation keys claimed their slots — rows-only, least
+    # refresh signal; the sink keys moved to the promoted group)
     "scan_filter_pushdown",
     "scan_json_props",
     "str_posexplode",
-    "gen_date_spine",
     "project_try_cast",
     "agg_max_by",
     "merge_upsert",
     "join_broadcast_nested_loop",
     "agg_approx_percentile",
     "window_first_last",
-    "sink_csv_roundtrip",
 ]
 
 

@@ -591,7 +591,90 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_ivf")  # rows-only: multi-stage ANN, not SQL-expressible
+def _kmeans_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, probe: int = 42
+) -> str:
+    """DuckDB twin of sim_ann_ivf_kmeans via recurrence unrolling (the
+    graph_pagerank pattern): a fixed iteration count turns Lloyd
+    training into chained CTEs running the bit-identical float
+    program — promoted-double cosine folds (the sim_cosine_topk
+    spelling), strict-earliest argmax as ROW_NUMBER (cos DESC,
+    cent_id ASC), decimal-exact component means. ``dim`` is a fixture
+    property (embeddings are 64-wide at every SF); the Spark side
+    reads it from the data."""
+
+    def cos(e: str, c: str) -> str:
+        dot = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({e}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE)))"
+        )
+        ne = (
+            f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({e}[i] AS DOUBLE) * CAST({e}[i] AS DOUBLE))))"
+        )
+        nc = (
+            f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({c}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE))))"
+        )
+        return f"(({dot}) / (({ne}) * ({nc})))"
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+    SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cos("e.embedding", "c.cent")} DESC,
+                            c.cent_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {cents} c
+    ) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""
+cents0 AS (
+    SELECT vec_id AS cent_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+    FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"assign{i}", f"cents{i - 1}"))
+        parts.append(f"""
+means{i} AS (
+    SELECT a.cent_id, p.pos,
+           CAST(SUM(CAST(a.embedding[p.pos] AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM assign{i} a
+    CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS pos) p
+    GROUP BY 1, 2
+)""")
+        parts.append(f"""
+cents{i} AS (
+    SELECT cent_id, list(m ORDER BY pos) AS cent
+    FROM means{i} GROUP BY cent_id
+)""")
+    parts.append(assign("assign_final", f"cents{iters}"))
+    return f"""
+WITH {",".join(parts)},
+pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {probe}),
+pc AS (SELECT cent_id FROM assign_final WHERE vec_id = {probe})
+SELECT a.vec_id,
+       {cos("a.embedding", "pr.p")} AS cos_sim,
+       a.cent_id
+FROM assign_final a, pr, pc
+WHERE a.cent_id = pc.cent_id AND a.vec_id <> {probe}
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 5
+"""
+
+
+
+@query("sim_ann_ivf", oracle=_kmeans_oracle(iters=0))  # promoted
+# rows->SQL late r6: pinned centroids are the ZERO-iteration case of
+# the unrolled Lloyd oracle
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor: assign every vector to
     its nearest of 8 deterministic centroids (vec_id 0..7), then search
@@ -644,7 +727,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != 42)
         .select(
             "vec_id",
-            F.round(sim.cosine(F.col("embedding"), F.col("probe")), 6).alias(
+            # unrounded: identical promoted-double fold both engines
+            sim.cosine(F.col("embedding"), F.col("probe")).alias(
                 "cos_sim"
             ),
             "cent_id",
@@ -2071,86 +2155,6 @@ def lloyd_centroids(
         cents.write.mode("overwrite").parquet(cache)
         return spark.read.schema(cent_schema).parquet(cache)
     return cents
-
-
-def _kmeans_oracle(
-    k: int = 8, iters: int = 3, dim: int = 64, probe: int = 42
-) -> str:
-    """DuckDB twin of sim_ann_ivf_kmeans via recurrence unrolling (the
-    graph_pagerank pattern): a fixed iteration count turns Lloyd
-    training into chained CTEs running the bit-identical float
-    program — promoted-double cosine folds (the sim_cosine_topk
-    spelling), strict-earliest argmax as ROW_NUMBER (cos DESC,
-    cent_id ASC), decimal-exact component means. ``dim`` is a fixture
-    property (embeddings are 64-wide at every SF); the Spark side
-    reads it from the data."""
-
-    def cos(e: str, c: str) -> str:
-        dot = (
-            f"list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({e}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE)))"
-        )
-        ne = (
-            f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({e}[i] AS DOUBLE) * CAST({e}[i] AS DOUBLE))))"
-        )
-        nc = (
-            f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({c}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE))))"
-        )
-        return f"(({dot}) / (({ne}) * ({nc})))"
-
-    def assign(name: str, cents: str) -> str:
-        return f"""
-{name} AS (
-    SELECT vec_id, embedding, cent_id FROM (
-        SELECT e.vec_id, e.embedding, c.cent_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {cos("e.embedding", "c.cent")} DESC,
-                            c.cent_id ASC
-               ) AS rn
-        FROM embeddings e CROSS JOIN {cents} c
-    ) WHERE rn = 1
-)"""
-
-    parts = [
-        f"""
-cents0 AS (
-    SELECT vec_id AS cent_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-    FROM embeddings WHERE vec_id < {k}
-)"""
-    ]
-    for i in range(1, iters + 1):
-        parts.append(assign(f"assign{i}", f"cents{i - 1}"))
-        parts.append(f"""
-means{i} AS (
-    SELECT a.cent_id, p.pos,
-           CAST(SUM(CAST(a.embedding[p.pos] AS DECIMAL(27,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS m
-    FROM assign{i} a
-    CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS pos) p
-    GROUP BY 1, 2
-)""")
-        parts.append(f"""
-cents{i} AS (
-    SELECT cent_id, list(m ORDER BY pos) AS cent
-    FROM means{i} GROUP BY cent_id
-)""")
-    parts.append(assign("assign_final", f"cents{iters}"))
-    return f"""
-WITH {",".join(parts)},
-pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {probe}),
-pc AS (SELECT cent_id FROM assign_final WHERE vec_id = {probe})
-SELECT a.vec_id,
-       {cos("a.embedding", "pr.p")} AS cos_sim,
-       a.cent_id
-FROM assign_final a, pr, pc
-WHERE a.cent_id = pc.cent_id AND a.vec_id <> {probe}
-ORDER BY cos_sim DESC, a.vec_id ASC
-LIMIT 5
-"""
 
 
 @query("sim_ann_ivf_kmeans", oracle=_kmeans_oracle())

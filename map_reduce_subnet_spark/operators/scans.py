@@ -204,7 +204,13 @@ def _materialize_and_clean(spark, readback, path):
     return spark.createDataFrame(rows, readback.schema)
 
 
-@query("sink_csv_roundtrip")  # rows-only: filesystem side effect
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders GROUP BY 1
+""",
+)  # the sink write is the side effect; the read-back VALUES are
+# SQL-checkable (promoted rows->SQL late r6, like the scan roundtrips)
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + schema-declared CSV source (header, explicit schema —
     inference is never used in the engine proper)."""
@@ -228,7 +234,12 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(spark, readback, out)
 
 
-@query("sink_json_roundtrip")  # rows-only: filesystem side effect
+@query(
+    "sink_json_roundtrip",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1
+""",
+)  # promoted rows->SQL late r6: read-back values match the source aggregate
 def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + schema-declared JSON source."""
     agg = (
@@ -244,7 +255,12 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialize_and_clean(spark, readback, out)
 
 
-@query("sink_roundtrip")  # rows-only: filesystem side effect, not SQL-expressible
+@query(
+    "sink_roundtrip",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+""",
+)  # promoted rows->SQL late r6: read-back values match the source aggregate
 def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an aggregate to Parquet, read it back (periodic sink pattern).
 
