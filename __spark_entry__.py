@@ -56,6 +56,9 @@ _SWEEP_PRIORITY = [
     "sink_roundtrip",
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
+    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
+    "embed_neardup_cosine",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -86,8 +89,8 @@ _SWEEP_PRIORITY = [
     "agg_global",
     # (agg_approx_distinct rotated back out with multimodal_features /
     # sink_roundtrip — rows-only refresh, least signal)
-    "agg_pivot",
-    "agg_unpivot",
+    # (agg_pivot, agg_unpivot, str_posexplode rotated back out for the
+    # late-r6 LSH promotions — structurally simple r1-greens)
     "agg_percentile",
     "agg_string_agg",
     "agg_corr",
@@ -101,7 +104,6 @@ _SWEEP_PRIORITY = [
     # refresh signal; the sink keys moved to the promoted group)
     "scan_filter_pushdown",
     "scan_json_props",
-    "str_posexplode",
     "project_try_cast",
     "agg_max_by",
     "merge_upsert",

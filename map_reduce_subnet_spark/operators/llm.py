@@ -591,6 +591,69 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_cos(e: str, c: str, dim: int = 64) -> str:
+    """Promoted-double cosine between an embedding column and a
+    centroid list column (same fold spelling as _pair_cos)."""
+    dot = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST({e}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE)))"
+    )
+    ne = (
+        f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST({e}[i] AS DOUBLE) * CAST({e}[i] AS DOUBLE))))"
+    )
+    nc = (
+        f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST({c}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE))))"
+    )
+    return f"(({dot}) / (({ne}) * ({nc})))"
+
+
+def _assign_cte(name: str, cents: str, dim: int = 64) -> str:
+    """Nearest-centroid assignment CTE: strict-earliest argmax as
+    ROW_NUMBER over (cos DESC, cent_id ASC), mirroring
+    sim.nearest_centroid's fold semantics."""
+    return f"""{name} AS (
+    SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_kmeans_cos("e.embedding", "c.cent", dim)} DESC,
+                            c.cent_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN {cents} c
+    ) WHERE rn = 1
+)"""
+
+
+def _lloyd_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd training CTEs: cents0 (pinned seeds) through
+    cents{iters} (decimal-exact component means over the strict-
+    earliest assignment of the previous centroids)."""
+    parts = [
+        f"""cents0 AS (
+    SELECT vec_id AS cent_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+    FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(_assign_cte(f"assign{i}", f"cents{i - 1}", dim))
+        parts.append(f"""means{i} AS (
+    SELECT a.cent_id, p.pos,
+           CAST(SUM(CAST(a.embedding[p.pos] AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM assign{i} a
+    CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS pos) p
+    GROUP BY 1, 2
+)""")
+        parts.append(f"""cents{i} AS (
+    SELECT cent_id, list(m ORDER BY pos) AS cent
+    FROM means{i} GROUP BY cent_id
+)""")
+    return ",\n".join(parts)
+
+
 def _kmeans_oracle(
     k: int = 8, iters: int = 3, dim: int = 64, probe: int = 42
 ) -> str:
@@ -601,75 +664,20 @@ def _kmeans_oracle(
     spelling), strict-earliest argmax as ROW_NUMBER (cos DESC,
     cent_id ASC), decimal-exact component means. ``dim`` is a fixture
     property (embeddings are 64-wide at every SF); the Spark side
-    reads it from the data."""
-
-    def cos(e: str, c: str) -> str:
-        dot = (
-            f"list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({e}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE)))"
-        )
-        ne = (
-            f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({e}[i] AS DOUBLE) * CAST({e}[i] AS DOUBLE))))"
-        )
-        nc = (
-            f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
-            f"i -> CAST({c}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE))))"
-        )
-        return f"(({dot}) / (({ne}) * ({nc})))"
-
-    def assign(name: str, cents: str) -> str:
-        return f"""
-{name} AS (
-    SELECT vec_id, embedding, cent_id FROM (
-        SELECT e.vec_id, e.embedding, c.cent_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {cos("e.embedding", "c.cent")} DESC,
-                            c.cent_id ASC
-               ) AS rn
-        FROM embeddings e CROSS JOIN {cents} c
-    ) WHERE rn = 1
-)"""
-
-    parts = [
-        f"""
-cents0 AS (
-    SELECT vec_id AS cent_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-    FROM embeddings WHERE vec_id < {k}
-)"""
-    ]
-    for i in range(1, iters + 1):
-        parts.append(assign(f"assign{i}", f"cents{i - 1}"))
-        parts.append(f"""
-means{i} AS (
-    SELECT a.cent_id, p.pos,
-           CAST(SUM(CAST(a.embedding[p.pos] AS DECIMAL(27,6))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS m
-    FROM assign{i} a
-    CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS pos) p
-    GROUP BY 1, 2
-)""")
-        parts.append(f"""
-cents{i} AS (
-    SELECT cent_id, list(m ORDER BY pos) AS cent
-    FROM means{i} GROUP BY cent_id
-)""")
-    parts.append(assign("assign_final", f"cents{iters}"))
+    reads it from the data. iters=0 is sim_ann_ivf (pinned seeds)."""
     return f"""
-WITH {",".join(parts)},
+WITH {_lloyd_ctes(k, iters, dim)},
+{_assign_cte("assign_final", f"cents{iters}", dim)},
 pr AS (SELECT embedding AS p FROM embeddings WHERE vec_id = {probe}),
 pc AS (SELECT cent_id FROM assign_final WHERE vec_id = {probe})
 SELECT a.vec_id,
-       {cos("a.embedding", "pr.p")} AS cos_sim,
+       {_kmeans_cos("a.embedding", "pr.p", dim)} AS cos_sim,
        a.cent_id
 FROM assign_final a, pr, pc
 WHERE a.cent_id = pc.cent_id AND a.vec_id <> {probe}
 ORDER BY cos_sim DESC, a.vec_id ASC
 LIMIT 5
 """
-
 
 
 @query("sim_ann_ivf", oracle=_kmeans_oracle(iters=0))  # promoted
@@ -738,7 +746,136 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh_topk")  # rows-only: multi-stage ANN, not SQL-expressible
+
+
+def _sketch_ctes(
+    src: str = "embeddings",
+    emb: str = "embedding",
+    suffix: str = "",
+    include_hyper: bool = True,
+) -> str:
+    """Shared oracle CTEs: embedded 64x64 +/-1 hyperplane literal,
+    promoted-double projection folds, sign-bit band buckets (bit
+    layout mirrors sign_sketch + band_struct_array: projection i at
+    LSB position 63-i, band b reads i = 63-8b-k, k = 0..7).
+    Parameterized so one oracle can band several relations (e.g. the
+    float corpus and its int8-dequantized twin) off one matrix."""
+    m = sim.hyperplane_matrix(64, 64, 42)
+    mat = "[" + ",".join(
+        "[" + ",".join("1.0" if v > 0 else "-1.0" for v in col) + "]"
+        for col in m
+    ) + "]"
+    hyper = f"hyper AS (SELECT {mat} AS m),\n" if include_hyper else ""
+    return f"""
+{hyper}projs{suffix} AS (
+    SELECT e.vec_id, e.{emb},
+           list_transform(range(1, 65), i ->
+               list_sum(list_transform(range(1, 65), j ->
+                   COALESCE(CAST(e.{emb}[j] AS DOUBLE), 0.0)
+                     * h.m[j][i]))) AS p
+    FROM {src} e, hyper h
+),
+bands{suffix} AS (
+    SELECT vec_id,
+           b.band,
+           CAST(list_sum(list_transform(range(0, 8), k ->
+               CASE WHEN p[64 - 8 * b.band - k] >= 0
+                    THEN (1::BIGINT << k) ELSE 0::BIGINT END))
+             AS BIGINT) AS bucket
+    FROM projs{suffix}
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b
+)"""
+
+
+def _pair_cos(a: str, b: str) -> str:
+    """Promoted-double cosine between two embedding list columns."""
+    return (
+        f"(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(range(1, 65), i -> "
+        f"CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
+    )
+
+
+def _lsh_oracle(multiprobe: bool = False, probe: int = 42) -> str:
+    """DuckDB twin of the sign-sketch LSH top-k queries: the
+    hyperplane matrix is a deterministic Python literal
+    (sim.hyperplane_matrix — pure integer avalanche, platform-stable),
+    so it embeds directly into the SQL and the whole pipeline
+    (projection folds, sign bits, band buckets, Hamming-1 probe
+    expansion, promoted-double cosine) is the bit-identical
+    float/integer program in both engines. NaN projections cannot
+    occur on the fixture (no NaN elements); NaN ordering is the one
+    place the engines would disagree."""
+    if multiprobe:
+        pb = f"""pb AS (
+    SELECT p_band, unnest(
+        [p_bucket0] || list_transform(range(0, 8),
+                                      t -> xor(p_bucket0, 1::BIGINT << t))
+    ) AS p_bucket
+    FROM (SELECT band AS p_band, bucket AS p_bucket0
+          FROM bands WHERE vec_id = {probe})
+)"""
+    else:
+        pb = (
+            "pb AS (SELECT band AS p_band, bucket AS p_bucket "
+            f"FROM bands WHERE vec_id = {probe})"
+        )
+    return f"""
+WITH {_sketch_ctes()},
+{pb},
+pr AS (SELECT embedding AS probe FROM embeddings WHERE vec_id = {probe}),
+cand AS (
+    SELECT DISTINCT c.vec_id
+    FROM bands c JOIN pb ON c.band = pb.p_band AND c.bucket = pb.p_bucket
+    WHERE c.vec_id <> {probe}
+)
+SELECT vec_id, cos_sim FROM (
+    SELECT c.vec_id, {_pair_cos("e.embedding", "pr.probe")} AS cos_sim
+    FROM cand c JOIN embeddings e USING (vec_id), pr
+)
+WHERE cos_sim IS NOT NULL AND NOT isnan(cos_sim)
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+def _neardup_oracle(threshold: float, cap: int = 256) -> str:
+    """DuckDB twin of embed_neardup_pairs: shared-band candidate
+    pairs (bucket width capped to the ``cap`` lowest ids, mirroring
+    _capped_buckets) filtered by exact cosine at ``threshold``."""
+    return f"""
+WITH {_sketch_ctes()},
+capped AS (
+    SELECT vec_id, band, bucket FROM (
+        SELECT vec_id, band, bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band, bucket ORDER BY vec_id
+               ) AS rn
+        FROM bands
+    ) WHERE rn <= {cap}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM capped a JOIN capped b USING (band, bucket)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, cos_sim FROM (
+    SELECT c.a_id, c.b_id,
+           {_pair_cos("ea.embedding", "eb.embedding")} AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a_id
+    JOIN embeddings eb ON eb.vec_id = c.b_id
+)
+WHERE NOT isnan(cos_sim) AND cos_sim >= {threshold}
+"""
+
+
+@query("sim_ann_lsh_topk", oracle=_lsh_oracle())
+# promoted rows->SQL late r6: the seeded hyperplane matrix is a plan
+# literal, embeddable in the oracle too
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k: the probe (vec_id 42) hashes to
     8 band buckets of its 64-bit random-hyperplane sketch; only
@@ -791,14 +928,16 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = sim.cosine(F.col("embedding"), F.col("probe"))
     return (
-        cand.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        cand.select("vec_id", cos.alias("cos_sim"))
         .where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
 
 
-@query("sim_ann_multiprobe_topk")  # rows-only: multi-stage ANN
+@query("sim_ann_multiprobe_topk", oracle=_lsh_oracle(multiprobe=True))
+# promoted rows->SQL late r6 (same embedded-matrix oracle, Hamming-1
+# probe expansion as integer xor)
 def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k (Lv et al., VLDB 2007): like
     sim_ann_lsh_topk, but each of the probe's 8 band buckets is
@@ -851,18 +990,169 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = sim.cosine(F.col("embedding"), F.col("probe"))
     return (
-        cand.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        cand.select("vec_id", cos.alias("cos_sim"))
         .where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
 
 
+
+def _exact_topk_cte(name: str, emb: str, n_probes: int, k: int) -> str:
+    """Per-probe exact-cosine top-k CTE over ``emb`` (an embeddings
+    relation alias'd e with columns vec_id, embedding) — the shared
+    building block of the recall oracles. Filters NULL/NaN cosines
+    BEFORE the window, ties broken (cos DESC, vec_id ASC), exactly
+    like the Spark ``topk`` helper."""
+    return f"""{name} AS (
+    SELECT p_id, vec_id FROM (
+        SELECT p_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_id ORDER BY cos DESC, vec_id ASC
+               ) AS rn
+        FROM (
+            SELECT p.p_id, e.vec_id,
+                   {_pair_cos("e.embedding", "p.probe")} AS cos
+            FROM {emb} e, probes p
+            WHERE e.vec_id <> p.p_id
+        ) WHERE cos IS NOT NULL AND NOT isnan(cos)
+    ) WHERE rn <= {k}
+)"""
+
+
+def _ann_recall_oracle(n_probes: int, k: int) -> str:
+    """DuckDB twin of the ENTIRE 5-leg recall harness — the capstone
+    of the unrolling discipline: every leg (pinned-IVF cells,
+    Lloyd-trained cells, float LSH bands, Hamming-1 multiprobe,
+    int8-dequantized LSH) is the bit-identical float/integer program,
+    so even the tuning-time MEASUREMENT itself is differential-oracle
+    checked. Composes _lloyd_ctes/_assign_cte (trained + pinned
+    cells), _sketch_ctes twice off one hyper literal (float corpus
+    and int8-dequantized corpus), and per-leg exact-cosine top-k with
+    the shared tie-break."""
+
+    def leg(name: str, cand: str) -> str:
+        return f"""{name} AS (
+    SELECT p_id, vec_id FROM (
+        SELECT p_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_id ORDER BY cos DESC, vec_id ASC
+               ) AS rn
+        FROM ({cand}) WHERE cos IS NOT NULL AND NOT isnan(cos)
+    ) WHERE rn <= {k}
+)"""
+
+    def recall_row(name: str, method: str) -> str:
+        return f"""SELECT '{method}' AS method, {n_probes} AS n_probes,
+       {k} AS k,
+       CAST(COUNT(*) AS DOUBLE) / {float(n_probes * k)} AS recall_at_k
+FROM {name} q JOIN exact x ON q.p_id = x.p_id AND q.vec_id = x.vec_id"""
+
+    cos_ep = _pair_cos("e.embedding", "p.probe")
+    cos_dp = (
+        "(list_sum(list_transform(range(1, 65), i -> "
+        "e.demb[i] * CAST(p.probe[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(range(1, 65), i -> "
+        "e.demb[i] * e.demb[i])))"
+        " * sqrt(list_sum(list_transform(range(1, 65), i -> "
+        "CAST(p.probe[i] AS DOUBLE) * CAST(p.probe[i] AS DOUBLE))))))"
+    )
+    cos_ap = _pair_cos("a.embedding", "p.probe")
+    ivf_cand = f"""
+        SELECT p.p_id, a.vec_id, {cos_ap} AS cos
+        FROM assign_ivf a, probes p, assign_ivf pa
+        WHERE pa.vec_id = p.p_id AND a.cent_id = pa.cent_id
+          AND a.vec_id <> p.p_id"""
+    km_cand = ivf_cand.replace("assign_ivf", "assign_km")
+    lsh_cand = f"""
+        SELECT c.p_id, c.vec_id, {cos_ep} AS cos
+        FROM (
+            SELECT DISTINCT pbs.vec_id AS p_id, cb.vec_id
+            FROM bands cb
+            JOIN bands pbs
+              ON cb.band = pbs.band AND cb.bucket = pbs.bucket
+            WHERE pbs.vec_id < {n_probes} AND cb.vec_id <> pbs.vec_id
+        ) c JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN probes p ON p.p_id = c.p_id"""
+    mp_cand = f"""
+        SELECT c.p_id, c.vec_id, {cos_ep} AS cos
+        FROM (
+            SELECT DISTINCT pbs.p_id, cb.vec_id
+            FROM bands cb
+            JOIN mp_pb pbs
+              ON cb.band = pbs.band AND cb.bucket = pbs.bucket
+            WHERE cb.vec_id <> pbs.p_id
+        ) c JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN probes p ON p.p_id = c.p_id"""
+    q_cand = f"""
+        SELECT c.p_id, c.vec_id, {cos_dp} AS cos
+        FROM (
+            SELECT DISTINCT pbs.vec_id AS p_id, cb.vec_id
+            FROM bands_q cb
+            JOIN bands pbs
+              ON cb.band = pbs.band AND cb.bucket = pbs.bucket
+            WHERE pbs.vec_id < {n_probes} AND cb.vec_id <> pbs.vec_id
+        ) c JOIN deq e ON e.vec_id = c.vec_id
+        JOIN probes p ON p.p_id = c.p_id"""
+    return f"""
+WITH probes AS (
+    SELECT vec_id AS p_id, embedding AS probe
+    FROM embeddings WHERE vec_id < {n_probes}
+),
+{_exact_topk_cte("exact", "embeddings", n_probes, k)},
+{_lloyd_ctes(8, 3)},
+{_assign_cte("assign_ivf", "cents0")},
+{_assign_cte("assign_km", "cents3")},
+{_sketch_ctes()},
+deq AS (
+    SELECT vec_id,
+           CASE WHEN am = 0.0
+                THEN list_transform(embedding, x -> 0.0)
+                ELSE list_transform(embedding, x ->
+                    round(CAST(x AS DOUBLE) / (am / 127.0)) * (am / 127.0))
+           END AS demb
+    FROM (
+        SELECT vec_id, embedding,
+               list_aggregate(
+                   list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                   'max') AS am
+        FROM embeddings
+    )
+),
+{_sketch_ctes(src="deq", emb="demb", suffix="_q", include_hyper=False)},
+mp_pb AS (
+    SELECT vec_id AS p_id, band,
+           unnest([bucket] || list_transform(range(0, 8),
+                  t -> xor(bucket, 1::BIGINT << t))) AS bucket
+    FROM bands WHERE vec_id < {n_probes}
+),
+{leg("leg_ivf", ivf_cand)},
+{leg("leg_km", km_cand)},
+{leg("leg_lsh", lsh_cand)},
+{leg("leg_mp", mp_cand)},
+{leg("leg_q", q_cand)}
+{recall_row("leg_ivf", "ivf")}
+UNION ALL
+{recall_row("leg_km", "ivf_kmeans")}
+UNION ALL
+{recall_row("leg_lsh", "lsh")}
+UNION ALL
+{recall_row("leg_mp", "lsh_multiprobe")}
+UNION ALL
+{recall_row("leg_q", "lsh_int8_quant")}
+"""
+
+
 ANN_RECALL_N_PROBES = 20
 ANN_RECALL_K = 10
 
 
-@query("sim_ann_recall")  # rows-only: measurement harness over hash-based ANN
+@query(
+    "sim_ann_recall",
+    oracle=_ann_recall_oracle(ANN_RECALL_N_PROBES, ANN_RECALL_K),
+)
+# promoted rows->SQL late r6: even the measurement harness is
+# differential-checked (see _ann_recall_oracle)
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the four approximate methods (IVF cells, sign-LSH
     bands, multi-probe LSH, int8-quantized LSH) against the exact
@@ -1167,12 +1457,17 @@ def embed_neardup_pairs(
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
-        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
+        .select("a_id", "b_id", cos.alias("cos_sim"))
         .where(~F.isnan("cos_sim") & (F.col("cos_sim") >= F.lit(threshold)))
     )
 
 
-@query("embed_neardup_cosine")  # rows-only: LSH banding + float cosine
+@query(
+    "embed_neardup_cosine",
+    oracle=_neardup_oracle(EMBED_NEARDUP_FIXTURE_THRESHOLD),
+)
+# promoted rows->SQL late r6: embedded-matrix bands + capped buckets +
+# exact-cosine threshold, all bit-identical programs
 def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered fixture form of :func:`embed_neardup_pairs` — same
     operator, fixture-tuned threshold (see the constants above)."""
@@ -1996,7 +2291,67 @@ def quality_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_quantized_recall")  # rows-only: golden test pins the value
+
+def _quantized_recall_oracle(n_probes: int, k: int) -> str:
+    """DuckDB twin of sim_quantized_recall: the int8 roundtrip is
+    pure arithmetic (scale = max|x|/127, round half-away-from-zero in
+    BOTH engines), so the quantized search is the identical float
+    program and the recall fraction is exact."""
+    deq_cos = (
+        "(list_sum(list_transform(range(1, 65), i -> "
+        "e.demb[i] * CAST(p.probe[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(range(1, 65), i -> "
+        "e.demb[i] * e.demb[i])))"
+        " * sqrt(list_sum(list_transform(range(1, 65), i -> "
+        "CAST(p.probe[i] AS DOUBLE) * CAST(p.probe[i] AS DOUBLE))))))"
+    )
+    return f"""
+WITH probes AS (
+    SELECT vec_id AS p_id, embedding AS probe
+    FROM embeddings WHERE vec_id < {n_probes}
+),
+{_exact_topk_cte("exact", "embeddings", n_probes, k)},
+deq AS (
+    SELECT vec_id,
+           CASE WHEN am = 0.0
+                THEN list_transform(embedding, x -> 0.0)
+                ELSE list_transform(embedding, x ->
+                    round(CAST(x AS DOUBLE) / (am / 127.0)) * (am / 127.0))
+           END AS demb
+    FROM (
+        SELECT vec_id, embedding,
+               list_aggregate(
+                   list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                   'max') AS am
+        FROM embeddings
+    )
+),
+quant AS (
+    SELECT p_id, vec_id FROM (
+        SELECT p_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_id ORDER BY cos DESC, vec_id ASC
+               ) AS rn
+        FROM (
+            SELECT p.p_id, e.vec_id, {deq_cos} AS cos
+            FROM deq e, probes p
+            WHERE e.vec_id <> p.p_id
+        ) WHERE cos IS NOT NULL AND NOT isnan(cos)
+    ) WHERE rn <= {k}
+)
+SELECT 'int8_dequant' AS method,
+       {n_probes} AS n_probes,
+       {k} AS k,
+       CAST(COUNT(*) AS DOUBLE) / {float(n_probes * k)} AS recall_at_k
+FROM quant q JOIN exact x ON q.p_id = x.p_id AND q.vec_id = x.vec_id
+"""
+
+
+@query(
+    "sim_quantized_recall",
+    oracle=_quantized_recall_oracle(ANN_RECALL_N_PROBES, ANN_RECALL_K),
+)
+# promoted rows->SQL late r6: int8 roundtrip is pure arithmetic
 def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of int8-quantized exact search vs float exact search
     — prices the 4x storage/bandwidth saving of symmetric per-vector
