@@ -59,6 +59,14 @@ _SWEEP_PRIORITY = [
     "sim_ann_lsh_topk",
     "sim_ann_multiprobe_topk",
     "embed_neardup_cosine",
+    # promoted rows->SQL late r6, second batch: the whole MinHash
+    # dedup family moved to the portable md5 hash + pinned affine
+    # permutations, making signatures/bands/pairs/label-propagation
+    # SQL-expressible (cluster/survivors via the 20-round unroll)
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_cluster",
+    "dedup_survivors",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -92,8 +100,9 @@ _SWEEP_PRIORITY = [
     # (agg_pivot, agg_unpivot, str_posexplode rotated back out for the
     # late-r6 LSH promotions — structurally simple r1-greens)
     "agg_percentile",
-    "agg_string_agg",
-    "agg_corr",
+    # (agg_string_agg, agg_corr, project_try_cast, window_first_last
+    # rotated back out for the four newly-oracled dedup keys —
+    # structurally simple, unchanged since their r1/r2 green rows)
     # (join_cross_bipartite, dedup_simhash, gen_date_spine rotated
     # back out for the three newly-oracled sink keys: unchanged since
     # their r1/r2 green rows, and dedup_simhash is rows-only)
@@ -104,12 +113,10 @@ _SWEEP_PRIORITY = [
     # refresh signal; the sink keys moved to the promoted group)
     "scan_filter_pushdown",
     "scan_json_props",
-    "project_try_cast",
     "agg_max_by",
     "merge_upsert",
     "join_broadcast_nested_loop",
     "agg_approx_percentile",
-    "window_first_last",
 ]
 
 

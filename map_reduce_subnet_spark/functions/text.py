@@ -164,3 +164,21 @@ def langid(text: Column | str) -> Column:
         .when(t.contains(" el ") | t.contains(" los "), "es")
         .otherwise("und")
     )
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """Engine-portable 60-bit string hash: the first 15 hex digits of
+    md5, parsed base-16 into a non-negative BIGINT. Spark's
+    ``conv(substr(md5(s),1,15),16,10)`` and DuckDB's
+    ``('0x'||substr(md5(s),1,15))::BIGINT`` are bit-identical, which
+    is what lets the MinHash/SimHash dedup family carry full
+    differential oracles (xxhash64/murmur3 have no DuckDB twin).
+    60 bits < 63, so downstream modular arithmetic stays overflow-free
+    in signed int64 on both engines."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_portable_hash60(expr: str) -> str:
+    """DuckDB twin of :func:`portable_hash60` (see its docstring)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"

@@ -209,47 +209,133 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_N_PERM = 12
 MINHASH_BAND_ROWS = 3
+MOD32 = 4294967296  # 2^32 — modulus of the universal-hash family
+
+# Fixed universal-hash family h_j(x) = (A[j]*x + B[j]) mod 2^32 over
+# the 32-bit reduction of portable_hash60(shingle). A is odd and
+# < 2^31, x < 2^32, B < 2^32 ⇒ A*x + B < 2^63: overflow-free in
+# signed int64 on BOTH engines (Spark wraps silently, DuckDB raises —
+# the family is chosen so neither ever happens). The literals are
+# pinned (seeded PRNG, generated once) and shared verbatim with the
+# oracle SQL: one md5 per shingle + 12 integer affine maps replaces
+# the 12 per-salt xxhash64 calls, making the whole MinHash family
+# differentially checkable against DuckDB.
+MINHASH_A = [1571058545, 776319283, 1495162255, 223979957, 287728255,
+             377114939, 988049141, 1307509405, 2091592247, 583621837,
+             146926941, 1674215713]
+MINHASH_B = [3158965826, 2510308157, 2220798752, 168881314, 68501207,
+             2156753602, 4252310947, 4065430897, 2182129534, 2534511231,
+             1522429468, 3717233021]
 
 
 def minhash_signatures(d: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) MinHash signature frame over 3-gram
-    shingles — one xxhash64 'permutation' per distinct salt.
+    shingles — one portable md5-derived hash per shingle, then one
+    affine 'permutation' per (A, B) pair (see MINHASH_A).
 
     Exposed module-level so tests can assert signature diversity
     (the mh columns must NOT all be the same expression)."""
     sh = d.select(
-        "doc_id", F.array_distinct(tx.shingles("text", 3)).alias("sh")
+        "doc_id",
+        F.transform(
+            F.array_distinct(tx.shingles("text", 3)),
+            lambda s: tx.portable_hash60(s) % F.lit(MOD32),
+        ).alias("hs"),
     )
 
-    # The salt must be captured by a factory, NOT a defaulted lambda
-    # param: PySpark counts default params when inferring HOF lambda
-    # arity, so `lambda s, j=j:` becomes the (element, index) form and
-    # j silently rebinds to the array-index column — all 12
-    # "permutations" collapse to one position-salted hash
+    # The (a, b) pair must be captured by a factory, NOT a defaulted
+    # lambda param: PySpark counts default params when inferring HOF
+    # lambda arity, so `lambda h, a=a:` becomes the (element, index)
+    # form and the salt silently rebinds to the array-index column —
+    # all 12 "permutations" collapse to one position-salted hash
     # (tests/test_llm.py pins mh-column diversity against this).
-    def _perm_hash(salt: int):
-        return lambda s: F.xxhash64(s, F.lit(salt))
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD32)
 
     minhashes = [
-        F.array_min(F.transform(F.col("sh"), _perm_hash(j))).alias(f"mh{j}")
+        F.array_min(F.transform(F.col("hs"), _perm(MINHASH_A[j], MINHASH_B[j])))
+        .alias(f"mh{j}")
         for j in range(MINHASH_N_PERM)
     ]
     # docs with no shingles (<k words) must not reach banding: their 12
     # NULL minhashes would concat to an identical empty signature and
     # pair every short doc with every other (a quadratic junk bucket)
-    return sh.where(F.size("sh") > 0).select("doc_id", *minhashes)
+    return sh.where(F.size("hs") > 0).select("doc_id", *minhashes)
 
 
-@query("dedup_near_minhash")  # rows-only: xxhash64 has no DuckDB counterpart
+def _minhash_ctes() -> str:
+    """Shared oracle CTEs reproducing the MinHash→bands→capped-
+    buckets→candidate-pairs chain bit-for-bit in DuckDB: same 3-gram
+    shingles as the dedup_ngram_jaccard oracle, the portable md5 hash
+    (functions/text.py::sql_portable_hash60), the pinned affine
+    family, band signatures as '_'-joined decimal strings, and the
+    LSH_BUCKET_CAP row-number cap."""
+    h = tx.sql_portable_hash60("shingle")
+    perms = ",\n           ".join(
+        f"MIN(({a} * h32 + {b}) % {MOD32}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    n_bands = MINHASH_N_PERM // MINHASH_BAND_ROWS
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"mh{b * MINHASH_BAND_ROWS + r}::VARCHAR"
+            for r in range(MINHASH_BAND_ROWS)
+        )
+        + " AS sig FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(w) - 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+    FROM tok
+),
+hs AS (SELECT doc_id, {h} % {MOD32} AS h32 FROM sh),
+sig AS (
+    SELECT doc_id,
+           {perms}
+    FROM hs GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+capped AS (
+    SELECT doc_id, band, sig FROM (
+        SELECT doc_id, band, sig,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band, sig ORDER BY doc_id
+               ) AS rn
+        FROM bands
+    ) WHERE rn <= {LSH_BUCKET_CAP}
+),
+mh_pairs AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM capped a
+    JOIN capped b ON a.band = b.band AND a.sig = b.sig
+        AND a.doc_id < b.doc_id
+)"""
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+WITH {_minhash_ctes()}
+SELECT a_id, b_id FROM mh_pairs
+""",
+)
+# promoted rows->SQL in r6: the portable md5 hash + pinned affine
+# family make the signature program reproducible in DuckDB
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates: 12 permutations
-    (xxhash64 with distinct salts) over 3-gram shingles, 4 bands × 3
-    rows; docs sharing a band signature become candidate pairs.
+    (pinned affine maps over a portable md5-derived shingle hash)
+    over 3-gram shingles, 4 bands × 3 rows; docs sharing a band
+    signature become candidate pairs.
 
-    The scale path: per-doc work is O(shingles × 12), candidate
-    generation is an equi-join on (band, signature) — no pairwise
-    scan. Pinned by a golden test (tests/test_llm.py) since DuckDB
-    lacks xxhash64.
+    The scale path: per-doc work is O(shingles × 12) integer ops +
+    one md5 per shingle, candidate generation is an equi-join on
+    (band, signature) — no pairwise scan.
     """
     d = load_table(spark, sf_dir, "documents")
     n_perm, band_rows = MINHASH_N_PERM, MINHASH_BAND_ROWS
@@ -290,23 +376,57 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: murmur3 word hashing is Spark-specific
+def _simhash_oracle() -> str:
+    """DuckDB twin of dedup_simhash: same portable md5 word hash
+    reduced mod 2^32, same per-bit ±1 votes (sum over distinct
+    words), same >= 0 tie rule assembling the 32-bit fingerprint."""
+    h = tx.sql_portable_hash60("word")
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ((h32 >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    return f"""
+WITH wd AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+    FROM documents
+),
+hw AS (SELECT doc_id, {h} % {MOD32} AS h32 FROM wd),
+v AS (
+    SELECT doc_id,
+           {votes}
+    FROM hw GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash32 FROM v
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+# promoted rows->SQL in r6: portable md5 word hash replaces murmur3
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document, computed entirely with
     nested higher-order functions (no explode: per-doc cost is
-    O(words × 32) inside one task, no 32× row blowup)."""
+    O(words × 32) inside one task, no 32× row blowup). Words hash
+    through the portable md5 hash ONCE (the transform below), then
+    the 32 bit-tests are integer shifts on that value — not 32
+    re-hashes."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.array_distinct(tx.words("text"))
+    hw = F.transform(
+        F.array_distinct(tx.words("text")),
+        lambda s: tx.portable_hash60(s) % F.lit(MOD32),
+    )
     # bit positions are Python ints (shift amounts must be literals)
     bit_votes = F.aggregate(
-        w,
+        hw,
         F.array_repeat(F.lit(0), 32),
-        lambda acc, word: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.hash(word), i).bitwiseAND(F.lit(1)) == 1,
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
                         F.lit(1),
                     ).otherwise(F.lit(-1))
                     for i in range(32)
@@ -1548,7 +1668,52 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_CLUSTER_MAX_ITERS = 20
 
 
-@query("dedup_cluster")  # rows-only: iterative algorithm, not SQL-expressible
+def _cluster_ctes(rounds: int) -> str:
+    """Unrolled min-label-propagation CTEs over the MinHash candidate
+    pairs (assumes _minhash_ctes precedes in the WITH list). The
+    recurrence-unroll pattern proven on graph_pagerank / the Lloyd
+    oracles: the implementation iterates to a fixpoint in <= rounds
+    (raising otherwise), labels are monotone non-increasing, so an
+    oracle that always runs exactly ``rounds`` rounds lands on the
+    identical fixpoint whenever the implementation succeeds — extra
+    rounds past convergence are no-ops.
+
+    Every CTE is MATERIALIZED: each round references the previous
+    label frame three times (self, neighbor-min, pointer-jump), and
+    DuckDB's default CTE inlining would blow the plan up 3^rounds —
+    materialization makes the unroll linear, exactly like the
+    checkpoint-per-round in the Spark implementation."""
+    ctes = [
+        """e AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM mh_pairs
+     UNION ALL SELECT b_id AS src, a_id AS dst FROM mh_pairs)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e)",
+    ]
+    for t in range(rounds):
+        ctes.append(f"""l{t + 1} AS MATERIALIZED (
+    SELECT l.id,
+           LEAST(l.label,
+                 COALESCE(n.nlabel, l.label),
+                 COALESCE(p.plabel, l.label)) AS label
+    FROM l{t} l
+    LEFT JOIN (SELECT e.dst AS dst, MIN(x.label) AS nlabel
+               FROM e JOIN l{t} x ON e.src = x.id GROUP BY e.dst) n
+        ON n.dst = l.id
+    LEFT JOIN (SELECT id AS pid, label AS plabel FROM l{t}) p
+        ON l.label = p.pid
+)""")
+    return ",\n".join(ctes)
+
+
+@query(
+    "dedup_cluster",
+    oracle=f"""
+WITH {_minhash_ctes()},
+{_cluster_ctes(DEDUP_CLUSTER_MAX_ITERS)}
+SELECT id AS doc_id, label AS cluster_id FROM l{DEDUP_CLUSTER_MAX_ITERS}
+""",
+)
+# promoted rows->SQL in r6: bounded-iteration fixpoint unrolls into
+# chained CTEs over the now-SQL-expressible MinHash candidate pairs
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup candidate pairs:
     every doc in a near-dup component gets the component's minimum
@@ -1645,7 +1810,20 @@ def survivor_drops(labels: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_survivors")  # rows-only: clusters derive from xxhash64 MinHash
+@query(
+    "dedup_survivors",
+    oracle=f"""
+WITH {_minhash_ctes()},
+{_cluster_ctes(DEDUP_CLUSTER_MAX_ITERS)},
+drops AS (
+    SELECT id FROM l{DEDUP_CLUSTER_MAX_ITERS} WHERE id != label
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM drops)
+""",
+)
+# promoted rows->SQL in r6 together with dedup_cluster
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical deduped corpus — the step every real dedup pipeline
     ends with: one survivor (the minimum doc_id) per near-dup cluster,
@@ -1670,8 +1848,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash + components. First invocation pays the full chain;
     repeats (bench runs, driver sweeps) time what production times —
     the anti-join. A changed corpus changes the key and recomputes.
-    The drop set is deterministic (seeded xxhash64 MinHash, min-label
-    components), so the cache cannot go stale under a fixed fixture.
+    The drop set is deterministic (portable md5 MinHash with a pinned
+    affine family, min-label components), so the cache cannot go
+    stale under a fixed fixture. The cache tag is versioned with the
+    hash family: changing the family changes the tag, so an old
+    cache can never serve the previous family's drop set.
     """
     from map_reduce_subnet_spark.functions.cache import (
         fixture_cache_dir,
@@ -1679,7 +1860,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents")
-    cache = fixture_cache_dir(sf_dir, "documents", "dropset")
+    cache = fixture_cache_dir(sf_dir, "documents", "dropset_mh2")
     if is_cached(cache):
         drops = spark.read.schema("doc_id long").parquet(cache)
     else:
