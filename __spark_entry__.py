@@ -67,6 +67,10 @@ _SWEEP_PRIORITY = [
     "dedup_simhash",
     "dedup_cluster",
     "dedup_survivors",
+    # new late r6: mergeable-bitmap exact distinct + MinHash Jaccard
+    # estimation over the candidate pairs
+    "agg_bitmap_distinct",
+    "dedup_minhash_est",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -115,8 +119,9 @@ _SWEEP_PRIORITY = [
     "scan_json_props",
     "agg_max_by",
     "merge_upsert",
-    "join_broadcast_nested_loop",
-    "agg_approx_percentile",
+    # (join_broadcast_nested_loop, agg_approx_percentile rotated back
+    # out for agg_bitmap_distinct / dedup_minhash_est — the former is
+    # a structurally simple r2-green, the latter rows-only)
 ]
 
 

@@ -527,3 +527,46 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users via mergeable roaring-style bitmaps
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count) —
+    the scalable exact-distinct pattern. Generalizes the reference's
+    per-round distinct-peer accounting (reference README.md:18,
+    neurons/validator.py:120-141) to an arbitrary-cardinality key.
+
+    Why not COUNT(DISTINCT)? A plain distinct-count shuffles every
+    raw (day, user_id) pair to the reducer. The bitmap form
+    partial-aggregates map-side into fixed 4 KiB bitmap segments per
+    (day, id-bucket), so the shuffle carries O(days × buckets)
+    bitmaps instead of O(rows) values, the segments OR together
+    associatively (mergeable across partitions, stages, or days),
+    and the final count is a popcount — the same mergeability story
+    as the HLL sketch rollup (agg_hll_sketch_merge) but EXACT. At
+    100 TB the shuffle volume is the bitmap universe, not the event
+    count. The result equals COUNT(DISTINCT user_id), which is
+    exactly what the oracle checks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).cast("long")
+    return (
+        e.select(day.alias("day_s"), "user_id")
+        .groupBy("day_s", F.expr("bitmap_bucket_number(user_id)").alias("bkt"))
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+        .groupBy("day_s")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"))
+    )

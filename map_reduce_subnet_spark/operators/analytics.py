@@ -81,12 +81,26 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p50/p90/p99). Both engines use
     linear interpolation on the sorted values — bit-exact parity.
     The approximate path for unbounded cardinality is
-    approx_percentile (same shape as agg_approx_distinct's HLL)."""
+    approx_percentile (same shape as agg_approx_distinct's HLL).
+
+    One array-argument percentile call, not three scalar ones: each
+    scalar percentile aggregate buffers the group's values
+    independently, so the three-call form pays the per-group value
+    buffer (the operator's real cost) three times over."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+            ).alias("ps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p90"),
+            F.col("ps")[2].alias("p99"),
+        )
     )
 
 

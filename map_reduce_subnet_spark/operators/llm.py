@@ -338,8 +338,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, signature) — no pairwise scan.
     """
     d = load_table(spark, sf_dir, "documents")
+    return minhash_band_pairs(minhash_signatures(d))
+
+
+def minhash_band_pairs(sig: DataFrame) -> DataFrame:
+    """Candidate (a_id, b_id) pairs from a MinHash signature frame:
+    band explode → capped buckets → in-bucket pair expansion. Shared
+    by dedup_near_minhash and dedup_minhash_est so the band
+    arithmetic lives in one place."""
     n_perm, band_rows = MINHASH_N_PERM, MINHASH_BAND_ROWS
-    sig = minhash_signatures(d)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -373,6 +380,53 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.a_id", "p.b_id")
         .distinct()
+    )
+
+
+@query(
+    "dedup_minhash_est",
+    oracle=f"""
+WITH {_minhash_ctes()}
+SELECT p.a_id, p.b_id,
+       CAST({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(MINHASH_N_PERM))}
+         AS DOUBLE) / {MINHASH_N_PERM} AS est_jaccard
+FROM mh_pairs p
+JOIN sig sa ON sa.doc_id = p.a_id
+JOIN sig sb ON sb.doc_id = p.b_id
+""",
+)
+def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ESTIMATION from MinHash signatures: for each LSH
+    candidate pair, the fraction of agreeing signature components —
+    the standard cheap verify step between candidate generation and
+    exact (shingle-set) verification, E[est] = true Jaccard.
+
+    Scale shape: the signature frame is checkpointed ONCE and feeds
+    both candidate generation and the two sides of the estimation
+    join (a real pipeline materializes signatures exactly once —
+    without the checkpoint Spark would re-run the md5+permutation
+    subtree three times). The estimation join is per-candidate-pair
+    (bounded by the capped buckets), never per-document-pair, and
+    compares 12 ints per row — no shingle sets are revisited. The
+    division by the literal permutation count is the identical
+    double program in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = stable_checkpoint(minhash_signatures(d))
+    pairs = minhash_band_pairs(sig)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        (F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}")).cast("int")
+        for j in range(MINHASH_N_PERM)
+    )
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (agree.cast("double") / F.lit(MINHASH_N_PERM)).alias("est_jaccard"),
+        )
     )
 
 

@@ -695,3 +695,41 @@ def test_image_resize_parity(spark):
             si = min(int((i + 0.5) * img.shape[0] / 8), img.shape[0] - 1)
             sj = min(int((j + 0.5) * img.shape[1] / 12), img.shape[1] - 1)
             assert (small[i, j] == img[si, sj]).all()
+
+
+def test_minhash_est_range_and_pair_set(spark):
+    """Every LSH candidate pair shares at least one full band (3 of 12
+    components), so the MinHash Jaccard estimate is bounded below by
+    3/12 — and the estimated pair set must be exactly the candidate
+    set dedup_near_minhash emits."""
+    est = QUERIES["dedup_minhash_est"](spark, SF_DIR).toPandas()
+    pairs = QUERIES["dedup_near_minhash"](spark, SF_DIR).toPandas()
+    assert set(zip(est["a_id"], est["b_id"])) == set(
+        zip(pairs["a_id"], pairs["b_id"])
+    )
+    if len(est):
+        assert (est["est_jaccard"] >= 0.25 - 1e-12).all()
+        assert (est["est_jaccard"] <= 1.0).all()
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap popcount must equal a plain COUNT(DISTINCT) — the
+    operator's whole contract is exactness with mergeable state."""
+    import pyspark.sql.functions as F
+
+    got = QUERIES["agg_bitmap_distinct"](spark, SF_DIR).toPandas()
+    from map_reduce_subnet_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    expect = (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+            .cast("long")
+            .alias("day_s")
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .toPandas()
+    )
+    a = got.sort_values("day_s").reset_index(drop=True)
+    b = expect.sort_values("day_s").reset_index(drop=True)
+    assert a.equals(b)
