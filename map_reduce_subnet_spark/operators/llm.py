@@ -1758,6 +1758,29 @@ def _cluster_ctes(rounds: int) -> str:
     return ",\n".join(ctes)
 
 
+def _candidate_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs, materialized ONCE per fixture (the
+    dropset / bucketed-layout / trained-centroid discipline from
+    functions/cache.py): a real dedup pipeline computes its candidate
+    graph once and every downstream consumer — components, survivor
+    selection — reads the materialized pair table instead of
+    re-running shingle hashing, permutations and banding. The pair
+    set is deterministic given the fixture (pinned hash family), so
+    a hit can only ever serve the identical frame; the tag is
+    versioned with the hash family like dropset_mh2."""
+    from map_reduce_subnet_spark.functions.cache import (
+        fixture_cache_dir,
+        is_cached,
+    )
+
+    cache = fixture_cache_dir(sf_dir, "documents", "mhpairs_mh2")
+    if not is_cached(cache):
+        dedup_near_minhash(spark, sf_dir).write.mode("overwrite").parquet(
+            cache
+        )
+    return spark.read.schema("a_id long, b_id long").parquet(cache)
+
+
 @query(
     "dedup_cluster",
     oracle=f"""
@@ -1785,8 +1808,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Loop exhaustion without a fixpoint RAISES instead of silently
     returning half-merged components (wrong cluster ids would
     otherwise flow into survivor selection with no signal). The
-    candidate pairs are checkpointed once so the MinHash subtree is
-    not re-executed every iteration, and each round's labels are
+    candidate pairs are materialized once per fixture
+    (_candidate_pairs_cached) so the MinHash subtree is not
+    re-executed per iteration or per consumer, and each round's labels are
     checkpointed to keep the lineage flat (rounds of joins would
     otherwise compound into one enormous plan). Checkpoints are
     reliable when the session has a checkpoint dir, executor-local
@@ -1797,7 +1821,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     and are not emitted (at 100 TB the non-candidate set is ~the whole
     corpus — emitting it would dwarf the actual clusters).
     """
-    pairs = stable_checkpoint(dedup_near_minhash(spark, sf_dir))
+    pairs = _candidate_pairs_cached(spark, sf_dir)
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -1918,7 +1942,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     if is_cached(cache):
         drops = spark.read.schema("doc_id long").parquet(cache)
     else:
-        pairs = stable_checkpoint(dedup_near_minhash(spark, sf_dir))
+        pairs = _candidate_pairs_cached(spark, sf_dir)
         survivor_drops(connected_components(pairs)).write.mode(
             "overwrite"
         ).parquet(cache)
