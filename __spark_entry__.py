@@ -71,6 +71,9 @@ _SWEEP_PRIORITY = [
     # estimation over the candidate pairs
     "agg_bitmap_distinct",
     "dedup_minhash_est",
+    # new late r6: custom Python DataSource API (batch + streaming)
+    "scan_python_datasource",
+    "stream_python_source_true",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -117,11 +120,11 @@ _SWEEP_PRIORITY = [
     # refresh signal; the sink keys moved to the promoted group)
     "scan_filter_pushdown",
     "scan_json_props",
-    "agg_max_by",
-    "merge_upsert",
     # (join_broadcast_nested_loop, agg_approx_percentile rotated back
     # out for agg_bitmap_distinct / dedup_minhash_est — the former is
-    # a structurally simple r2-green, the latter rows-only)
+    # a structurally simple r2-green, the latter rows-only; agg_max_by
+    # and merge_upsert rotated back out for the two Python DataSource
+    # keys — both unchanged since their r1/r2 green rows)
 ]
 
 

@@ -420,3 +420,55 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+WITH synth AS (
+    SELECT i AS doc_id,
+           ['en', 'fr', 'de', 'es'][(i % 4) + 1] AS lang,
+           100 + (((i % 2147483648) * 2654435761) % 2147483648) % 900
+               AS n_chars
+    FROM (SELECT unnest(range(0, 10000)) AS i)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc
+FROM synth
+GROUP BY lang
+""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-DEFINED SOURCE: a custom Python DataSource
+    (sources/pydatasource.py — Spark 4's pyspark.sql.datasource API)
+    registered on the session and read like any built-in format, with
+    8 real input partitions planned by the source itself. The rows
+    are pinned integer arithmetic over the row id, so the DuckDB
+    oracle regenerates the identical relation from range() — a fully
+    differentially-checked custom connector (``sf_dir`` is unused:
+    the source IS the data). The aggregate on top proves the scan
+    composes with ordinary planning (partial aggregation per source
+    partition, one shuffle of 4 groups).
+
+    The datasource module is shipped by value (cloudpickle), the
+    same worker-shipping discipline as the multimodal decoders —
+    executors do not have this repo on sys.path."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.sources import pydatasource as pds
+
+    _cp.register_pickle_by_value(pds)
+    spark.dataSource.register(pds.SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", pds.SYNTH_N_ROWS)
+        .option("n_parts", pds.SYNTH_N_PARTS)
+        .load()
+    )
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

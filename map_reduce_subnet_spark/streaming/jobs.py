@@ -137,18 +137,34 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(
-    stream_df: DataFrame, spark: SparkSession, output_mode: str = "append"
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+    drain: str = "available_now",
 ) -> DataFrame:
-    """Drain the stream into a memory sink (one availableNow pass) and
-    return the sink table as a batch frame."""
+    """Drain the stream into a memory sink and return the sink table
+    as a batch frame. ``drain="available_now"`` is one
+    Trigger.AvailableNow pass (file sources); ``drain="process_all"``
+    runs continuous micro-batches until processAllAvailable() observes
+    an idle source — required for custom Python stream sources, whose
+    PythonMicroBatchStream does not support AvailableNow (Spark falls
+    back to a SINGLE batch and silently truncates the stream)."""
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
     )
+    if drain == "process_all":
+        q = writer.trigger(processingTime="0 seconds").start()
+        try:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(60)
+            return spark.table(name).localCheckpoint(eager=True)
+        finally:
+            spark.catalog.dropTempView(name)
+    q = writer.trigger(availableNow=True).start()
     # Materialize off the sink, then drop the temp view: without the
     # drop, every invocation leaked one uuid-named in-memory table for
     # the session lifetime (catalog growth + pinned sink rows) — on
@@ -814,3 +830,44 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(state["dir"]).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "stream_python_source_true",
+    oracle=f"""
+WITH synth AS (
+    SELECT i AS event_id,
+           ['en', 'fr', 'de', 'es'][(i % 4) + 1] AS lang,
+           CAST((((i % 2147483648) * 2654435761) % 2147483648) % 1000
+                AS DOUBLE) AS value
+    FROM (SELECT unnest(range(0, 5000)) AS i)
+)
+SELECT lang, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM synth
+GROUP BY lang
+""",
+)
+def stream_python_source_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL custom Python micro-batch STREAMING source
+    (sources/pydatasource.py::SyntheticEventsStreamDataSource, Spark
+    4's SimpleDataSourceStreamReader): 5000 deterministic events
+    arrive over ~7 micro-batches of ≤800 rows (offset-bounded reads),
+    aggregated per lang in complete mode — proving offset planning,
+    cross-micro-batch aggregation state, and replayable offsets on a
+    user-defined source that is not a file or a Kafka topic
+    (``sf_dir`` unused: the source IS the data). The row program is
+    pinned integer arithmetic, so the DuckDB oracle regenerates the
+    whole stream from range(); counts are exact and the sum is
+    decimal-stabilized, so the batched arrival order cannot move the
+    result."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.sources import pydatasource as pds
+
+    _cp.register_pickle_by_value(pds)
+    spark.dataSource.register(pds.SyntheticEventsStreamDataSource)
+    ev = spark.readStream.format("synthetic_events").load()
+    agg = ev.groupBy("lang").agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    )
+    return _run_to_memory(agg, spark, output_mode="complete", drain="process_all")

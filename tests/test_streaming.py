@@ -329,3 +329,28 @@ def test_kafka_source_is_gated_without_connector(spark):
 
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         read_kafka_events_stream(spark, "localhost:9092", "events")
+
+
+def test_python_datasource_plans_declared_partitions(spark):
+    """The custom batch DataSource must plan its declared input
+    splits (8 strided partitions) and yield the full row range."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.sources import pydatasource as pds
+
+    _cp.register_pickle_by_value(pds)
+    spark.dataSource.register(pds.SyntheticDocsDataSource)
+    raw = spark.read.format("synthetic_docs").load()
+    assert raw.rdd.getNumPartitions() == pds.SYNTH_N_PARTS
+    assert raw.count() == pds.SYNTH_N_ROWS
+
+
+def test_python_stream_source_spans_micro_batches(spark):
+    """The custom stream source must deliver the WHOLE bounded range
+    across multiple micro-batches — the AvailableNow fallback would
+    silently truncate to the first 800-row batch, which is exactly
+    the failure the process_all drain exists to prevent."""
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    df = QUERIES["stream_python_source_true"](spark, SF_DIR).toPandas()
+    assert int(df["n_events"].sum()) == 5000
