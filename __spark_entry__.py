@@ -71,9 +71,12 @@ _SWEEP_PRIORITY = [
     # estimation over the candidate pairs
     "agg_bitmap_distinct",
     "dedup_minhash_est",
-    # new late r6: custom Python DataSource API (batch + streaming)
+    # new late r6: custom Python DataSource API (batch + streaming +
+    # sink) and the VARIANT-typed payload scan
     "scan_python_datasource",
     "stream_python_source_true",
+    "sink_python_datasource",
+    "scan_variant_props",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -113,8 +116,9 @@ _SWEEP_PRIORITY = [
     # (join_cross_bipartite, dedup_simhash, gen_date_spine rotated
     # back out for the three newly-oracled sink keys: unchanged since
     # their r1/r2 green rows, and dedup_simhash is rows-only)
-    "text_chunking",
-    "text_pii_scrub",
+    # (text_chunking, text_pii_scrub rotated back out for
+    # sink_python_datasource / scan_variant_props — structurally
+    # simple, unchanged since their r1/r2 green rows)
     # (multimodal_features rotated back out when the round-6
     # continuation keys claimed their slots — rows-only, least
     # refresh signal; the sink keys moved to the promoted group)

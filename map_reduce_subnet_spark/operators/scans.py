@@ -472,3 +472,94 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "scan_variant_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def scan_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type: the
+    JSON props column is parsed ONCE into a variant (parse_json —
+    a binary-encoded tree, no re-tokenizing per field access) and
+    fields are extracted typed with try_variant_get, then aggregated
+    per event type. Complements scan_json_props (per-row string
+    extraction): variant is the engine-native path when several
+    fields are read from one payload or the payload is scanned
+    repeatedly. The oracle reads the same field with DuckDB's JSON
+    extraction — the values, not the encoding, are the contract."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS nation_key, COUNT(*) AS n_custs
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write side of the custom Python connector
+    (sources/pydatasource.py::JsonLinesSinkDataSource): a per-nation
+    aggregate is written through the user-defined SINK (each task
+    streams its partition to a JSON-lines part file; the driver-side
+    commit writes the _SUCCESS marker last), then read back with an
+    explicit schema and returned — the sink_roundtrip discipline: the
+    write is the side effect, the read-back VALUES are what the
+    oracle checks. The glob filter keeps the marker file out of the
+    read; the marker's absence after save() would mean the sink's
+    commit contract broke, so it is asserted."""
+    import shutil
+
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.sources import pydatasource as pds
+
+    _cp.register_pickle_by_value(pds)
+    spark.dataSource.register(pds.JsonLinesSinkDataSource)
+    agg = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(F.count("*").alias("n_custs"))
+    )
+    out = os.path.join(tempfile.gettempdir(), f"mrs_pysink_{uuid.uuid4().hex}")
+    os.makedirs(out)
+    try:
+        agg.write.format("jsonl_sink").option("path", out).mode(
+            "append"
+        ).save()
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            raise RuntimeError(
+                "jsonl_sink commit contract broken: no _SUCCESS marker"
+            )
+        back = (
+            spark.read.schema("nation_key long, n_custs long")
+            .option("pathGlobFilter", "*.jsonl")
+            .json(out)
+        )
+        rows = back.collect()
+        schema = back.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

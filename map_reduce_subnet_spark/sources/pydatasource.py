@@ -27,8 +27,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SYNTH_LANGS = ("en", "fr", "de", "es")
@@ -141,3 +143,71 @@ class SyntheticEventsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
         return SyntheticEventsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Write side: a custom Python SINK (DataSourceWriter)
+# ---------------------------------------------------------------------------
+
+
+class _PartFileMessage(WriterCommitMessage):
+    """Per-task commit message: the part file this task wrote."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonLinesSinkWriter(DataSourceWriter):
+    """Executor-side writer: each task streams its partition to one
+    JSON-lines part file, names it by partition id + a random suffix
+    (two attempts of the same task can never collide), and reports it
+    in the commit message. The driver-side commit() writes the
+    _SUCCESS marker LAST — the same torn-write discipline as the
+    parquet sinks (functions/cache.py::is_cached): a killed job
+    leaves part files but no marker, so readers never see a partial
+    table. In local mode the directory is a /tmp scratch path; a real
+    deployment points ``path`` at shared storage."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fn = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        )
+        with open(fn, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _PartFileMessage(fn)
+
+    def commit(self, messages):
+        import os
+
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("\n".join(m.path for m in messages if m is not None))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()``
+    after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesSinkWriter:
+        return JsonLinesSinkWriter(self.options)
