@@ -77,6 +77,8 @@ _SWEEP_PRIORITY = [
     "stream_python_source_true",
     "sink_python_datasource",
     "scan_variant_props",
+    # new late r6: state-store inspection (Spark 4 state data source)
+    "stream_state_inspect",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free

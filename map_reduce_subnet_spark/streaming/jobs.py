@@ -871,3 +871,62 @@ def stream_python_source_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), dsum("value", "sum_value")
     )
     return _run_to_memory(agg, spark, output_mode="complete", drain="process_all")
+
+
+@query(
+    "stream_state_inspect",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational STATE-STORE inspection (Spark 4's state data
+    source): a complete-mode streaming aggregation drains over a REAL
+    checkpoint, then ``spark.read.format("statestore")`` reads the
+    aggregation's state store itself as a batch table — key struct,
+    value buffer, store partition — the tool an operator reaches for
+    when a production stream's state looks wrong (skewed keys, stale
+    entries, unexpected cardinality). After a full drain the state of
+    a complete aggregation IS the whole-fixture aggregate, which is
+    exactly what the oracle checks — so this query differentially
+    verifies Spark's own state persistence round-trip, not just the
+    sink output.
+
+    The state rows are collected BEFORE the scratch checkpoint is
+    deleted (the statestore scan reads lazily from those files); the
+    memory-sink view and checkpoint dir are both dropped in finally,
+    the same leak discipline as _run_to_memory."""
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="mrs_ssro_")
+    name = "s" + uuid.uuid4().hex[:12]
+    try:
+        ev = _read_event_stream(spark, sf_dir)
+        agg = ev.groupBy("event_type").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("state-inspect stream did not drain")
+        finally:
+            spark.catalog.dropTempView(name)
+        st = spark.read.format("statestore").load(ckpt)
+        out = st.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_events"),
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
