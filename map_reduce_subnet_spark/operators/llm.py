@@ -401,18 +401,19 @@ def dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard cheap verify step between candidate generation and
     exact (shingle-set) verification, E[est] = true Jaccard.
 
-    Scale shape: the signature frame is checkpointed ONCE and feeds
-    both candidate generation and the two sides of the estimation
-    join (a real pipeline materializes signatures exactly once —
-    without the checkpoint Spark would re-run the md5+permutation
-    subtree three times). The estimation join is per-candidate-pair
-    (bounded by the capped buckets), never per-document-pair, and
-    compares 12 ints per row — no shingle sets are revisited. The
-    division by the literal permutation count is the identical
-    double program in both engines."""
+    Scale shape: the candidate pairs come from the materialize-once
+    pair table (_candidate_pairs_cached — the verify stage of a real
+    pipeline consumes the candidate table, it does not re-run
+    banding), and the signature frame is checkpointed ONCE to feed
+    both sides of the estimation join (without the checkpoint Spark
+    would re-run the md5+permutation subtree twice). The estimation
+    join is per-candidate-pair (bounded by the capped buckets), never
+    per-document-pair, and compares 12 ints per row — no shingle sets
+    are revisited. The division by the literal permutation count is
+    the identical double program in both engines."""
     d = load_table(spark, sf_dir, "documents")
     sig = stable_checkpoint(minhash_signatures(d))
-    pairs = minhash_band_pairs(sig)
+    pairs = _candidate_pairs_cached(spark, sf_dir)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     agree = sum(

@@ -86,7 +86,7 @@ class SyntheticDocsDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 SYNTH_STREAM_TOTAL = 5000
-SYNTH_STREAM_BATCH = 800
+SYNTH_STREAM_BATCH = 1250
 
 
 def synth_event_row(i: int) -> tuple:

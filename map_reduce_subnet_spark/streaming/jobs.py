@@ -851,7 +851,7 @@ def stream_python_source_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL custom Python micro-batch STREAMING source
     (sources/pydatasource.py::SyntheticEventsStreamDataSource, Spark
     4's SimpleDataSourceStreamReader): 5000 deterministic events
-    arrive over ~7 micro-batches of ≤800 rows (offset-bounded reads),
+    arrive over 4 micro-batches of ≤1250 rows (offset-bounded reads),
     aggregated per lang in complete mode — proving offset planning,
     cross-micro-batch aggregation state, and replayable offsets on a
     user-defined source that is not a file or a Kafka topic

@@ -348,7 +348,7 @@ def test_python_datasource_plans_declared_partitions(spark):
 def test_python_stream_source_spans_micro_batches(spark):
     """The custom stream source must deliver the WHOLE bounded range
     across multiple micro-batches — the AvailableNow fallback would
-    silently truncate to the first 800-row batch, which is exactly
+    silently truncate to the first 1250-row batch, which is exactly
     the failure the process_all drain exists to prevent."""
     from map_reduce_subnet_spark.operators import QUERIES
 
