@@ -248,3 +248,29 @@ def test_survivors_anti_join_is_broadcast(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bitmap_distinct_two_level_partial_agg(spark):
+    """agg_bitmap_distinct's whole point is shuffle shape: both
+    aggregation levels must partial-aggregate map-side (bitmap
+    segments per (day, bucket), then popcount sums per day) so the
+    shuffle carries bitmaps, never raw (day, user) rows."""
+    df = q(spark, "agg_bitmap_distinct")
+    assert has_partial_aggregation(df)
+    assert not has_cartesian(df)
+
+
+def test_minhash_est_join_is_equi_not_cartesian(spark):
+    """The estimation join must stay a per-candidate-pair equi-join —
+    a cartesian here would be the all-pairs regression the LSH
+    pipeline exists to avoid."""
+    assert not has_cartesian(q(spark, "dedup_minhash_est"))
+
+
+def test_python_datasource_composes_with_partial_agg(spark):
+    """The aggregate over the custom Python source must partial-
+    aggregate per source partition before its one shuffle — a custom
+    source is not exempt from map-side combine."""
+    df = q(spark, "scan_python_datasource")
+    assert has_partial_aggregation(df)
+    assert count_exchanges(df) == 1
