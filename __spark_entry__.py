@@ -78,7 +78,9 @@ _SWEEP_PRIORITY = [
     "sink_python_datasource",
     "scan_variant_props",
     # new late r6: state-store inspection (Spark 4 state data source)
+    # + real Python UDTF via LATERAL join
     "stream_state_inspect",
+    "udtf_python_lateral",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -125,7 +127,9 @@ _SWEEP_PRIORITY = [
     # continuation keys claimed their slots — rows-only, least
     # refresh signal; the sink keys moved to the promoted group)
     "scan_filter_pushdown",
-    "scan_json_props",
+    # (scan_json_props rotated back out for udtf_python_lateral —
+    # r2-green, unchanged, and scan_variant_props re-exercises the
+    # same JSON payload surface this round)
     # (join_broadcast_nested_loop, agg_approx_percentile rotated back
     # out for agg_bitmap_distinct / dedup_minhash_est — the former is
     # a structurally simple r2-green, the latter rows-only; agg_max_by

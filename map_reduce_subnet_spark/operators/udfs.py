@@ -135,3 +135,58 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInArrow(
         normalize_group, schema="o_orderkey long, o_custkey long, share double"
     )
+
+
+@query(
+    "udtf_python_lateral",
+    oracle="""
+SELECT doc_id, chunk_start,
+       array_to_string(string_split(text, ' ')[chunk_start:chunk_start+49], ' ')
+           AS chunk
+FROM (
+    SELECT doc_id, text,
+           unnest(range(1, len(string_split(text, ' ')) + 1, 40)) AS chunk_start
+    FROM documents
+)
+""",
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf``) applied with a LATERAL
+    join: each document row fans out to its 50-token/stride-40 chunks
+    through a user-defined table function — the per-row one-to-many
+    expansion surface a pipeline reaches for when the expansion logic
+    is genuinely imperative (parsers, tokenizers, segmenters). Output
+    is bit-identical to the built-in text_chunking (same oracle), so
+    the UDTF path is differentially checked against both DuckDB and
+    the JVM-side formulation.
+
+    The UDTF class is defined INSIDE the query (cloudpickle then
+    ships it by value — a module-level class pickles by reference and
+    breaks on workers without this repo on sys.path). Scale: the
+    lateral join is row-local (no shuffle); Arrow batches carry rows
+    to the Python worker exactly like any other Python-backed stage.
+    Prefer text_chunking's pure-JVM form where the logic fits
+    built-ins — this operator is the escape hatch, and the bench
+    prices the difference."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_start bigint, chunk string")
+    class ChunkUDTF:
+        def eval(self, text: str):
+            words = (text or "").split(" ")
+            for s in range(0, len(words), 40):
+                yield s + 1, " ".join(words[s : s + 50])
+
+    spark.udtf.register("mrs_chunk_udtf", ChunkUDTF)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("mrs_udtf_docs")
+    try:
+        out = spark.sql(
+            """
+            SELECT d.doc_id, c.chunk_start, c.chunk
+            FROM mrs_udtf_docs d, LATERAL mrs_chunk_udtf(d.text) c
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("mrs_udtf_docs")
+    return out
