@@ -354,3 +354,24 @@ def test_python_stream_source_spans_micro_batches(spark):
 
     df = QUERIES["stream_python_source_true"](spark, SF_DIR).toPandas()
     assert int(df["n_events"].sum()) == 5000
+
+
+def test_python_stream_source_replay_contract():
+    """readBetweenOffsets must reproduce exactly what read() served
+    for the same offset range — the determinism a recovering stream
+    (replaying a committed-but-unprocessed batch from the checkpoint)
+    depends on. Pure offset arithmetic; no Spark session needed."""
+    from map_reduce_subnet_spark.sources import pydatasource as pds
+
+    r = pds.SyntheticEventsStreamReader({"total": "100", "batch": "32"})
+    off = r.initialOffset()
+    collected = []
+    for _ in range(20):
+        it, nxt = r.read(off)
+        rows = list(it)
+        if not rows and nxt == off:
+            break
+        assert list(r.readBetweenOffsets(off, nxt)) == rows
+        collected += rows
+        off = nxt
+    assert collected == [pds.synth_event_row(i) for i in range(100)]
