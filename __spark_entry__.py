@@ -81,6 +81,8 @@ _SWEEP_PRIORITY = [
     # + real Python UDTF via LATERAL join
     "stream_state_inspect",
     "udtf_python_lateral",
+    # new late r6: runtime star-join pruning
+    "join_partition_prune_dynamic",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -108,7 +110,8 @@ _SWEEP_PRIORITY = [
     # (3) the 25 keys whose newest driver row is still r1/r2 (rotated
     # out by the 50-slot cap in r3-r5; several sit above shared
     # helpers that changed since) — refresh them all this round
-    "agg_global",
+    # (agg_global rotated back out for join_partition_prune_dynamic —
+    # structurally simple r1-green, unchanged)
     # (agg_approx_distinct rotated back out with multimodal_features /
     # sink_roundtrip — rows-only refresh, least signal)
     # (agg_pivot, agg_unpivot, str_posexplode rotated back out for the

@@ -563,3 +563,60 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "join_partition_prune_dynamic",
+    oracle=f"""
+SELECT l_returnflag, COUNT(*) AS n_rows, {sql_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') IN (
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+)
+GROUP BY l_returnflag
+""",
+)
+def join_partition_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the star-join machinery that makes
+    a 100 TB fact⋈dim feasible when the partition keys are only known
+    at RUNTIME: the month-partitioned lineitem layout (shared with
+    scan_partition_prune via the fixture cache) joins a FILTERED
+    dim derived from orders on the partition key, and Catalyst
+    injects a dynamicpruningexpression into the scan's
+    PartitionFilters — the fact side lists only the partition
+    directories the dim's surviving keys name, reusing the broadcast
+    exchange as the filter source. Unlike scan_partition_prune
+    (static literals), no month list appears anywhere in this query.
+    tests/test_plans.py asserts the dynamicpruning subscript is
+    really in the executed scan."""
+    from map_reduce_subnet_spark.functions.cache import (
+        fixture_cache_dir,
+        is_cached,
+    )
+    from map_reduce_subnet_spark.sources.layout import write_date_partitioned
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = fixture_cache_dir(sf_dir, "lineitem", "part_cache")
+    if not is_cached(out):
+        write_date_partitioned(li, out, "l_shipdate", "month")
+    read_schema = StructType(
+        list(li.schema.fields) + [StructField("part_key", StringType())]
+    )
+    fact = spark.read.schema(read_schema).parquet(out)
+    orders = load_table(spark, sf_dir, "orders")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    dim = (
+        orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("part_key"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "part_key")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity", "sum_qty"))
+    )

@@ -274,3 +274,12 @@ def test_python_datasource_composes_with_partial_agg(spark):
     df = q(spark, "scan_python_datasource")
     assert has_partial_aggregation(df)
     assert count_exchanges(df) == 1
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """join_partition_prune_dynamic exists to prove runtime pruning:
+    the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression sourced from the dim side — without it
+    the join would list every partition directory of the fact."""
+    plan = formatted_plan(q(spark, "join_partition_prune_dynamic"))
+    assert "dynamicpruning" in plan.lower()
