@@ -81,8 +81,10 @@ _SWEEP_PRIORITY = [
     # + real Python UDTF via LATERAL join
     "stream_state_inspect",
     "udtf_python_lateral",
-    # new late r6: runtime star-join pruning
+    # new late r6: runtime star-join pruning + the custom streaming
+    # sink pipeline (source->sink, commit-log read-back)
     "join_partition_prune_dynamic",
+    "stream_python_sink_true",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -129,7 +131,9 @@ _SWEEP_PRIORITY = [
     # (multimodal_features rotated back out when the round-6
     # continuation keys claimed their slots — rows-only, least
     # refresh signal; the sink keys moved to the promoted group)
-    "scan_filter_pushdown",
+    # (scan_filter_pushdown rotated back out for
+    # stream_python_sink_true — r2-green, unchanged, and its pushdown
+    # invariant is plan-linted in tests/test_plans.py every run)
     # (scan_json_props rotated back out for udtf_python_lateral —
     # r2-green, unchanged, and scan_variant_props re-exercises the
     # same JSON payload surface this round)

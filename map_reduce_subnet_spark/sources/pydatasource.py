@@ -24,9 +24,12 @@ planning surface.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -211,3 +214,67 @@ class JsonLinesSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonLinesSinkWriter:
         return JsonLinesSinkWriter(self.options)
+
+
+class JsonLinesStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming twin of JsonLinesSinkWriter: every micro-batch's
+    tasks write per-task part files named by (batch id, partition id,
+    random suffix), and the per-batch commit() appends one line to a
+    _commits log — the sink-side exactly-once discipline: a replayed
+    batch (failure before commit) rewrites its rows under NEW random
+    names and only the committed batch id lands in the log, so a
+    reader that joins part files against the log sees each batch at
+    most once. abort() deletes the batch's own part files."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        batch_id = ctx.getLocalProperty("streaming.sql.batchId")
+        fn = os.path.join(
+            self.path,
+            f"part-b{batch_id}-{pid:05d}-{uuid.uuid4().hex[:8]}.jsonl",
+        )
+        n = 0
+        with open(fn, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        if n == 0:  # empty partition: no file, nothing to commit
+            os.remove(fn)
+            return _PartFileMessage("")
+        return _PartFileMessage(fn)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        files = [m.path for m in messages if m is not None and m.path]
+        with open(os.path.join(self.path, "_commits"), "a") as f:
+            f.write(json.dumps({"batch": batchId, "files": files}) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonLinesStreamSinkDataSource(DataSource):
+    """``df.writeStream.format("jsonl_stream_sink")`` after
+    registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_stream_sink"
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonLinesStreamSinkWriter:
+        return JsonLinesStreamSinkWriter(self.options)

@@ -930,3 +930,78 @@ def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "stream_python_sink_true",
+    oracle=f"""
+WITH synth AS (
+    SELECT i AS event_id,
+           ['en', 'fr', 'de', 'es'][(i % 4) + 1] AS lang,
+           CAST((((i % 2147483648) * 2654435761) % 2147483648) % 1000
+                AS DOUBLE) AS value
+    FROM (SELECT unnest(range(0, 5000)) AS i)
+)
+SELECT lang, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+FROM synth
+GROUP BY lang
+""",
+)
+def stream_python_sink_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CUSTOM connector pipeline: the Python micro-batch
+    SOURCE streams into the Python streaming SINK
+    (sources/pydatasource.py::JsonLinesStreamSinkDataSource) — the
+    fourth quadrant of the connector matrix (batch read/write, stream
+    read, and now stream WRITE). Each micro-batch's tasks append
+    per-task part files; the per-batch driver-side commit() appends
+    the batch's file list to a _commits log, so only files named by a
+    COMMITTED batch are read back (a replayed batch's orphan files
+    are invisible) — the sink-side exactly-once discipline. The
+    read-back aggregate must equal the full generated range, which is
+    what the oracle regenerates (``sf_dir`` unused: the source IS
+    the data)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.sources import pydatasource as pds
+
+    _cp.register_pickle_by_value(pds)
+    spark.dataSource.register(pds.SyntheticEventsStreamDataSource)
+    spark.dataSource.register(pds.JsonLinesStreamSinkDataSource)
+    out = tempfile.mkdtemp(prefix="mrs_pystreamsink_")
+    ckpt = os.path.join(out, "_ckpt")
+    try:
+        ev = spark.readStream.format("synthetic_events").load()
+        q = (
+            ev.writeStream.format("jsonl_stream_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+        commits_file = os.path.join(out, "_commits")
+        if not os.path.exists(commits_file):
+            raise RuntimeError(
+                "jsonl_stream_sink commit contract broken: no _commits log"
+            )
+        with open(commits_file) as f:
+            commits = [_json.loads(line) for line in f if line.strip()]
+        files = [fn for c in commits for fn in c["files"]]
+        back = spark.read.schema(
+            "event_id long, lang string, value double"
+        ).json(files)
+        agg = back.groupBy("lang").agg(
+            F.count("*").alias("n_events"), dsum("value", "sum_value")
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
