@@ -85,6 +85,8 @@ _SWEEP_PRIORITY = [
     # sink pipeline (source->sink, commit-log read-back)
     "join_partition_prune_dynamic",
     "stream_python_sink_true",
+    # new late r6: Spark 4 SQL pipe syntax
+    "sql_pipe_syntax",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -107,7 +109,9 @@ _SWEEP_PRIORITY = [
     "stream_tumbling_true",
     "stream_dedup_true",
     "stream_session_true",
-    "stream_static_join_true",
+    # (stream_static_join_true rotated back out for sql_pipe_syntax:
+    # hash-green r5, and six other streaming keys above exercise the
+    # same changed _read_events_stream footer-probe path)
     "stream_stream_join_true",
     # (3) the 25 keys whose newest driver row is still r1/r2 (rotated
     # out by the 50-slot cap in r3-r5; several sit above shared

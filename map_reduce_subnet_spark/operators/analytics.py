@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_subnet_spark.functions.stable import dsum
+from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -449,3 +449,46 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+WHERE l_quantity < 25
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 100
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>`): the same
+    scan → filter → aggregate → post-filter program written as a
+    linear pipeline instead of nested SELECT clauses — the modern SQL
+    authoring surface. Catalyst produces the identical plan as the
+    clause form (pipe stages are pure sugar over the same logical
+    operators: pushdown, partial aggregation and the HAVING-style
+    post-filter all behave exactly as in agg_having), and the oracle
+    is plain ANSI SQL — semantics, not syntax, are the contract. The
+    decimal-exact sum keeps the aggregate order-independent across
+    engines (functions/stable.py)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "mrs_pipe_lineitem"
+    )
+    try:
+        out = spark.sql(
+            """
+            FROM mrs_pipe_lineitem
+            |> WHERE l_quantity < 25
+            |> AGGREGATE COUNT(*) AS n_rows,
+                         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
+                              AS DOUBLE) AS sum_price
+               GROUP BY l_returnflag, l_linestatus
+            |> WHERE n_rows > 100
+            |> SELECT l_returnflag, l_linestatus, n_rows, sum_price
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView("mrs_pipe_lineitem")
+    return out
