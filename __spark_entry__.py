@@ -85,8 +85,11 @@ _SWEEP_PRIORITY = [
     # sink pipeline (source->sink, commit-log read-back)
     "join_partition_prune_dynamic",
     "stream_python_sink_true",
-    # new late r6: Spark 4 SQL pipe syntax
+    # new late r6: Spark 4 SQL pipe syntax, bounded-state streaming
+    # dedup, and query-attached observed metrics
     "sql_pipe_syntax",
+    "stream_dedup_within_watermark_true",
+    "observe_metrics",
     # (2) changed this round: agg_ema moved to the two-level
     # (user, day)-binned fold (new oracle too); sim_ann_ivf and
     # sim_ann_recall's IVF leg moved to the shuffle-free
@@ -105,9 +108,12 @@ _SWEEP_PRIORITY = [
     "join_bucketed",
     "stream_stateful_ema",
     "stream_stateful_ema_batches",
-    "stream_sliding_true",
     "stream_tumbling_true",
-    "stream_dedup_true",
+    # (stream_sliding_true, stream_dedup_true rotated back out for
+    # stream_dedup_within_watermark_true / observe_metrics: both
+    # hash-green r5, and the remaining five streaming keys exercise
+    # the same changed footer-probe read path — the new
+    # within-watermark key covers the dedup shape)
     "stream_session_true",
     # (stream_static_join_true rotated back out for sql_pipe_syntax:
     # hash-green r5, and six other streaming keys above exercise the

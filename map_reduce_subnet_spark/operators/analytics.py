@@ -492,3 +492,44 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView("mrs_pipe_lineitem")
     return out
+
+
+@query(
+    "observe_metrics",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_discounted,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+""",
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-attached OBSERVED METRICS (df.observe + Observation):
+    pipeline-health counters — row count, rule-violation count, a
+    control-total sum — ride the SAME scan as the main action instead
+    of paying a second pass, which is how a production pipeline
+    instruments itself at 100 TB (a separate metrics query would
+    double the I/O). The action is a noop-sink write (scans every
+    row, writes nothing); the observed values are then surfaced as a
+    one-row frame and differentially checked against computing the
+    same aggregates the ordinary way — proving the side channel
+    reports exactly what a dedicated query would."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias(
+            "n_discounted"
+        ),
+        dsum("l_extendedprice", "sum_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["n_discounted"], row["sum_price"])],
+        "n_rows long, n_discounted long, sum_price double",
+    )

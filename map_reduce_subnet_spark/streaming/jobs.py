@@ -1005,3 +1005,32 @@ def stream_python_sink_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "stream_dedup_within_watermark_true",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+""",
+)
+def stream_dedup_within_watermark_true(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the BOUNDED-STATE streaming
+    dedup: unlike dropDuplicates (state grows with distinct keys
+    forever unless the event-time column is part of the key), this
+    operator evicts a key's state once the watermark passes its first
+    sighting plus the delay, so state is O(keys per watermark window)
+    — the only dedup that survives an unbounded stream whose key
+    space itself is unbounded. On the static fixture every event_id
+    is unique (NOTES invariant #9), so the deduped stream is the
+    identity relation and carries a full SQL oracle — what's under
+    differential test is that eviction never drops a LIVE key."""
+    ev = _read_event_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return _run_to_memory(
+        deduped.select("event_id", "event_type", "value"), spark
+    )
