@@ -283,3 +283,31 @@ def test_dynamic_partition_pruning_fires(spark):
     the join would list every partition directory of the fact."""
     plan = formatted_plan(q(spark, "join_partition_prune_dynamic"))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_pipe_syntax_plans_like_clause_form(spark):
+    """The |> pipeline must produce the same operator classes as the
+    clause form: pushdown-able filter, partial aggregation before one
+    exchange — pipe stages are sugar, not a different engine path.
+    (The registered query returns a localCheckpoint so its temp view
+    can be dropped; the plan is inspected on the pipe statement
+    itself, the same statement the query runs.)"""
+    from map_reduce_subnet_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView(
+        "mrs_pipe_lint_li"
+    )
+    try:
+        df = spark.sql(
+            """
+            FROM mrs_pipe_lint_li
+            |> WHERE l_quantity < 25
+            |> AGGREGATE COUNT(*) AS n_rows GROUP BY l_returnflag
+            |> WHERE n_rows > 100
+            """
+        )
+        assert has_partial_aggregation(df)
+        assert not has_cartesian(df)
+    finally:
+        spark.catalog.dropTempView("mrs_pipe_lint_li")
