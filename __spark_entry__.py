@@ -67,6 +67,14 @@ _SWEEP_PRIORITY = [
     "dedup_simhash",
     "dedup_cluster",
     "dedup_survivors",
+    # promoted rows->SQL late r6, third batch: the multimodal family —
+    # the PNG oracles (decode/resize, already listed in group 1)
+    # REGENERATE the expected output from the synthetic pixel program
+    # (a hash match proves the DEFLATE/unfilter loop lossless); the
+    # byte-feature oracles lean on the all-ASCII fixture
+    # (precondition pinned in tests)
+    "multimodal_features",
+    "multimodal_frame_sample",
     # new late r6: mergeable-bitmap exact distinct + MinHash Jaccard
     # estimation over the candidate pairs
     "agg_bitmap_distinct",
@@ -108,13 +116,11 @@ _SWEEP_PRIORITY = [
     "join_bucketed",
     "stream_stateful_ema",
     "stream_stateful_ema_batches",
-    "stream_tumbling_true",
-    # (stream_sliding_true, stream_dedup_true rotated back out for
-    # stream_dedup_within_watermark_true / observe_metrics: both
-    # hash-green r5, and the remaining five streaming keys exercise
-    # the same changed footer-probe read path — the new
-    # within-watermark key covers the dedup shape)
-    "stream_session_true",
+    # (stream_sliding_true, stream_dedup_true, stream_tumbling_true,
+    # stream_session_true rotated back out for the newly-oracled
+    # multimodal byte-feature keys and the within-watermark/observe
+    # additions: all hash-green r5, and seven other streaming keys in
+    # this list exercise the same changed footer-probe read path)
     # (stream_static_join_true rotated back out for sql_pipe_syntax:
     # hash-green r5, and six other streaming keys above exercise the
     # same changed _read_events_stream footer-probe path)

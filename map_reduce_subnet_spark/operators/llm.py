@@ -2035,7 +2035,21 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(scrubbed).alias("scrubbed_md5"))
 
 
-@query("multimodal_features")  # rows-only: binary featurizer (mapInPandas)
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(string_split(text, ''),
+                                    c -> ord(c))) % 2147483648 AS BIGINT)
+           AS byte_sum,
+       lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+FROM documents
+""",
+)
+# promoted rows->SQL late r6: the payload is the UTF-8 text bytes and
+# the fixture is all-ASCII (bytes == codepoints, asserted in
+# tests/test_llm.py), so the byte features regenerate in SQL
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: text → binary payload (stand-in for an
     image/audio blob) → Arrow-batched mapInPandas featurizer.
@@ -2045,6 +2059,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurizer exercises the real contract: BinaryType column, declared
     output schema, batch iteration. The UDF is a closure (shipped by
     value — executors never import this package).
+
+    Oracle note: the byte-level features equal char-level SQL ONLY
+    because the fixture corpus is pure ASCII (one byte per codepoint)
+    — tests/test_llm.py asserts that precondition so a regenerated
+    non-ASCII fixture fails loudly there, not silently here.
     """
     from map_reduce_subnet_spark.functions.multimodal import (
         MEDIA_FEATURE_SCHEMA,
@@ -2073,7 +2092,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(featurize, schema=MEDIA_FEATURE_SCHEMA)
 
 
-@query("multimodal_frame_sample")  # rows-only: binary frame sampler
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH fr AS (
+    SELECT doc_id, text,
+           unnest(range(0, strlen(text) // 16, 4)) AS i
+    FROM documents
+)
+SELECT doc_id,
+       i AS frame_idx,
+       CAST(list_sum(list_transform(range(1, 17),
+                j -> ord(substr(text, i*16 + j, 1)))) % 2147483648
+            AS BIGINT) AS frame_sum
+FROM fr
+""",
+)
+# promoted rows->SQL late r6 with multimodal_features (same
+# all-ASCII-fixture argument; precondition asserted in tests)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over an opaque media payload: treat the binary
     column as a sequence of fixed-size 16-byte frames and emit every
@@ -2507,7 +2543,84 @@ def _png_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id long, payload binary").parquet(cache)
 
 
-@query("multimodal_decode_png")  # rows-only: zlib decode, python parity test
+def _png_pixel_sql(y: str, x: str) -> str:
+    """Pixel byte (y, x-within-stride) of the synthetic PNG — the
+    EXACT integer program of functions/multimodal.py::synthesize_png
+    (astype(uint8) of a non-negative int64 sum == % 256; numpy //
+    matches DuckDB // for non-negative operands)."""
+    return f"(({x}*7 + {y}*13 + doc_id*31 + ({x}*{y})//3) % 256)"
+
+
+def _png_decode_oracle() -> str:
+    """DuckDB twin of multimodal_decode_png that REGENERATES the
+    expected decode output from the pixel formula — no byte decoding
+    in SQL. A hash match therefore proves the whole binary loop
+    (forward filters → DEFLATE → inflate → CRC → unfilter → reduce)
+    is lossless: any corrupted byte anywhere in the codec path would
+    shift the order-sensitive checksum. 16 rows × 72 stride bytes;
+    the mean of ≤255-valued ints is an exact double (sum < 2^53)."""
+    v = _png_pixel_sql("y", "x")
+    return f"""
+WITH cells AS (
+    SELECT d.doc_id, y.y, x.x, {v} AS v
+    FROM documents d,
+         (SELECT unnest(range(0, 16)) AS y) y,
+         (SELECT unnest(range(0, 72)) AS x) x
+)
+SELECT doc_id,
+       CAST(24 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(SUM(v) AS DOUBLE) / CAST(1152 AS DOUBLE) AS mean_pixel,
+       CAST(SUM(v * ((y*72 + x) % 251 + 1)) % 2147483647 AS BIGINT)
+           AS pixel_checksum
+FROM cells
+GROUP BY doc_id
+"""
+
+
+def _nn_index_literals(size: int, out: int) -> str:
+    """Nearest-neighbor gather indices as a SQL list literal — the
+    identical float program resize_nearest runs
+    (min(int((i+0.5)*size/out), size-1)), evaluated here in Python
+    (same IEEE arithmetic) and embedded so the oracle cannot drift
+    from the implementation's rounding."""
+    idx = [min(int((i + 0.5) * size / out), size - 1) for i in range(out)]
+    return "[" + ",".join(str(i) for i in idx) + "]"
+
+
+def _png_resize_oracle() -> str:
+    """DuckDB twin of multimodal_image_resize: regenerate the 6x8x3
+    thumbnail's pixels by sampling the synthetic image at the
+    nearest-neighbor indices (embedded literals) — same lossless-loop
+    argument as _png_decode_oracle, now through the resize gather."""
+    ri = _nn_index_literals(16, 6)
+    ci = _nn_index_literals(24, 8)
+    v = _png_pixel_sql(f"({ri}[ty+1])", f"({ci}[tx+1]*3 + c)")
+    return f"""
+WITH cells AS (
+    SELECT d.doc_id, t.ty, u.tx, ch.c, {v} AS v
+    FROM documents d,
+         (SELECT unnest(range(0, 6)) AS ty) t,
+         (SELECT unnest(range(0, 8)) AS tx) u,
+         (SELECT unnest(range(0, 3)) AS c) ch
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS thumb_w,
+       CAST(6 AS BIGINT) AS thumb_h,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(SUM(v) AS DOUBLE) / CAST(144 AS DOUBLE) AS mean_pixel,
+       CAST(SUM(v * ((ty*24 + tx*3 + c) % 251 + 1)) % 2147483647 AS BIGINT)
+           AS pixel_checksum
+FROM cells
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_decode_png", oracle=_png_decode_oracle())
+# promoted rows->SQL late r6: the oracle regenerates the expected
+# output from the synthetic pixel program, so a hash match proves the
+# DEFLATE/unfilter loop lossless end to end
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode of a genuinely COMPRESSED format, no codec libs:
     each doc gets a deterministic DEFLATE-compressed PNG payload
@@ -2949,7 +3062,9 @@ def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_image_resize")  # rows-only: binary pipeline stage
+@query("multimodal_image_resize", oracle=_png_resize_oracle())
+# promoted rows->SQL late r6 with multimodal_decode_png (same
+# regenerate-the-expected-output argument, through the resize gather)
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode → RESIZE: the thumbnail/downsample stage of a
     multimodal pipeline (per-doc PNG payload read from the

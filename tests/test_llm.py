@@ -733,3 +733,13 @@ def test_bitmap_distinct_equals_count_distinct(spark):
     a = got.sort_values("day_s").reset_index(drop=True)
     b = expect.sort_values("day_s").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_fixture_text_is_pure_ascii():
+    """The multimodal_features / multimodal_frame_sample oracles
+    equate UTF-8 bytes with codepoints, which holds ONLY for ASCII —
+    if the driver ever regenerates a non-ASCII corpus, fail HERE with
+    a clear message instead of as an opaque oracle hash mismatch."""
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet")["text"].to_pylist()
+    for t in texts:
+        t.encode("ascii")  # raises UnicodeEncodeError on violation
