@@ -75,6 +75,10 @@ _SWEEP_PRIORITY = [
     # (precondition pinned in tests)
     "multimodal_features",
     "multimodal_frame_sample",
+    # decode_wav promoted too: the sawtooth payload is pure-integer,
+    # so its RMS regenerates exactly (sqrt is IEEE-identical, unlike
+    # the sine's libm sin that blocked the oracle before)
+    "multimodal_decode_wav",
     # new late r6: mergeable-bitmap exact distinct + MinHash Jaccard
     # estimation over the candidate pairs
     "agg_bitmap_distinct",
@@ -111,7 +115,9 @@ _SWEEP_PRIORITY = [
     "sim_ann_ivf",
     "sim_ann_recall",
     "sim_quantized_recall",
-    "sample_stratified_rebalance",
+    # (sample_stratified_rebalance rotated back out for
+    # multimodal_decode_wav — its r6 overflow-safe selector changed
+    # both engines identically and is covered by test_correctness)
     "stream_watermark_late",
     "join_bucketed",
     "stream_stateful_ema",

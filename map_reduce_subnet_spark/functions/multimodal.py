@@ -253,12 +253,17 @@ def synthesize_png(seed: int, w: int = 24, h: int = 16, ctype: int = 2) -> bytes
 
 
 def synthesize_wav(seed: int, n_frames: int = 800, rate: int = 8000) -> bytes:
-    """Deterministic 16-bit mono PCM WAV: a fixed-point sine whose
-    frequency derives from the seed. Gives the decode path REAL wav
-    bytes to chew on without codec libs or binary fixtures."""
-    freq = 200 + (seed % 40) * 25  # 200..1175 Hz
-    t = np.arange(n_frames, dtype=np.float64) / rate
-    pcm = (np.sin(2 * np.pi * freq * t) * 12000.0).astype("<i2")
+    """Deterministic 16-bit mono PCM WAV: an INTEGER sawtooth whose
+    step derives from the seed. Gives the decode path REAL wav bytes
+    to chew on without codec libs or binary fixtures. Integer (not
+    sine) on purpose: libm/numpy sin is not bit-identical across
+    implementations, while this pure-integer program regenerates
+    exactly in SQL — which is what gives multimodal_decode_wav a full
+    differential oracle (operators/llm.py) instead of a rows-only
+    check."""
+    step = 100 + (seed % 40) * 25  # sawtooth increment per frame
+    i = np.arange(n_frames, dtype=np.int64)
+    pcm = (((i * step) % 24000) - 12000).astype("<i2")
     data = pcm.tobytes()
     hdr = (
         b"RIFF"

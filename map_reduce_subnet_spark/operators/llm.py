@@ -2415,7 +2415,29 @@ def sample_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_wav")  # rows-only: numpy decode, python parity test
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+WITH s AS (
+    SELECT d.doc_id,
+           ((i.i * (100 + (d.doc_id % 40) * 25)) % 24000) - 12000 AS pcm
+    FROM documents d, (SELECT unnest(range(0, 800)) AS i) i
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(800 AS BIGINT) AS n_frames,
+       sqrt((CAST(SUM(pcm*pcm) AS DOUBLE) / 1073741824.0) / 800.0) AS rms
+FROM s
+GROUP BY doc_id
+""",
+)
+# promoted rows->SQL late r6: the sawtooth payload is a pure-integer
+# program, so the oracle regenerates the expected RMS without
+# touching bytes — a hash match proves the RIFF walk + int16 parse
+# lossless. Float chain is bit-exact: each (pcm/2^15)^2 is a dyadic
+# rational, their 800-term sum needs <= 37 bits (order-independent),
+# /800 is one shared rounding, sqrt is IEEE correctly rounded.
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end to end: each doc gets a deterministic
     16-bit PCM WAV payload (BinaryType), and a mapInPandas stage walks
@@ -2444,9 +2466,9 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def synth(seed):
             rate, n_frames = 8000, 800
-            freq = 200 + (seed % 40) * 25
-            t = np.arange(n_frames, dtype=np.float64) / rate
-            pcm = (np.sin(2 * np.pi * freq * t) * 12000.0).astype("<i2")
+            step = 100 + (seed % 40) * 25
+            i = np.arange(n_frames, dtype=np.int64)
+            pcm = (((i * step) % 24000) - 12000).astype("<i2")
             data = pcm.tobytes()
             return (
                 b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"

@@ -485,7 +485,7 @@ def test_multimodal_decode_wav_parity(spark):
     assert (got["n_channels"] == 1).all()
     assert (got["n_frames"] == 800).all()
     # 12000/32768 * 1/sqrt(2) ≈ 0.2589 — sines are near-full-period
-    assert got["rms"].between(0.24, 0.28).all()
+    assert got["rms"].between(0.19, 0.24).all()  # sawtooth: ~A/(32768*sqrt(3))
     for doc_id in list(got.index[:5]):
         rate, n_ch, s = decode_wav_pcm(synthesize_wav(int(doc_id)))
         rms = float(np.sqrt(np.mean(s * s)))
