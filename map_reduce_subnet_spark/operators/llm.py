@@ -233,34 +233,37 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     shingles — one portable md5-derived hash per shingle, then one
     affine 'permutation' per (A, B) pair (see MINHASH_A).
 
+    Shape: EXPLODE the shingle set and compute the 12 minima as
+    grouped aggregates, not as nested array HOFs. MIN over the
+    multiset equals MIN over the set (duplicates can't change a
+    minimum), so the values are identical — but the Generate +
+    partial-HashAggregate pipeline stays in whole-stage codegen,
+    while the nested transform/array_min form drops to interpreted
+    per-element evaluation (measured 3.6 s vs 0.2 s at sf0.1). The
+    one shuffle this adds carries 12 longs per doc after map-side
+    combine — at 100 TB that is O(docs), not O(shingles). Docs with
+    no shingles (<k words) produce no rows and so never reach
+    banding (their NULL signatures would otherwise form one
+    quadratic junk bucket). The DuckDB oracle (_minhash_ctes) is the
+    same unnest + GROUP BY program.
+
     Exposed module-level so tests can assert signature diversity
     (the mh columns must NOT all be the same expression)."""
-    sh = d.select(
+    hs = d.select(
         "doc_id",
-        F.transform(
-            F.array_distinct(tx.shingles("text", 3)),
-            lambda s: tx.portable_hash60(s) % F.lit(MOD32),
-        ).alias("hs"),
+        F.explode(F.array_distinct(tx.shingles("text", 3))).alias("s"),
+    ).select(
+        "doc_id", (tx.portable_hash60("s") % F.lit(MOD32)).alias("h")
     )
-
-    # The (a, b) pair must be captured by a factory, NOT a defaulted
-    # lambda param: PySpark counts default params when inferring HOF
-    # lambda arity, so `lambda h, a=a:` becomes the (element, index)
-    # form and the salt silently rebinds to the array-index column —
-    # all 12 "permutations" collapse to one position-salted hash
-    # (tests/test_llm.py pins mh-column diversity against this).
-    def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD32)
-
-    minhashes = [
-        F.array_min(F.transform(F.col("hs"), _perm(MINHASH_A[j], MINHASH_B[j])))
-        .alias(f"mh{j}")
-        for j in range(MINHASH_N_PERM)
-    ]
-    # docs with no shingles (<k words) must not reach banding: their 12
-    # NULL minhashes would concat to an identical empty signature and
-    # pair every short doc with every other (a quadratic junk bucket)
-    return sh.where(F.size("hs") > 0).select("doc_id", *minhashes)
+    return hs.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]))
+                % F.lit(MOD32)
+            ).alias(f"mh{j}")
+            for j in range(MINHASH_N_PERM)
+        ]
+    )
 
 
 def _minhash_ctes() -> str:
