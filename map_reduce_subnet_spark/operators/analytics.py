@@ -10,10 +10,11 @@ neurons/validator.py:144-151) over standard warehouse reshaping ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
+from map_reduce_subnet_spark.plans.inspect import count_exchanges
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -348,51 +349,84 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ORDERED semantics (each stage must happen after the previous
     stage's first qualifying event — strict >) is what makes this a
-    real funnel rather than three independent filters. Scale shape:
-    each stage is a per-user MIN (partial-aggregated) equi-joined to
-    the previous stage's per-user row — three hash joins on user_id,
-    no windows over raw events; the three stage counts are scalar
-    aggregates whose single-partition exchanges move one row each."""
-    ev = load_table(spark, sf_dir, "events")
+    real funnel rather than three independent filters.
 
-    def first_after(etype: str, prev, prev_col: str, out_col: str):
-        e = ev.where(F.col("event_type") == etype)
-        if prev is None:
-            return e.groupBy("user_id").agg(F.min("ts").alias(out_col))
-        return (
-            e.join(prev, "user_id")
-            .where(F.col("ts") > F.col(prev_col))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_col))
-        )
-
-    v = first_after("view", None, "", "t_view")
-    c = first_after("click", v, "t_view", "t_click")
-    p = first_after("purchase", c, "t_click", "t_buy")
-    base = v.agg(F.count("*").alias("n")).select(
-        F.col("n").cast("double").alias("base")
+    Scale shape (r7 rewrite, VERDICT r6 #8): the r6 form chained
+    three per-stage groupBys + two equi-joins, scanning events three
+    times. This form scans events ONCE and moves the fact through
+    ONE user_id exchange: three chained unbounded window MINs over
+    the same partitioning (Catalyst plans one Exchange+Sort feeding
+    all three Window operators — t_click's predicate reads t_view,
+    so they can't fuse into one Window, but they share the layout),
+    then a per-user collapse that REUSES the window's partitioning
+    (no second fact exchange — the plan lint pins exactly 2
+    exchanges: the user_id shuffle and the final one-row scalar
+    aggregate), then stack() to the 3-row stage layout. NULL
+    propagation does the stage gating for free: ts > NULL is NULL,
+    so a user with no view never acquires a click or purchase."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
     )
-    stages = (
-        v.agg(F.lit("view").alias("stage"), F.count("*").alias("n_users"))
-        .unionByName(
-            c.agg(
-                F.lit("click").alias("stage"), F.count("*").alias("n_users")
-            )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
         )
-        .unionByName(
-            p.agg(
-                F.lit("purchase").alias("stage"),
-                F.count("*").alias("n_users"),
-            )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_buy",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
     )
-    return stages.crossJoin(F.broadcast(base)).select(
+    # Window values are constant per user, so first() is deterministic;
+    # the groupBy reuses the window's hash partitioning (no exchange).
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_buy").alias("t_buy"),
+    )
+    tot = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_buy").alias("n_buy"),
+    )
+    out = tot.selectExpr(
+        "stack(3, 'view', n_view, 'click', n_click, "
+        "'purchase', n_buy) as (stage, n_users)",
+        "n_view",
+    ).select(
         "stage",
         "n_users",
-        (F.col("n_users").cast("double") / F.col("base")).alias(
-            "frac_of_entry"
-        ),
+        (
+            F.col("n_users").cast("double") / F.col("n_view").cast("double")
+        ).alias("frac_of_entry"),
     )
+    n_ex = count_exchanges(out)
+    if n_ex != 2:
+        raise RuntimeError(
+            f"funnel_conversion: expected 2 exchanges (user_id window "
+            f"shuffle + one-row scalar agg), plan has {n_ex} — the "
+            "per-user collapse stopped reusing the window partitioning"
+        )
+    return out
 
 
 @query(

@@ -2043,8 +2043,9 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(string_split(text, ''),
-                                    c -> ord(c))) % 2147483648 AS BIGINT)
+       CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
+                                             c -> ord(c))), 0)
+            % 2147483648 AS BIGINT)
            AS byte_sum,
        lower(hex(encode(substr(text, 1, 4)))) AS head_hex
 FROM documents

@@ -160,7 +160,11 @@ def _run_to_memory(
         try:
             q.processAllAvailable()
             q.stop()
-            q.awaitTermination(60)
+            if not q.awaitTermination(60):
+                raise TimeoutError(
+                    f"streaming query {name} did not terminate within "
+                    "60s of stop(); memory-sink contents untrustworthy"
+                )
             return spark.table(name).localCheckpoint(eager=True)
         finally:
             spark.catalog.dropTempView(name)
@@ -985,7 +989,11 @@ def stream_python_sink_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-        q.awaitTermination(60)
+        if not q.awaitTermination(60):
+            raise TimeoutError(
+                "jsonl_stream_sink query did not terminate within 60s "
+                "of stop(); sink commit log untrustworthy"
+            )
         commits_file = os.path.join(out, "_commits")
         if not os.path.exists(commits_file):
             raise RuntimeError(
@@ -993,7 +1001,16 @@ def stream_python_sink_true(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         with open(commits_file) as f:
             commits = [_json.loads(line) for line in f if line.strip()]
-        files = [fn for c in commits for fn in c["files"]]
+        # The sink's commit() appends unconditionally, so a batch
+        # replayed after a crash between the log append and the
+        # checkpoint commit would write a SECOND line for the same
+        # batch id. At-most-once read-back therefore keeps only the
+        # LAST line per batch id (the replay's file list supersedes
+        # the orphaned first attempt's).
+        by_batch: dict[int, list[str]] = {}
+        for c in commits:
+            by_batch[c["batch"]] = c["files"]
+        files = [fn for b in sorted(by_batch) for fn in by_batch[b]]
         back = spark.read.schema(
             "event_id long, lang string, value double"
         ).json(files)
