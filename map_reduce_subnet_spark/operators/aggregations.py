@@ -140,15 +140,46 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketch ≠ exact oracle
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct — the 100 TB path where exact distinct
     would shuffle every key. Sketches merge map-side (no full shuffle).
+
+    BOUND-CHECKED oracle (r7, VERDICT r6 #5): the sketch estimate
+    itself is implementation-specific, so instead of hashing it the
+    query emits the EXACT count (the anchor DuckDB reproduces) plus
+    an in-tolerance boolean — |approx − exact| ≤ max(3, 5%·exact),
+    5× headroom over the requested rsd=0.01 — which the oracle pins
+    to TRUE. A sketch drifting out of its error bound now fails the
+    driver's hash, not just a local golden test. The exact leg exists
+    only for this verification harness; the production path at scale
+    is the sketch alone.
     """
-    return (
+    per = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("n_approx"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+        )
+    )
+    tol = F.greatest(F.lit(3.0), F.col("n_users_exact") * 0.05)
+    return per.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_users_exact")).cast("double")
+            <= tol
+        ).alias("approx_ok"),
     )
 
 
@@ -415,22 +446,11 @@ def agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("agg_hll_sketch_merge")  # rows-only: DataSketches HLL, no DuckDB twin
-def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
-    F.hll_sketch_agg / hll_union_agg) — the pattern that makes
-    distinct counts composable at 100 TB: build one sketch per
-    partition/day/nation ONCE, then answer any rollup by unioning
-    sketches instead of rescanning raw data. agg_approx_distinct
-    shows the one-shot estimator; this shows the two-level form a
-    warehouse actually materializes (per-nation sketches → global
-    union) next to the one-shot global sketch and the exact count.
-
-    Emits all three so the error structure is visible: the merged
-    estimate differs slightly from the direct one (sketch union is
-    lossy relative to sketching the raw stream) and both sit within
-    ~1% of exact at this cardinality. Deterministic — the golden test
-    pins the values."""
+def hll_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row frame (n_exact, est_direct, est_merged): the two-level
+    DataSketches HLL rollup next to the one-shot sketch and the exact
+    count. Shared by agg_hll_sketch_merge (which bound-checks it) and
+    the golden test (which pins the raw estimates)."""
     cu = load_table(spark, sf_dir, "customer")
     per_nation = cu.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey").alias("sk")
@@ -446,6 +466,47 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return direct.crossJoin(merged).select(
         "n_exact", "est_direct", "est_merged"
+    )
+
+
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+SELECT COUNT(DISTINCT c_custkey) AS n_exact,
+       TRUE AS direct_ok,
+       TRUE AS merged_ok
+FROM customer
+""",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL,
+    F.hll_sketch_agg / hll_union_agg) — the pattern that makes
+    distinct counts composable at 100 TB: build one sketch per
+    partition/day/nation ONCE, then answer any rollup by unioning
+    sketches instead of rescanning raw data. agg_approx_distinct
+    shows the one-shot estimator; this shows the two-level form a
+    warehouse actually materializes (per-nation sketches → global
+    union).
+
+    BOUND-CHECKED oracle (r7, VERDICT r6 #5): the estimates are
+    sketch-impl-specific, so the query emits the exact count plus two
+    booleans — each estimate within max(3, 2%·exact) of exact, the
+    same tolerance the golden test has pinned since r5 — and the
+    oracle requires both TRUE. Sketch-union lossiness exceeding the
+    bound now fails the driver hash. The raw estimates stay visible
+    through hll_rollup_estimates (golden-pinned for determinism)."""
+    est = hll_rollup_estimates(spark, sf_dir)
+    tol = F.greatest(F.lit(3.0), F.col("n_exact") * 0.02)
+    return est.select(
+        "n_exact",
+        (
+            F.abs(F.col("est_direct") - F.col("n_exact")).cast("double")
+            <= tol
+        ).alias("direct_ok"),
+        (
+            F.abs(F.col("est_merged") - F.col("n_exact")).cast("double")
+            <= tol
+        ).alias("merged_ok"),
     )
 
 

@@ -170,18 +170,105 @@ def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: sketch, not exactly reproducible in SQL
+@query(
+    "agg_approx_percentile",
+    oracle="""
+WITH r AS (
+    SELECT l_returnflag, l_extendedprice,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN rn = (n + 1) // 2 THEN l_extendedprice END)
+           AS p50_exact,
+       MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN l_extendedprice END)
+           AS p90_exact,
+       TRUE AS ok50,
+       TRUE AS ok90
+FROM r
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (KLL-style sketch) — the unbounded-
     cardinality path where exact percentile's full sort is too
-    expensive; sketches merge map-side like HLL."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
-        ).alias("pcts")
-    ).select(
+    expensive; sketches merge map-side like HLL.
+
+    BOUND-CHECKED oracle (r7, VERDICT r6 #5): the sketch output is
+    impl-specific, so the query emits the EXACT discrete percentiles
+    (value at rank ceil(q·n), integer rank arithmetic — well-defined
+    on the DECIMAL column regardless of tie order, reproduced by the
+    oracle's identical rank program) plus per-quantile booleans
+    checking the sketch's RANK guarantee: with accuracy=1000 the
+    returned element's rank error is ≤ n/1000, and the check allows
+    ±(0.5%·n + 1) via the count of rows strictly-below /
+    at-or-below the approx value. The oracle pins both booleans TRUE,
+    so a sketch outside its rank bound fails the driver hash. The
+    exact leg (one extra sort) exists only for this harness; the
+    production path at scale is the mergeable sketch alone."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
+            ).alias("pcts")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("pcts", 1).alias("p50a"),
+            F.element_at("pcts", 2).alias("p90a"),
+        )
+    )
+    w_rank = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w_part = Window.partitionBy("l_returnflag")
+    ranked = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_part))
+    )
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(n + 1) div 2"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p50_exact"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p90_exact"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("p50a"), 1).otherwise(0)
+        ).alias("lt50"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("p50a"), 1).otherwise(0)
+        ).alias("le50"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("p90a"), 1).otherwise(0)
+        ).alias("lt90"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("p90a"), 1).otherwise(0)
+        ).alias("le90"),
+        F.max("n").alias("n"),
+    )
+    slack = F.col("n") * 0.005 + 1.0
+
+    def rank_ok(lt, le, q):
+        return (F.col(lt) <= F.col("n") * q + slack) & (
+            F.col(le) >= F.col("n") * q - slack
+        )
+
+    return agg.select(
         "l_returnflag",
-        F.element_at("pcts", 1).alias("p50_approx"),
-        F.element_at("pcts", 2).alias("p90_approx"),
+        "p50_exact",
+        "p90_exact",
+        rank_ok("lt50", "le50", 0.5).alias("ok50"),
+        rank_ok("lt90", "le90", 0.9).alias("ok90"),
     )

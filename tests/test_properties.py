@@ -227,17 +227,25 @@ def test_hll_sketch_merge_golden(spark):
     from tests.conftest import SF_DIR
 
     from map_reduce_subnet_spark.operators import QUERIES
+    from map_reduce_subnet_spark.operators.aggregations import (
+        hll_rollup_estimates,
+    )
 
-    [r] = QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+    [r] = hll_rollup_estimates(spark, SF_DIR).collect()
     assert r["n_exact"] > 0
     for col in ("est_direct", "est_merged"):
         assert abs(r[col] - r["n_exact"]) / r["n_exact"] < 0.02
     # determinism: identical plan, identical sketch estimates
-    [r2] = QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+    [r2] = hll_rollup_estimates(spark, SF_DIR).collect()
     assert (r2["est_direct"], r2["est_merged"]) == (
         r["est_direct"],
         r["est_merged"],
     )
+    # the registered query bound-checks the same rollup: both booleans
+    # must hold (this is what the driver's SQL oracle now enforces)
+    [b] = QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+    assert b["n_exact"] == r["n_exact"]
+    assert b["direct_ok"] and b["merged_ok"]
 
 
 @pytest.mark.parametrize("seed", SEEDS)
