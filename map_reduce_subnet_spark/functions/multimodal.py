@@ -14,6 +14,12 @@ Decode support is split by what the container can honestly do:
   DEFLATE-compressed format handled with stdlib ``zlib`` + ``struct``
   — chunk walk, CRC check, IDAT inflate, all five per-row unfilters.
   ``multimodal_decode_png`` runs it end to end.
+- **GIF decodes for real as well** (``decode_gif``): a genuinely
+  LZW-compressed format with a pure-python variable-code-width LZW
+  decoder (CLEAR resets, cScSc immediate-use case, 12-bit cap),
+  extension skipping, sub-block reassembly and 4-pass de-interlacing;
+  validated against real-world encoder output.
+  ``multimodal_decode_gif`` runs it end to end.
 - **Codec-compressed formats (JPEG/MP4/Opus...) remain a
   clearly-marked stub** (NotImplementedError): real decoding needs
   codec libraries (Pillow/ffmpeg) that are not in this environment.
@@ -252,6 +258,235 @@ def synthesize_png(seed: int, w: int = 24, h: int = 16, ctype: int = 2) -> bytes
     )
 
 
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row output order of a GIF interlaced image (the 4-pass scheme
+    from the GIF89a spec, appendix E)."""
+    return [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+
+
+def lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavored LZW compression (variable code width, LSB-first
+    bit packing, CLEAR/EOI codes, 12-bit table cap with reset) — the
+    encoder side synthesize_gif uses so the decode path gets REAL
+    compressed streams. Width grows when the just-added table entry's
+    index reaches 2^width (the standard non-early-change rule); a full
+    4096-entry table emits CLEAR and starts over."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    buf = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for b in bytes(indices):
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset mid-stream
+            emit(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def lzw_decode_gif(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-flavored LZW decompression — the table-building decoder
+    with the immediate-use (cScSc) case, CLEAR resets, and the
+    one-entry-behind width rule (grow when the table length reaches
+    2^width, capped at 12 bits). Raises ValueError on codes beyond
+    the table (corrupt stream)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    singles = [bytes([i]) for i in range(clear)]
+
+    def fresh() -> list[bytes]:
+        return singles + [b"", b""]  # CLEAR/EOI placeholders
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:  # first code after a clear: plain lookup
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream (bad first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # cScSc: the just-about-to-exist entry
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def decode_gif(payload: bytes):
+    """Decode a GIF blob's FIRST image → (palette uint8 (n, 3),
+    indices uint8 (h, w), interlaced bool) with pure stdlib bytes
+    parsing + the LZW decoder above — a REAL decode of a genuinely
+    LZW-compressed format, no codec libraries: header + logical
+    screen descriptor, global/local color table, extension-block
+    skipping, sub-block reassembly, variable-width LZW, and 4-pass
+    de-interlacing. Raises ValueError on anything that is not a
+    GIF87a/GIF89a still image."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    _sw, _sh, packed, _bg, _par = struct.unpack_from("<HHBBB", payload, pos)
+    pos += 7
+    palette = None
+    if packed & 0x80:  # global color table
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, np.uint8, n * 3, pos
+        ).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    payload, np.uint8, n * 3, pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            interlaced = bool(ipacked & 0x40)
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:  # sub-block reassembly
+                size = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            idx = np.frombuffer(
+                bytes(lzw_decode_gif(bytes(lzw), mcs)[: w * h]), np.uint8
+            )
+            if idx.size != w * h:
+                raise ValueError(
+                    f"LZW stream decoded to {idx.size} pixels, "
+                    f"descriptor says {w}x{h}"
+                )
+            rows = idx.reshape(h, w)
+            if interlaced:
+                out = np.zeros_like(rows)
+                out[_gif_interlace_order(h)] = rows
+                rows = out
+            if int(rows.max(initial=0)) >= palette.shape[0]:
+                raise ValueError("pixel index beyond the color table")
+            return palette, rows, interlaced
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def synthesize_gif(seed: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic GIF89a bytes: a 16-color global palette and a
+    seed-derived index raster, REALLY LZW-compressed by
+    lzw_encode_gif, with odd seeds written INTERLACED (the 4-pass row
+    order) so every decode exercises de-interlacing, plus a Graphic
+    Control Extension so extension skipping runs on every payload.
+    Both the palette and the raster are pure integer programs of
+    (seed, x, y), which is what lets multimodal_decode_gif's oracle
+    regenerate the decoded output in SQL (operators/llm.py)."""
+    n_colors = 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((xx * 3 + yy * 5 + (xx * yy) // 7 + seed) % n_colors).astype(
+        np.uint8
+    )
+    pal = bytes(
+        (j * 47 + c * 101 + seed * 13 + 29) % 256
+        for j in range(n_colors)
+        for c in range(3)
+    )
+    interlaced = bool(seed % 2)
+    raster = (idx[_gif_interlace_order(h)] if interlaced else idx).tobytes()
+    mcs = 4  # 16 colors -> 4-bit codes
+    lzw = lzw_encode_gif(raster, mcs)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (3 << 4) | 3, 0, 0)
+        + pal
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no transparency
+        + struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0
+        )
+        + bytes([mcs])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
 def synthesize_wav(seed: int, n_frames: int = 800, rate: int = 8000) -> bytes:
     """Deterministic 16-bit mono PCM WAV: an INTEGER sawtooth whose
     step derives from the seed. Gives the decode path REAL wav bytes
@@ -292,10 +527,13 @@ def decode_media(payload: bytes, media_type: str):
         return decode_ppm_p6(payload)
     if media_type == "image/png":
         return decode_png(payload)
+    if media_type == "image/gif":
+        return decode_gif(payload)
     raise NotImplementedError(
         f"media decoding for {media_type!r} requires codec libraries; "
-        "this build decodes pure-bytes formats (audio/wav, image/ppm) "
-        "and DEFLATE-compressed PNG (image/png, stdlib zlib) and ships "
+        "this build decodes pure-bytes formats (audio/wav, image/ppm), "
+        "DEFLATE-compressed PNG (image/png, stdlib zlib) and "
+        "LZW-compressed GIF (image/gif, pure-python LZW) and ships "
         "the Spark plumbing + a deterministic fake featurizer for the "
         "rest (see operators/llm.py::multimodal_features)"
     )

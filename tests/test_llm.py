@@ -558,6 +558,120 @@ def test_multimodal_decode_png_parity(spark):
         assert got.loc[doc_id, "mean_pixel"] == float(img.mean())
 
 
+def test_gif_codec_roundtrip_and_rejections():
+    """decode_gif must invert synthesize_gif for both parities
+    (interlaced and not), reproduce the palette/index programs
+    exactly, and the LZW pair must survive a hand-derived bit-packing
+    golden, a table-reset-forcing stream, and corruption."""
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_subnet_spark.functions.multimodal import (
+        decode_gif,
+        lzw_decode_gif,
+        lzw_encode_gif,
+        synthesize_gif,
+    )
+
+    for seed in (4, 9):
+        pal, idx, interlaced = decode_gif(synthesize_gif(seed))
+        assert interlaced == bool(seed % 2)
+        yy, xx = np.mgrid[0:16, 0:24]
+        exp = ((xx * 3 + yy * 5 + (xx * yy) // 7 + seed) % 16).astype(
+            np.uint8
+        )
+        assert np.array_equal(idx, exp), seed
+        epal = np.array(
+            [
+                [(j * 47 + c * 101 + seed * 13 + 29) % 256 for c in range(3)]
+                for j in range(16)
+            ],
+            np.uint8,
+        )
+        assert np.array_equal(pal, epal), seed
+    # hand-derived golden: [1,1,1,1] at mcs=2 encodes to codes
+    # CLEAR(4), 1, 6 (the just-added "11"), 1, EOI(5), all 3-bit,
+    # LSB-first-packed — derived by hand from the GIF89a spec, so the
+    # bit packing and width schedule are anchored outside the
+    # encoder/decoder pair's own symmetry
+    enc = lzw_encode_gif(bytes([1, 1, 1, 1]), 2)
+    assert enc == bytes([0x8C, 0x53])
+    assert bytes(lzw_decode_gif(enc, 2)) == bytes([1, 1, 1, 1])
+    # property: random streams roundtrip, including one long enough to
+    # fill the 4096-entry table and force a mid-stream CLEAR reset
+    rng = np.random.default_rng(11)
+    for n, alpha in ((300, 4), (120000, 4), (50000, 16)):
+        mcs = max(2, int(alpha - 1).bit_length())
+        data = bytes(rng.integers(0, alpha, n, dtype=np.uint8).tolist())
+        assert bytes(lzw_decode_gif(lzw_encode_gif(data, mcs), mcs)) == data
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF00a" + b"\x00" * 32)
+    # LZW has no checksum, so a flipped payload byte can decode to
+    # same-length garbage — the integrity check that CAN fire is the
+    # descriptor-vs-stream pixel-count match: bump the declared width
+    # (offset 74 = 6 header + 7 LSD + 48 GCT + 8 GCE + 1 sep + 4 pos)
+    payload = bytearray(synthesize_gif(2))
+    assert payload[69] == 0x2C  # image-descriptor separator
+    payload[74] += 1  # width 24 -> 25
+    with _pytest.raises(ValueError, match="pixels"):
+        decode_gif(bytes(payload))
+
+
+def test_gif_decodes_real_world_payloads():
+    """The decoder must handle GIFs produced by real encoders, not
+    just its own synthesizer: the libxslt doc images (shipped in this
+    container) decode with EXACTLY the pixel count their descriptors
+    declare — an LZW bug would almost surely produce a wrong-length
+    stream — and every index stays inside the parsed color table."""
+    import glob
+
+    import pytest as _pytest
+
+    from map_reduce_subnet_spark.functions.multimodal import decode_gif
+
+    files = sorted(glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif"))
+    if not files:
+        _pytest.skip("no real-world GIFs in this container")
+    for fn in files[:6]:
+        with open(fn, "rb") as f:
+            pal, idx, _interlaced = decode_gif(f.read())
+        assert idx.size > 0
+        assert int(idx.max()) < pal.shape[0], fn
+
+
+def test_multimodal_decode_gif_parity(spark):
+    """The GIF decode query must bit-match the library
+    synthesize_gif/decode_gif pair driver-side — the checksum is
+    position-weighted over the RENDERED RGB bytes, so a wrong palette
+    entry, a mis-decoded LZW code, or a row left in interlaced order
+    all change it."""
+    import numpy as np
+
+    from map_reduce_subnet_spark.functions.multimodal import (
+        decode_gif,
+        synthesize_gif,
+    )
+
+    got = (
+        QUERIES["multimodal_decode_gif"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (got["width"] == 24).all()
+    assert (got["height"] == 16).all()
+    assert (got["n_colors"] == 16).all()
+    assert (got["interlaced"] == (got.index % 2)).all()
+    for doc_id in list(got.index[:4]):
+        pal, idx, _ = decode_gif(synthesize_gif(int(doc_id)))
+        rendered = pal[idx]
+        flat = rendered.reshape(-1).astype(np.uint64)
+        weights = (np.arange(flat.size, dtype=np.uint64) % 251) + 1
+        checksum = int((flat * weights).sum() % (2**31 - 1))
+        assert got.loc[doc_id, "pixel_checksum"] == checksum
+        assert got.loc[doc_id, "mean_pixel"] == float(rendered.mean())
+
+
 def test_decode_media_dispatch():
     """decode_media routes pure-bytes formats to the real decoders and
     still raises the honest stub error for codec formats."""
