@@ -319,16 +319,70 @@ def test_kafka_parser_decodes_kafka_shaped_rows(spark):
     assert bad["offset"] == 99 and bad["event_id"] is None
 
 
+def _kafka_connector_present(spark) -> bool:
+    """True iff the spark-sql-kafka connector is on the classpath
+    (plan construction is lazy, so .load() succeeds without a broker
+    when — and only when — the jar resolves)."""
+    try:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:1")
+            .option("subscribe", "probe")
+            .load()
+        )
+        return True
+    except Exception:
+        return False
+
+
 def test_kafka_source_is_gated_without_connector(spark):
     """Without the connector jar the source constructor must raise
     the documented NotImplementedError (never a raw classpath
-    stacktrace mid-stream)."""
+    stacktrace mid-stream). Skipped when the jar IS present — the
+    live contract test below takes over there."""
     from map_reduce_subnet_spark.sources.kafka import (
         read_kafka_events_stream,
     )
 
+    if _kafka_connector_present(spark):
+        pytest.skip("connector jar present; gate cannot fire")
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         read_kafka_events_stream(spark, "localhost:9092", "events")
+
+
+def test_kafka_live_contract_end_to_end(spark):
+    """OPTIONAL live integration (VERDICT r6 #7): runs only when the
+    connector jar is on the classpath AND MRS_KAFKA_BOOTSTRAP points
+    at a reachable broker with an ``events`` JSON topic (override via
+    MRS_KAFKA_TOPIC). Exercises read_kafka_events_stream against the
+    real source shape end to end: open the stream, drain one
+    availableNow pass to memory, and assert the parsed schema plus
+    non-null source coordinates. In this container (no jar, no
+    broker) it reports as a skip, so the plumbing is contract-tested
+    the moment an environment can actually run it."""
+    import os
+
+    from map_reduce_subnet_spark.sources.kafka import (
+        EVENT_VALUE_SCHEMA,
+        read_kafka_events_stream,
+    )
+    from map_reduce_subnet_spark.streaming.jobs import _run_to_memory
+
+    if not _kafka_connector_present(spark):
+        pytest.skip("spark-sql-kafka connector not on the classpath")
+    bootstrap = os.environ.get("MRS_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("MRS_KAFKA_BOOTSTRAP not set (no broker to test)")
+    topic = os.environ.get("MRS_KAFKA_TOPIC", "events")
+    parsed = read_kafka_events_stream(spark, bootstrap, topic)
+    expected_cols = ["topic", "partition", "offset"] + [
+        f.split()[0] for f in EVENT_VALUE_SCHEMA.split(", ")
+    ]
+    assert parsed.columns == expected_cols
+    got = _run_to_memory(parsed, spark)
+    rows = got.collect()
+    assert rows, "broker reachable but topic delivered no rows"
+    assert all(r["topic"] == topic and r["offset"] >= 0 for r in rows)
 
 
 def test_python_datasource_plans_declared_partitions(spark):
