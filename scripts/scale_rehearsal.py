@@ -1,0 +1,207 @@
+"""Scale rehearsal above sf0.1 (VERDICT r6 #4): build a 10x fixture
+("sf1") by unioning ten id-shifted copies of the sf0.1 tables, run
+the dedup family + ANN + PageRank + the flagship aggregate at BOTH
+scales on the same local[32] session, and print the scaling table
+that SCALE.md records.
+
+The 10x corpus is duplicate-heavy BY CONSTRUCTION (each document/
+vector appears in all ten copies with a shifted id) — exactly the
+shape a dedup pipeline exists for, and the shape that makes
+candidate-pair counts grow: each sf0.1 near-dup cluster of size c
+becomes a 10c-clique, so pair outputs scale ~x45 per cluster while
+the corpus scales x10. Linear-ish wall-clock at that output growth
+is the pass bar for the bucketed (never all-pairs) architecture.
+
+Methodology matches bench.py: each query executes into the no-op
+sink (all columns materialized, nothing crosses to the driver); a
+watchdog cancels any query still running after --timeout seconds and
+records TIMEOUT instead of hanging the rehearsal.
+
+Usage:
+    python scripts/scale_rehearsal.py [--rebuild] [--queries q1,q2]
+        [--timeout 600]
+
+Writes nothing under /root/repo except stdout; the scaled fixture
+lives in /tmp/mrs_scale_sf1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import threading
+import time
+from pathlib import Path
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/mrs_scale_sf1"
+COPIES = 10
+SHIFT_DOC = 1_000_000
+SHIFT_VEC = 1_000_000
+SHIFT_ORD = 1_000_000_000
+
+QUERY_SET = [
+    "agg_reduce_sum",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_est",
+    "dedup_cluster",
+    "dedup_survivors",
+    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
+    "sim_ann_ivf_kmeans",
+    "graph_pagerank",
+    "funnel_conversion",
+]
+
+COPY_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+]
+
+
+def build_fixture() -> None:
+    dst = Path(DST)
+    if dst.exists():
+        shutil.rmtree(dst)
+    dst.mkdir(parents=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/documents.parquet'")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id + {k * SHIFT_DOC} AS doc_id, text, lang, source,"
+        f" n_chars FROM src"
+        for k in range(COPIES)
+    )
+    con.sql(f"COPY ({unions}) TO '{DST}/documents.parquet'")
+    con.sql("DROP VIEW src")
+    con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/embeddings.parquet'")
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id + {k * SHIFT_VEC} AS vec_id, embedding, label"
+        f" FROM src"
+        for k in range(COPIES)
+    )
+    con.sql(f"COPY ({unions}) TO '{DST}/embeddings.parquet'")
+    con.sql("DROP VIEW src")
+    con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/orders.parquet'")
+    unions = " UNION ALL ".join(
+        f"SELECT o_orderkey + {k * SHIFT_ORD} AS o_orderkey, o_custkey,"
+        f" o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+        f" FROM src"
+        for k in range(COPIES)
+    )
+    con.sql(f"COPY ({unions}) TO '{DST}/orders.parquet'")
+    con.sql("DROP VIEW src")
+    con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/lineitem.parquet'")
+    cols = (
+        "l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,"
+        " l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT l_orderkey + {k * SHIFT_ORD} AS l_orderkey, {cols} FROM src"
+        for k in range(COPIES)
+    )
+    con.sql(f"COPY ({unions}) TO '{DST}/lineitem.parquet'")
+    con.sql("DROP VIEW src")
+    con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/events.parquet'")
+    unions = " UNION ALL ".join(
+        f"SELECT event_id + {k * SHIFT_ORD} AS event_id, ts, user_id,"
+        f" event_type, value, props FROM src"
+        for k in range(COPIES)
+    )
+    con.sql(f"COPY ({unions}) TO '{DST}/events.parquet'")
+    for t in COPY_TABLES:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    print(
+        f"built {DST} (documents/embeddings/orders/lineitem x{COPIES})",
+        flush=True,
+    )
+
+
+def run_noop(spark, build, group: str, timeout: float) -> float | None:
+    """BUILD the query (eager checkpoints / fixture-cache builds
+    included — bench.py parity) and execute it into the no-op sink,
+    all under a watchdog; return seconds or None on timeout/failure
+    (the watchdog cancels the job group so the rehearsal proceeds)."""
+    done = threading.Event()
+
+    def watchdog() -> None:
+        if not done.wait(timeout):
+            print(f"  WATCHDOG: cancelling {group}", flush=True)
+            spark.sparkContext.cancelJobGroup(group)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    spark.sparkContext.setJobGroup(group, group, interruptOnCancel=True)
+    t0 = time.time()
+    try:
+        build().write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+    except Exception as e:
+        print(f"  {group} failed/cancelled: {str(e)[:200]}", flush=True)
+        return None
+    finally:
+        done.set()
+        spark.sparkContext.setJobGroup("", "")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--queries", default=",".join(QUERY_SET))
+    ap.add_argument("--timeout", type=float, default=600.0)
+    args = ap.parse_args()
+    if args.rebuild or not Path(DST).exists():
+        build_fixture()
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    # The 10x fixture needs a bigger driver heap than pyspark's 1g
+    # local default: dedup_ngram_jaccard@sf1's shingle window dies in
+    # GCLocker allocation failures at 1g (the local-mode analog of
+    # executor memory sizing on a real cluster). Must be set before
+    # the JVM launches.
+    import os
+
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+    )
+    from map_reduce_subnet_spark.operators import QUERIES
+    from map_reduce_subnet_spark.session import get_spark
+
+    # bench.py's session, so absolute numbers are comparable to
+    # BASELINE.md rows (an ad-hoc builder session measured the same
+    # sf0.1 queries 4-6x slower)
+    spark = get_spark(app_name="mrs-scale-rehearsal")
+    # Untimed warmup (bench.py discipline): JVM + parquet footers at
+    # both scales so the first timed row doesn't absorb startup.
+    for sf_dir in (SRC, DST):
+        QUERIES["agg_reduce_sum"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    names = [q for q in args.queries.split(",") if q]
+    results = {}
+    for name in names:
+        row = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+            dt = run_noop(
+                spark,
+                lambda n=name, d=sf_dir: QUERIES[n](spark, d),
+                f"{name}@{label}",
+                args.timeout,
+            )
+            row[label] = round(dt, 2) if dt is not None else None
+            print(f"{name} @ {label}: {row[label]}s", flush=True)
+        results[name] = row
+    print("\n| query | sf0.1 s | sf1 s | ratio |", flush=True)
+    print("|---|---|---|---|", flush=True)
+    for name, row in results.items():
+        a, b = row["sf0.1"], row["sf1"]
+        ratio = f"{b / a:.1f}x" if a and b else "n/a"
+        print(f"| {name} | {a} | {b} | {ratio} |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
