@@ -64,6 +64,27 @@ COPY_TABLES = [
 ]
 
 
+# A single output file per table would under-parallelize the whole
+# rehearsal: Spark plans scan tasks by BYTE ranges (one row group
+# never splits), so a 0.9 MB single-file documents table carries the
+# entire 50k-doc shingle pipeline on ONE task no matter how many
+# cores exist — the first rehearsal measured 290-520 s for
+# dedup_near_minhash@sf1 purely because of that layout. Real 100 TB
+# tables arrive as thousands of files; emulate that with a
+# directory of N_FILES hash-bucketed parquet files per scaled table.
+N_FILES = 32
+
+
+def _copy_sharded(con, select_sql: str, dest: str, shard_col: str) -> None:
+    Path(dest).mkdir()
+    for s in range(N_FILES):
+        con.sql(
+            f"COPY (SELECT * FROM ({select_sql}) WHERE"
+            f" {shard_col} % {N_FILES} = {s})"
+            f" TO '{dest}/part-{s:05d}.parquet' (FORMAT PARQUET)"
+        )
+
+
 def build_fixture() -> None:
     dst = Path(DST)
     if dst.exists():
@@ -76,7 +97,7 @@ def build_fixture() -> None:
         f" n_chars FROM src"
         for k in range(COPIES)
     )
-    con.sql(f"COPY ({unions}) TO '{DST}/documents.parquet'")
+    _copy_sharded(con, unions, f"{DST}/documents.parquet", "doc_id")
     con.sql("DROP VIEW src")
     con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/embeddings.parquet'")
     unions = " UNION ALL ".join(
@@ -84,7 +105,7 @@ def build_fixture() -> None:
         f" FROM src"
         for k in range(COPIES)
     )
-    con.sql(f"COPY ({unions}) TO '{DST}/embeddings.parquet'")
+    _copy_sharded(con, unions, f"{DST}/embeddings.parquet", "vec_id")
     con.sql("DROP VIEW src")
     con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/orders.parquet'")
     unions = " UNION ALL ".join(
@@ -93,7 +114,7 @@ def build_fixture() -> None:
         f" FROM src"
         for k in range(COPIES)
     )
-    con.sql(f"COPY ({unions}) TO '{DST}/orders.parquet'")
+    _copy_sharded(con, unions, f"{DST}/orders.parquet", "o_orderkey")
     con.sql("DROP VIEW src")
     con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/lineitem.parquet'")
     cols = (
@@ -104,7 +125,7 @@ def build_fixture() -> None:
         f"SELECT l_orderkey + {k * SHIFT_ORD} AS l_orderkey, {cols} FROM src"
         for k in range(COPIES)
     )
-    con.sql(f"COPY ({unions}) TO '{DST}/lineitem.parquet'")
+    _copy_sharded(con, unions, f"{DST}/lineitem.parquet", "l_orderkey")
     con.sql("DROP VIEW src")
     con.sql(f"CREATE VIEW src AS SELECT * FROM '{SRC}/events.parquet'")
     unions = " UNION ALL ".join(
@@ -112,7 +133,7 @@ def build_fixture() -> None:
         f" event_type, value, props FROM src"
         for k in range(COPIES)
     )
-    con.sql(f"COPY ({unions}) TO '{DST}/events.parquet'")
+    _copy_sharded(con, unions, f"{DST}/events.parquet", "event_id")
     for t in COPY_TABLES:
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     print(
