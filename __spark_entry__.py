@@ -37,8 +37,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # (1) NEW in round 7 — needs its first driver row
+    # (1) NEW in round 7 — need their first driver row
     "multimodal_decode_gif",
+    "join_bloom_runtime",
+    "agg_cms_heavy_hitters",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -96,8 +98,8 @@ _SWEEP_PRIORITY = [
     "text_quality",
     "text_token_count",
     "sim_cosine_topk",
-    "multimodal_join",
-    "sample_systematic",
+    # (multimodal_join, sample_systematic rotated back out for the two
+    # new r7 keys — both r3-green, structurally simple, unchanged)
 ]
 
 

@@ -631,3 +631,68 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_s")
         .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle="""
+SELECT user_id, n_events, TRUE AS cms_ok
+FROM (
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+)
+""",
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — the third mergeable sketch
+    next to HLL (distinct) and KLL (percentiles): per-partition CMS
+    tables merge associatively map-side, so at 100 TB per-key
+    frequencies come from unioning fixed-size (width x depth) integer
+    tables instead of shuffling raw keys; any key's count is then
+    answerable from the merged sketch alone (the reference's per-peer
+    request accounting, README.md:18, as a sketch).
+
+    BOUND-CHECKED oracle (r7 sketch-trio pattern): emits the exact
+    top-10 users by event count (deterministic count-then-id order,
+    reproduced by the oracle) plus a boolean pinning the CMS
+    guarantee — the sketch NEVER undercounts and overcounts by at
+    most eps*N (+1 slack), checked by probing the merged sketch
+    driver-side through Spark's public CountMinSketch.readFrom API
+    (seed fixed, so the outcome is deterministic per fixture). The
+    exact pass exists for the oracle; the production path at scale
+    keeps only the sketch.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    rows = top.collect()  # 10 rows
+    [sk] = ev.agg(
+        F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk"),
+        F.count("*").alias("n_total"),
+    ).collect()
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk["sk"])
+    )
+    slack = 0.001 * sk["n_total"] + 1.0
+    data = [
+        (
+            r["user_id"],
+            r["n_events"],
+            bool(
+                r["n_events"]
+                <= cms.estimateCount(int(r["user_id"]))
+                <= r["n_events"] + slack
+            ),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, n_events long, cms_ok boolean"
+    )

@@ -633,3 +633,70 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_cols=("err_id", "err_id_s", "err_id_e"),
         b_cols=("buy_id", "buy_id_s", "buy_id_e"),
     ).withColumnRenamed("overlap", "overlap_us")
+
+
+@query(
+    "join_bloom_runtime",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+""",
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime BLOOM-FILTER pushdown (Spark's row-level runtime
+    filter): the selective dimension-side predicate
+    (o_orderpriority = '1-URGENT') is turned into a bloom filter at
+    runtime and injected into the FACT scan as might_contain — most
+    non-qualifying lineitems die at the scan instead of riding the
+    shuffle to the join. At 100 TB this is the difference between
+    shuffling the full fact table and shuffling the ~20% that can
+    match: the declarative cousin of manually semi-joining first
+    (and the row-level complement of partition-level DPP,
+    join_partition_prune_dynamic).
+
+    Runs in an ISOLATED spark.newSession() (join_skew_aqe
+    discipline): the injection thresholds are tuned for real table
+    sizes (10 GB application-side scans), so firing at fixture scale
+    needs them floored — and broadcast disabled to keep the join on
+    the shuffle path the filter exists for. The plan self-lints that
+    might_contain really reached the lineitem side."""
+    s2 = spark.newSession()
+    for key, val in {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # fixture-scale trigger: the default thresholds are sized for
+        # multi-GB scans
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "32",
+    }.items():
+        s2.conf.set(key, val)
+    li = load_table(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(s2, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "might_contain" not in plan:
+        raise RuntimeError(
+            "join_bloom_runtime: no might_contain in the executed plan "
+            "— the runtime bloom filter was not injected into the fact "
+            "scan"
+        )
+    return out

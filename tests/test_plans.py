@@ -311,3 +311,35 @@ def test_pipe_syntax_plans_like_clause_form(spark):
         assert not has_cartesian(df)
     finally:
         spark.catalog.dropTempView("mrs_pipe_lint_li")
+
+
+def test_bloom_runtime_filter_reaches_fact_scan(spark):
+    """join_bloom_runtime must really inject the row-level runtime
+    bloom filter: might_contain on the fact side, no broadcast of the
+    filtered dim (the filter exists FOR the shuffle path), and the
+    in-query lint raises if injection ever stops firing — run it and
+    check the result shape too."""
+    from map_reduce_subnet_spark.operators import QUERIES
+    from tests.conftest import SF_DIR
+
+    df = QUERIES["join_bloom_runtime"](spark, SF_DIR)  # lint inside
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 3  # one row per returnflag
+    assert all(r["n_lines"] > 0 for r in rows)
+
+
+def test_cms_heavy_hitters_bounds_and_determinism(spark):
+    """The CMS heavy-hitter query's booleans must all hold (the
+    sketch never undercounts; overcount within eps*N+1) and the
+    fixed-seed sketch must make the whole result deterministic."""
+    from map_reduce_subnet_spark.operators import QUERIES
+    from tests.conftest import SF_DIR
+
+    a = QUERIES["agg_cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(a) == 10
+    assert all(r["cms_ok"] for r in a)
+    assert all(r["n_events"] > 0 for r in a)
+    b = QUERIES["agg_cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
