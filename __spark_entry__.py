@@ -41,6 +41,8 @@ _SWEEP_PRIORITY = [
     "multimodal_decode_gif",
     "join_bloom_runtime",
     "agg_cms_heavy_hitters",
+    "scan_xml_roundtrip",
+    "scan_binaryfile_media",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -96,10 +98,9 @@ _SWEEP_PRIORITY = [
     "text_langid",
     "text_langid_ngram",
     "text_quality",
-    "text_token_count",
-    "sim_cosine_topk",
-    # (multimodal_join, sample_systematic rotated back out for the two
-    # new r7 keys — both r3-green, structurally simple, unchanged)
+    # (multimodal_join, sample_systematic, text_token_count,
+    # sim_cosine_topk rotated back out for the four new r7 keys —
+    # all r3-green, structurally simple, unchanged)
 ]
 
 

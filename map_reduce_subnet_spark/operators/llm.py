@@ -2747,7 +2747,7 @@ def _gif_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id long, payload binary").parquet(cache)
 
 
-def _gif_decode_oracle() -> str:
+def _gif_decode_oracle(where: str = "") -> str:
     """DuckDB twin of multimodal_decode_gif that REGENERATES the
     expected decode output from synthesize_gif's integer pixel+palette
     programs — no byte decoding in SQL. A hash match proves the whole
@@ -2765,6 +2765,7 @@ WITH cells AS (
          (SELECT unnest(range(0, 16)) AS y) y,
          (SELECT unnest(range(0, 24)) AS x) x,
          (SELECT unnest(range(0, 3)) AS c) c
+    {where}
 )
 SELECT doc_id,
        CAST(24 AS BIGINT) AS width,
@@ -2779,29 +2780,13 @@ GROUP BY doc_id
 """
 
 
-@query("multimodal_decode_gif", oracle=_gif_decode_oracle())
-def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode of a second genuinely COMPRESSED format (VERDICT r6
-    #6), no codec libs: each doc gets a deterministic LZW-compressed
-    GIF89a payload (BinaryType; odd doc_ids INTERLACED, and every
-    payload carries a Graphic Control Extension so extension skipping
-    runs), and a mapInPandas stage walks the container, reassembles
-    the data sub-blocks, runs the variable-code-width LZW decoder,
-    de-interlaces, and renders through the parsed global color table
-    (functions/multimodal.py::decode_gif — validated against
-    real-world encoder output, the libxslt doc GIFs, in
-    tests/test_llm.py) — emitting dimensions, palette size, the
-    PARSED interlace flag, the rendered-RGB mean and an
-    order-sensitive position-weighted checksum per blob.
-
-    Decoder/synthesizer live once in functions/multimodal.py, shipped
-    BY VALUE (register_pickle_by_value) like the PNG pair.
-
-    Scale: payloads read from storage (materialized once per fixture
-    by _gif_media_cached); decode is scan-local Arrow-batched work —
-    constant memory per batch, zero shuffles of binary columns, and
-    the stage parallelizes with input partitioning like any
-    mapInPandas featurizer at 100 TB."""
+def gif_decode_frames(media: DataFrame) -> DataFrame:
+    """Decode stage shared by multimodal_decode_gif (payloads from the
+    materialized media table) and scan_binaryfile_media (payloads from
+    the binaryFile source): Arrow-batched mapInPandas over a
+    (doc_id, payload BINARY) frame → per-blob dimensions, palette
+    size, parsed interlace flag, rendered-RGB mean and the
+    position-weighted checksum."""
     from pyspark import cloudpickle as _cp
 
     from map_reduce_subnet_spark.functions import multimodal as _mm
@@ -2843,12 +2828,102 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = _gif_media_cached(spark, sf_dir)
     return media.mapInPandas(
         decode_batches,
         schema="doc_id long, width long, height long, n_colors long, "
         "interlaced long, mean_pixel double, pixel_checksum long",
     )
+
+
+@query("multimodal_decode_gif", oracle=_gif_decode_oracle())
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode of a second genuinely COMPRESSED format (VERDICT r6
+    #6), no codec libs: each doc gets a deterministic LZW-compressed
+    GIF89a payload (BinaryType; odd doc_ids INTERLACED, and every
+    payload carries a Graphic Control Extension so extension skipping
+    runs), and a mapInPandas stage walks the container, reassembles
+    the data sub-blocks, runs the variable-code-width LZW decoder,
+    de-interlaces, and renders through the parsed global color table
+    (functions/multimodal.py::decode_gif — validated against
+    real-world encoder output, the libxslt doc GIFs, in
+    tests/test_llm.py) — emitting dimensions, palette size, the
+    PARSED interlace flag, the rendered-RGB mean and an
+    order-sensitive position-weighted checksum per blob.
+
+    Decoder/synthesizer live once in functions/multimodal.py, shipped
+    BY VALUE (register_pickle_by_value) like the PNG pair.
+
+    Scale: payloads read from storage (materialized once per fixture
+    by _gif_media_cached); decode is scan-local Arrow-batched work —
+    constant memory per batch, zero shuffles of binary columns, and
+    the stage parallelizes with input partitioning like any
+    mapInPandas featurizer at 100 TB."""
+    return gif_decode_frames(_gif_media_cached(spark, sf_dir))
+
+
+@query(
+    "scan_binaryfile_media",
+    oracle=_gif_decode_oracle(where="WHERE d.doc_id < 64"),
+)
+def scan_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE standard multimodal ingest path: a directory of raw media
+    files read through Spark's ``binaryFile`` source — (path,
+    modificationTime, length, content) per file, one file per row —
+    with the record id parsed from the file name and the content
+    column flowing straight into the shared GIF decode stage. This is
+    how image/audio corpora actually arrive (millions of object-store
+    blobs), upstream of the ingested media TABLE the other multimodal
+    queries read.
+
+    The scratch directory holds one deterministic .gif per document
+    id below 64 (bounded per-invocation setup; at sf0.001 the corpus
+    itself is the bound), so the same regenerating oracle proves the
+    file write → binaryFile read → LZW decode loop lossless.
+
+    Scale shape: binaryFile plans one split per file (a blob never
+    splits), so parallelism = file count — exactly right for decode
+    work; pathGlobFilter/recursiveFileLookup handle the real layouts.
+    The 4 MB-per-file driver setup here is test scaffolding; a
+    deployment points .load() at the existing object store."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from map_reduce_subnet_spark.functions.multimodal import synthesize_gif
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 64)
+        .collect()  # bounded: <= 64 ids
+    ]
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_binmedia_{_uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(out)
+    try:
+        for i in ids:
+            with open(os.path.join(out, f"{int(i):06d}.gif"), "wb") as f:
+                f.write(synthesize_gif(int(i)))
+        media = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.gif")
+            .load(out)
+            .select(
+                F.regexp_extract(F.col("path"), r"(\d+)\.gif$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        decoded = gif_decode_frames(media)
+        rows = decoded.collect()
+        schema = decoded.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(

@@ -620,3 +620,54 @@ def join_partition_prune_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_rows"), dsum("l_quantity", "sum_qty"))
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a source format (Spark 4's built-in xml data source —
+    the spark-xml package folded into core): documents metadata lands
+    in scratch XML (<doc> row tags) and is read back with an EXPLICIT
+    schema + rowTag — same no-inference posture as the CSV/JSONL
+    twins (XML inference costs a full parse pass). The aggregate over
+    the XML read must hash-match the SQL over the original parquet,
+    pinning the roundtrip value-exact for longs and strings.
+
+    Scale shape: XML files split at rowTag boundaries so reads
+    parallelize per file; the declared schema prunes unread elements
+    at parse time. Only structurally-safe columns travel (ids, lang,
+    counts) — free text would need XML escaping, which is the
+    writer's job and not under test here."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrs_xml_{uuid.uuid4().hex[:12]}"
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    try:
+        d.write.format("xml").option("rowTag", "doc").save(out)
+        back = (
+            spark.read.format("xml")
+            .schema("doc_id long, lang string, n_chars long")
+            .option("rowTag", "doc")
+            .load(out)
+        )
+        agg = back.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
