@@ -268,6 +268,13 @@ _EMPTY_SWEEP_KEYS = (
     "funnel_conversion",
     "retention_cohort",
     "multimodal_image_resize",
+    # round-7 additions (swept clean on the empty corpus when added):
+    "multimodal_decode_gif",
+    "scan_binaryfile_media",   # binaryFile source over a fileless dir
+    "scan_xml_roundtrip",      # xml read-back of an empty write
+    "agg_cms_heavy_hitters",   # empty sketch, zero heavy hitters
+    "join_bloom_runtime",
+    "agg_approx_percentile",   # empty rank window
 )
 
 
