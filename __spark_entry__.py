@@ -43,6 +43,7 @@ _SWEEP_PRIORITY = [
     "agg_cms_heavy_hitters",
     "scan_xml_roundtrip",
     "scan_binaryfile_media",
+    "dedup_chunk_level",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -97,10 +98,9 @@ _SWEEP_PRIORITY = [
     "text_fingerprint",
     "text_langid",
     "text_langid_ngram",
-    "text_quality",
     # (multimodal_join, sample_systematic, text_token_count,
-    # sim_cosine_topk rotated back out for the four new r7 keys —
-    # all r3-green, structurally simple, unchanged)
+    # sim_cosine_topk, text_quality rotated back out for the five
+    # new r7 keys — all r3-green, structurally simple, unchanged)
 ]
 
 

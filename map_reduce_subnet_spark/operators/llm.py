@@ -3360,3 +3360,88 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, thumb_w long, thumb_h long, n_channels long, "
         "mean_pixel double, pixel_checksum long",
     )
+
+
+@query(
+    "dedup_chunk_level",
+    oracle="""
+WITH ch AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(w, cs, cs + 19), ' ')) AS h
+    FROM (
+        SELECT doc_id, w,
+               unnest(range(1, len(w) + 1, 20)) AS cs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+), ranked AS (
+    SELECT doc_id, h,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, cs) AS rn
+    FROM (
+        SELECT doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, h ORDER BY h) AS cs
+        FROM ch
+    )
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonical,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS frac_retained
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style CHUNK-level dedup: documents split into
+    non-overlapping 20-word chunks, chunks deduplicated corpus-wide
+    by content hash with a deterministic canonical owner (lowest
+    (doc_id, position)), and each document scored by its retained
+    fraction — the stage that strips boilerplate shared across
+    documents while whole-doc dedup misses it (CCNet dedups
+    paragraph-hashes the same way).
+
+    Scale shape: chunking is scan-local array ops (sequence + slice +
+    md5, one explode, no Python); canonical selection is ONE shuffle
+    on the chunk hash (row_number window); the per-doc rollup
+    shuffles the per-chunk bits back on doc_id — O(chunks) rows in
+    both exchanges, output O(docs).
+
+    Oracle note: ties inside a doc (identical chunk content at two
+    positions) are broken by position on the Spark side and by an
+    arbitrary-but-counted rank in the oracle's inner window — both
+    sides agree on HOW MANY rank-1 rows each doc gets per hash
+    (exactly one per (doc, hash) at the global minimum doc), which is
+    all the aggregate reads."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tx.words("text")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(20))
+    chunks = d.select(
+        "doc_id", w.alias("w"), F.explode(starts).alias("cs")
+    ).select(
+        "doc_id",
+        F.col("cs").cast("long").alias("cs"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("w"), F.col("cs"), F.lit(20)))
+        ).alias("h"),
+    )
+    win = Window.partitionBy("h").orderBy("doc_id", "cs")
+    ranked = chunks.withColumn("rn", F.row_number().over(win))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+                "n_canonical"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_canonical",
+            (
+                F.col("n_canonical").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias("frac_retained"),
+        )
+    )
