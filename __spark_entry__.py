@@ -44,6 +44,7 @@ _SWEEP_PRIORITY = [
     "scan_xml_roundtrip",
     "scan_binaryfile_media",
     "dedup_chunk_level",
+    "table_timetravel",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -96,11 +97,11 @@ _SWEEP_PRIORITY = [
     "text_stats",
     "text_term_freq",
     "text_fingerprint",
-    "text_langid",
     "text_langid_ngram",
     # (multimodal_join, sample_systematic, text_token_count,
-    # sim_cosine_topk, text_quality rotated back out for the five
-    # new r7 keys — all r3-green, structurally simple, unchanged)
+    # sim_cosine_topk, text_quality, text_langid rotated back out for
+    # the six new r7 keys — all r3-green, structurally simple,
+    # unchanged)
 ]
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from map_reduce_subnet_spark.functions.stable import sql_dsum
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -272,3 +273,107 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("lt50", "le50", 0.5).alias("ok50"),
         rank_ok("lt90", "le90", 0.9).alias("ok90"),
     )
+
+
+@query(
+    "table_timetravel",
+    oracle=f"""
+WITH ranked AS (
+    SELECT CAST(event_id % 3 AS BIGINT) AS k, user_id, value, ts, event_id
+    FROM events
+)
+SELECT CAST(v.version AS BIGINT) AS version,
+       COUNT(*) AS n_users,
+       {sql_dsum('last_value')} AS sum_last_value
+FROM (SELECT 1 AS version UNION ALL SELECT 2 UNION ALL SELECT 3) v
+JOIN (
+    SELECT kmax.version, r.user_id, r.value AS last_value,
+           ROW_NUMBER() OVER (
+               PARTITION BY kmax.version, r.user_id
+               ORDER BY r.ts DESC, r.event_id DESC
+           ) AS rn
+    FROM ranked r
+    JOIN (SELECT 1 AS version UNION ALL SELECT 2 UNION ALL SELECT 3) kmax
+      ON r.k < kmax.version
+) s ON s.version = v.version AND s.rn = 1
+GROUP BY v.version
+""",
+)
+def table_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the versioned-table commit log
+    (sources/versioned.py — the lakehouse discipline behind
+    merge_upsert / stream_upsert_foreachbatch made first-class):
+    three deterministic MERGE commits build per-user latest-state
+    versions v1..v3 (batch k = events with event_id % 3 == k), then
+    EVERY version is read back as a snapshot and aggregated — the
+    audit/debug/reproduce-training-run query a mutable table cannot
+    answer. Because per-key latest-wins merges are associative, the
+    state at version k equals the per-user argmax over batches 0..k,
+    which is what the oracle regenerates per version.
+
+    Scale shape: each commit's merge input is one row per user on
+    both sides (batch pre-reduced before the union); snapshot reads
+    are plain parquet scans of immutable directories; the commit log
+    is O(versions) driver-side JSON lines — the same metadata scale
+    as a Delta/Iceberg transaction log, minus the engine-external
+    jars this sandbox lacks (honest scope note in the module)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from map_reduce_subnet_spark.functions.stable import dsum as _dsum
+    from map_reduce_subnet_spark.sources.tables import load_table as _lt
+    from map_reduce_subnet_spark.sources.versioned import VersionedTable
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        (F.col("event_id") % 3).alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_ttable_{_uuid.uuid4().hex[:12]}"
+    )
+    table = VersionedTable(root)
+    try:
+        for k in range(3):
+            delta = (
+                ev.where(F.col("k") == k)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("user_id", "value", "ts_us", "event_id")
+            )
+            if table.current_version() is not None:
+                delta = (
+                    table.read(spark)
+                    .unionByName(delta)
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") == 1)
+                    .drop("rn")
+                )
+            table.commit(delta)
+        snapshots = None
+        for v in table.versions():
+            agg = (
+                table.read(spark, v)
+                .agg(
+                    F.count("*").alias("n_users"),
+                    _dsum("value", "sum_last_value"),
+                )
+                .select(
+                    F.lit(v).cast("long").alias("version"),
+                    "n_users",
+                    "sum_last_value",
+                )
+            )
+            snapshots = agg if snapshots is None else snapshots.unionByName(agg)
+        rows = snapshots.collect()  # 3 rows
+        schema = snapshots.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -109,3 +109,46 @@ def test_layout_queries_match_oracle(spark, ddb, name):
     got = QUERIES[name](spark, SF_DIR).toPandas()
     want = ddb.sql(ORACLES[name]).df()
     assert_frames_match(got, want, name)
+
+
+def test_versioned_table_commit_log_discipline(spark, tmp_path):
+    """The versioned table's three contracts: (a) snapshot isolation —
+    a frame read at version N still serves N's rows after later
+    commits; (b) orphan invisibility — a data directory without a log
+    line (crash between write and append) is never served; (c) replay
+    tolerance — duplicate log lines for one version don't duplicate
+    the version list."""
+    import json
+    import os
+
+    from map_reduce_subnet_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "vt")
+    t = VersionedTable(root)
+    assert t.current_version() is None
+    v1 = t.commit(spark.range(3).withColumnRenamed("id", "x"))
+    snap1 = t.read(spark, v1)
+    v2 = t.commit(spark.range(10).withColumnRenamed("id", "x"))
+    assert (v1, v2) == (1, 2)
+    # (a) the v1 snapshot is immutable even after v2 landed
+    assert snap1.count() == 3
+    assert t.read(spark).count() == 10
+    assert t.read(spark, 1).count() == 3
+    # (b) an orphan directory (no log line) must be invisible
+    spark.range(99).withColumnRenamed("id", "x").write.parquet(
+        os.path.join(root, "v000099")
+    )
+    assert t.versions() == [1, 2]
+    assert t.read(spark).count() == 10
+    # (c) a replayed (duplicate) log line collapses to one entry
+    with open(os.path.join(root, "_log")) as f:
+        first = f.readline()
+    with open(os.path.join(root, "_log"), "a") as f:
+        f.write(first)
+    assert t.versions() == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="version 7"):
+        t.read(spark, 7)
+    with _pytest.raises(ValueError, match="no commits"):
+        VersionedTable(str(tmp_path / "empty")).read(spark)
