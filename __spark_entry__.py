@@ -45,6 +45,8 @@ _SWEEP_PRIORITY = [
     "scan_binaryfile_media",
     "dedup_chunk_level",
     "table_timetravel",
+    "text_quality_gopher",
+    "merge_scd2_history",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -89,9 +91,7 @@ _SWEEP_PRIORITY = [
     "agg_normalize_l1",
     "join_anti",
     "project_conditional",
-    "filter_membership",
     "project_cast",
-    "str_basics",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "text_stats",
@@ -99,9 +99,9 @@ _SWEEP_PRIORITY = [
     "text_fingerprint",
     "text_langid_ngram",
     # (multimodal_join, sample_systematic, text_token_count,
-    # sim_cosine_topk, text_quality, text_langid rotated back out for
-    # the six new r7 keys — all r3-green, structurally simple,
-    # unchanged)
+    # sim_cosine_topk, text_quality, text_langid, filter_membership,
+    # str_basics rotated back out for the eight new r7 keys — all
+    # r3-green, structurally simple, unchanged)
 ]
 
 

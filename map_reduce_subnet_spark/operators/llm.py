@@ -3445,3 +3445,101 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_retained"),
         )
     )
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "text_quality_gopher",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               AS mean_word_len,
+           CAST(length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) // 3
+                AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+               AS symbol_ratio
+    FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+            AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio,
+       CAST({" + ".join(f"CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END" for s in _GOPHER_STOPS)}
+            AS BIGINT) AS stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+        AND ({" + ".join(f"CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END" for s in _GOPHER_STOPS)}) >= 2)
+           AS kept
+FROM base
+""",
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 §A1.1, adapted to
+    the single-space corpus — the line-based bullet/ellipsis rules
+    have no lines to apply to, so the symbol rule absorbs the
+    ellipsis count): word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio ('#' chars + '...' runs) <= 0.1,
+    >= 80% of words containing an alphabetic character, and at least
+    2 distinct Gopher stop words present. Emits the per-rule signals
+    plus the composite keep decision next to text_quality_c4's rule
+    stack — a real pipeline runs BOTH published filter sets and
+    audits their disagreement.
+
+    Scale shape: every signal is per-document arithmetic over the
+    token array — scan-local, zero shuffles, whole output O(docs).
+    All ratios are integer-derived double divisions, bit-exact
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tx.words("text")
+    n_words = F.size(w).cast("long")
+    hashes = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ellipses = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = sum(
+        F.array_contains(w, s).cast("long") for s in _GOPHER_STOPS
+    )
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (
+            (F.length("text") - n_words + 1).cast("double")
+            / n_words.cast("double")
+        ).alias("mean_word_len"),
+        (
+            (hashes + F.floor(ellipses)).cast("double")
+            / n_words.cast("double")
+        ).alias("symbol_ratio"),
+        (alpha_words.cast("double") / n_words.cast("double")).alias(
+            "alpha_ratio"
+        ),
+        stop_hits.alias("stop_hits"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_ratio",
+        "stop_hits",
+        (
+            (F.col("n_words") >= 50)
+            & (F.col("n_words") <= 100000)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("alpha_ratio") >= 0.8)
+            & (F.col("stop_hits") >= 2)
+        ).alias("kept"),
+    )

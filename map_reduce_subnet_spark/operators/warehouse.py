@@ -377,3 +377,47 @@ def table_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "merge_scd2_history",
+    oracle="""
+SELECT user_id, event_id, value,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS valid_to_us,
+       (LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) IS NULL) AS is_current
+FROM events
+""",
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 historization: every per-user
+    state change becomes a versioned row with an explicit validity
+    interval — valid_from = the change's event time, valid_to = the
+    NEXT change's event time (exclusive; NULL + is_current for the
+    open row). The dimension-history pattern every warehouse keeps
+    for point-in-time joins ("what was this user's state when the
+    order shipped?"), and the row-expanded dual of the latest-wins
+    MERGE (merge_upsert keeps only the last version; SCD2 keeps them
+    all with intervals).
+
+    Scale shape: ONE shuffle on the dimension key + per-key sort; the
+    interval construction is a single LEAD window — no self-join of
+    history against itself (the naive SCD2 build). Epoch-µs BIGINT
+    arithmetic keeps the interval columns representation-free across
+    engines; (ts, event_id) ordering is total because event_ids are
+    unique (NOTES invariant #9)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
