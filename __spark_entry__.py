@@ -47,6 +47,7 @@ _SWEEP_PRIORITY = [
     "table_timetravel",
     "text_quality_gopher",
     "merge_scd2_history",
+    "window_cumulative_uniques",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back

@@ -567,3 +567,60 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_rows"], row["n_discounted"], row["sum_price"])],
         "n_rows long, n_discounted long, sum_price double",
     )
+
+
+@query(
+    "window_cumulative_uniques",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT)) AS first_day_s
+    FROM events GROUP BY user_id
+), daily AS (
+    SELECT first_day_s AS day_epoch_s, COUNT(*) AS new_users
+    FROM firsts GROUP BY first_day_s
+)
+SELECT day_epoch_s, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day_epoch_s) AS BIGINT)
+           AS cum_users
+FROM daily
+""",
+)
+def window_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT users by day — the growth-dashboard metric
+    a naive COUNT(DISTINCT) OVER (ORDER BY day) cannot express in
+    Spark (distinct window aggregates are unsupported) and would be
+    quadratic anyway. The scale formulation: distinct-ness collapses
+    to each user's FIRST day (one per-user MIN, map-side combined),
+    daily new-user counts aggregate those firsts, and the cumulative
+    sum is a window over the DAY-cardinality frame — the unbounded
+    running sum touches dozens of rows, never the fact table.
+
+    Scale shape: one shuffle on user_id (partial-agg'd MIN), one tiny
+    shuffle on day, and a single-partition window over O(days) rows —
+    the same two-level collapse that makes agg_bitmap_distinct's
+    per-day exact distincts mergeable. Days travel as BIGINT epoch
+    seconds (the retention_cohort representation-free discipline —
+    DATE columns hit cross-engine pandas dtype mismatches)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(date_trunc('day', ts)) div 1000000").alias(
+                "d"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_day_s"))
+    )
+    daily = firsts.groupBy(F.col("first_day_s").alias("day_epoch_s")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day_epoch_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        "day_epoch_s",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
