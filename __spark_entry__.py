@@ -48,6 +48,8 @@ _SWEEP_PRIORITY = [
     "text_quality_gopher",
     "merge_scd2_history",
     "window_cumulative_uniques",
+    "sample_ksample_per_stratum",
+    "multimodal_audio_stats",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -91,8 +93,6 @@ _SWEEP_PRIORITY = [
     "agg_distinct_arg",
     "agg_normalize_l1",
     "join_anti",
-    "project_conditional",
-    "project_cast",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "text_stats",
@@ -101,8 +101,8 @@ _SWEEP_PRIORITY = [
     "text_langid_ngram",
     # (multimodal_join, sample_systematic, text_token_count,
     # sim_cosine_topk, text_quality, text_langid, filter_membership,
-    # str_basics rotated back out for the eight new r7 keys — all
-    # r3-green, structurally simple, unchanged)
+    # str_basics, project_cast rotated back out for the ten new r7
+    # keys — all r3-green, structurally simple, unchanged)
 ]
 
 

@@ -3543,3 +3543,135 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_hits") >= 2)
         ).alias("kept"),
     )
+
+
+@query(
+    "sample_ksample_per_stratum",
+    oracle="""
+SELECT lang, doc_id, rk FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+) WHERE rk <= 20
+""",
+)
+def sample_ksample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample (k=20 docs per language) —
+    the eval-set draw every training pipeline repeats: rank each
+    stratum by a content-independent hash of the id (md5, portable
+    across engines) and keep the first k. Unlike rand()-based
+    sampling the draw is REPRODUCIBLE across runs, engines and
+    partitionings, and unlike sample_stratified_rebalance (which
+    thins every stratum by a rate) this yields exactly min(k, |s|)
+    rows per stratum.
+
+    Scale shape: one shuffle on the stratum key + per-stratum sort
+    bounded by the window's top-k; output O(k x strata)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 20)
+    )
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+WITH frames AS (
+    SELECT d.doc_id, i.i,
+           ((i.i * (100 + (d.doc_id % 40) * 25)) % 24000) - 12000 AS pcm
+    FROM documents d, (SELECT unnest(range(0, 800)) AS i) i
+), lagged AS (
+    SELECT doc_id, pcm,
+           LAG(pcm) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM frames
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MAX(ABS(pcm)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(pcm)) % 2147483648 AS BIGINT) AS abs_sum,
+       CAST(COUNT(*) FILTER (prev IS NOT NULL AND (prev < 0) <> (pcm < 0))
+            AS BIGINT) AS zero_crossings
+FROM lagged
+GROUP BY doc_id
+""",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION stage over decoded WAV frames —
+    integer signal statistics (peak amplitude, absolute-sum, zero
+    crossings) downstream of the same RIFF/PCM decode
+    multimodal_decode_wav runs. Spectral features (FFT) stay out on
+    purpose: cross-libm float transforms aren't bit-reproducible, but
+    these integer programs regenerate EXACTLY in SQL, extending the
+    decode family's lossless-loop proof to the feature stage (the
+    sawtooth payload is a pure-integer program of (doc_id, frame)).
+
+    Scale shape: synth+decode+reduce all scan-local in one
+    mapInPandas pass, constant memory per Arrow batch, no shuffle of
+    audio payloads."""
+    import struct as _struct
+
+    def stat_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        def synth(seed):
+            rate, n_frames = 8000, 800
+            step = 100 + (seed % 40) * 25
+            i = np.arange(n_frames, dtype=np.int64)
+            pcm = (((i * step) % 24000) - 12000).astype("<i2")
+            data = pcm.tobytes()
+            return (
+                b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt "
+                + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                + b"data" + _struct.pack("<I", len(data)) + data
+            )
+
+        def decode(payload):
+            pos, data = 12, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (size,) = _struct.unpack_from("<I", payload, pos + 4)
+                if cid == b"data":
+                    data = payload[pos + 8 : pos + 8 + size]
+                pos += 8 + size + (size & 1)
+            return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                pcm = decode(synth(int(doc_id)))
+                zc = int(
+                    np.count_nonzero((pcm[:-1] < 0) != (pcm[1:] < 0))
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(pcm.size),
+                        int(np.abs(pcm).max()),
+                        int(np.abs(pcm).sum() % (1 << 31)),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "peak_abs", "abs_sum",
+                    "zero_crossings",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        stat_batches,
+        schema="doc_id long, n_frames long, peak_abs long, "
+        "abs_sum long, zero_crossings long",
+    )

@@ -374,3 +374,29 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert got["node_id"].tolist() == [vid for _, vid in want]
     for g, (r, _) in zip(got["rank"], want):
         assert g == pytest.approx(r, abs=2e-6)
+
+
+def test_scd2_intervals_partition_each_users_timeline(spark):
+    """SCD2 invariants per user: intervals are chronologically chained
+    (each row's valid_to equals the next row's valid_from — no gaps,
+    no overlaps), exactly ONE open row (is_current, valid_to NULL),
+    and every interval is non-degenerate or a zero-width tie is
+    impossible because (ts, event_id) is a total order."""
+    from tests.conftest import SF_DIR
+
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    rows = QUERIES["merge_scd2_history"](spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: (r["valid_from_us"], r["event_id"]))
+        opens = [r for r in hist if r["is_current"]]
+        assert len(opens) == 1, user
+        assert opens[0] is hist[-1]
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], user
+            assert not a["is_current"]
+            assert a["valid_from_us"] <= a["valid_to_us"], user
