@@ -50,6 +50,7 @@ _SWEEP_PRIORITY = [
     "window_cumulative_uniques",
     "sample_ksample_per_stratum",
     "multimodal_audio_stats",
+    "agg_robust_mad",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -96,7 +97,6 @@ _SWEEP_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "text_stats",
-    "text_term_freq",
     "text_fingerprint",
     "text_langid_ngram",
     # (multimodal_join, sample_systematic, text_token_count,

@@ -696,3 +696,51 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         data, "user_id long, n_events long, cms_ok boolean"
     )
+
+
+@query(
+    "agg_robust_mad",
+    oracle="""
+WITH med AS (
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, m.med,
+       quantile_cont(ABS(CAST(l.l_extendedprice AS DOUBLE) - m.med), 0.5)
+           AS mad
+FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag, m.med
+""",
+)
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: the MEDIAN ABSOLUTE DEVIATION
+    (median of |x - median|) — the outlier-resistant sibling of
+    stddev that anomaly detection reaches for when heavy tails would
+    poison the moments (the z-score query's robust counterpart).
+
+    Two passes by necessity (the inner median must exist before
+    deviations do): per-group exact median (partial-buffered
+    percentile, tiny output) BROADCAST back over the fact scan, then
+    the deviation median. The fact table shuffles twice on the group
+    key and never joins shuffled — the broadcast keeps pass two
+    scan-local. Deviations are double arithmetic on an explicitly
+    double-cast column so both engines run the identical IEEE
+    program; the interpolated percentile itself is bit-exact across
+    engines (the agg_percentile parity)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(x, 0.5D)").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "med",
+            F.abs(F.col("x") - F.col("med")).alias("dev"),
+        )
+        .groupBy("l_returnflag", "med")
+        .agg(F.expr("percentile(dev, 0.5D)").alias("mad"))
+    )
