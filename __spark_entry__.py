@@ -51,6 +51,7 @@ _SWEEP_PRIORITY = [
     "sample_ksample_per_stratum",
     "multimodal_audio_stats",
     "agg_robust_mad",
+    "text_decontaminate",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -97,7 +98,6 @@ _SWEEP_PRIORITY = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "text_stats",
-    "text_fingerprint",
     "text_langid_ngram",
     # (multimodal_join, sample_systematic, text_token_count,
     # sim_cosine_topk, text_quality, text_langid, filter_membership,

@@ -3675,3 +3675,69 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, peak_abs long, "
         "abs_sum long, zero_crossings long",
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+WITH bench AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+        range(1, len(string_split(text, ' ')) - 1),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))) AS shingle
+    FROM documents WHERE doc_id < 5
+), hits AS (
+    SELECT d.doc_id, COUNT(DISTINCT s.shingle) AS n_hits
+    FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i+1] || ' ' ||
+                 string_split(text, ' ')[i+2]))) AS shingle
+        FROM documents WHERE doc_id >= 5
+    ) d JOIN bench s ON d.shingle = s.shingle
+    GROUP BY d.doc_id
+)
+SELECT doc_id, n_hits,
+       (n_hits >= 3) AS contaminated
+FROM hits
+""",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-pipeline stage that
+    removes documents overlapping an evaluation set before training
+    (the GPT-3/PaLM n-gram collision check): the benchmark's 3-gram
+    shingle set (here: docs 0-4 standing in for an eval suite) is
+    BROADCAST against the corpus's shingles, per-document collision
+    counts aggregated, and documents at/above the hit threshold
+    flagged. Emits every colliding doc with its hit count so the
+    pipeline can audit borderline overlaps instead of silently
+    dropping.
+
+    Scale shape: the benchmark side is small by definition (eval
+    suites are thousands of items, not billions) so it broadcasts;
+    the corpus side stays scan-local — shingle explode, broadcast
+    hash-join, partial-agg'd per-doc counts. One corpus shuffle on
+    doc_id, no shuffle of the corpus's shingle universe (contrast
+    dedup_ngram_jaccard, whose inverted index must shuffle shingles
+    because BOTH sides are the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = lambda frame: frame.select(  # noqa: E731
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles("text", 3))).alias("shingle"),
+    )
+    bench = (
+        sh(d.where(F.col("doc_id") < 5)).select("shingle").distinct()
+    )
+    corpus = sh(d.where(F.col("doc_id") >= 5))
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            (F.col("n_hits") >= 3).alias("contaminated"),
+        )
+    )
