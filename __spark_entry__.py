@@ -52,6 +52,7 @@ _SWEEP_PRIORITY = [
     "multimodal_audio_stats",
     "agg_robust_mad",
     "text_decontaminate",
+    "agg_gini_concentration",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -96,7 +97,6 @@ _SWEEP_PRIORITY = [
     "agg_normalize_l1",
     "join_anti",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "text_stats",
     "text_langid_ngram",
     # (multimodal_join, sample_systematic, text_token_count,

@@ -624,3 +624,78 @@ def window_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+    SELECT revenue,
+           ROW_NUMBER() OVER (ORDER BY revenue, l_suppkey) AS i,
+           COUNT(*) OVER () AS n
+    FROM rev
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue,
+       CAST(2.0 AS DOUBLE)
+           * CAST(SUM(CAST(i * revenue AS DECIMAL(27,6))) AS DOUBLE)
+           / (CAST(MAX(n) AS DOUBLE)
+              * CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE))
+           - (CAST(MAX(n) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / CAST(MAX(n) AS DOUBLE) AS gini
+FROM ranked
+""",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-concentration measurement: the GINI coefficient of
+    per-supplier revenue — the reference's dominant-peer worry
+    (README.md:18) as a single auditable number (0 = uniform load,
+    →1 = one supplier carries everything). Uses the sorted-rank
+    identity G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n, so the whole
+    computation is one partial-agg'd revenue rollup, one sort of the
+    SUPPLIER-cardinality frame (never the fact table), and a scalar
+    aggregate. Rank-weighted and plain sums are decimal-quantized
+    (order-independent); the closing expression is the identical
+    IEEE double program in both engines.
+
+    The global row_number window runs over suppliers (10k at sf1),
+    not lineitems — the bounded-dimension exception the window-scale
+    rule allows (SCALE.md §E)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+    w = Window.orderBy("revenue", "l_suppkey")
+    ranked = rev.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("revenue").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_revenue"),
+        F.sum((F.col("i") * F.col("revenue")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("iw"),
+    )
+    nd = F.col("n_suppliers").cast("double")
+    return agg.select(
+        "n_suppliers",
+        "total_revenue",
+        (
+            F.lit(2.0) * F.col("iw") / (nd * F.col("total_revenue"))
+            - (nd + F.lit(1.0)) / nd
+        ).alias("gini"),
+    )
