@@ -53,6 +53,8 @@ _SWEEP_PRIORITY = [
     "agg_robust_mad",
     "text_decontaminate",
     "agg_gini_concentration",
+    "stream_tumbling_distinct_true",
+    "sink_compaction",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -91,8 +93,6 @@ _SWEEP_PRIORITY = [
     "agg_count_distinct",
     "agg_having",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_distinct_arg",
     "agg_normalize_l1",
     "join_anti",

@@ -671,3 +671,67 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "sink_compaction",
+    oracle=f"""
+SELECT CAST(32 AS BIGINT) AS files_before,
+       CAST(4 AS BIGINT) AS files_after,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+""",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files COMPACTION — the table-maintenance op every
+    streaming/incremental sink eventually needs (a micro-batch sink
+    leaves one file per task per trigger; thousands of tiny files
+    destroy scan planning and footer-read time): rewrite a
+    32-file layout into 4 right-sized files with coalesce (a
+    NarrowDependency rewrite — each output file concatenates whole
+    input partitions, no shuffle; repartition would shuffle for
+    perfect balance) and prove the rewrite LOSSLESS by aggregating
+    the compacted table against the original fixture's oracle.
+
+    The measured before/after file counts travel in the output and
+    the oracle pins them (32 → 4), so the layout contract itself is
+    driver-verified, not just the data. At scale the same op runs
+    per partition-directory with a target file size
+    (files-per-partition = dir bytes / target), typically from the
+    lakehouse's OPTIMIZE entry point."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_compact_{uuid.uuid4().hex[:12]}"
+    )
+    small, big = os.path.join(root, "small"), os.path.join(root, "big")
+    try:
+        ev.repartition(32).write.parquet(small)
+        files_before = len(_glob.glob(os.path.join(small, "part-*")))
+        spark.read.parquet(small).coalesce(4).write.parquet(big)
+        files_after = len(_glob.glob(os.path.join(big, "part-*")))
+        agg = (
+            spark.read.parquet(big)
+            .agg(
+                F.count("*").alias("n_events"),
+                dsum("value", "sum_value"),
+            )
+            .select(
+                F.lit(files_before).cast("long").alias("files_before"),
+                F.lit(files_after).cast("long").alias("files_after"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

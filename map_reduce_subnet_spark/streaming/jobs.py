@@ -1051,3 +1051,59 @@ def stream_dedup_within_watermark_true(
     return _run_to_memory(
         deduped.select("event_id", "event_type", "value"), spark
     )
+
+
+@query(
+    "stream_tumbling_distinct_true",
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS win_start,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS approx_ok
+FROM events
+GROUP BY 1
+""",
+)
+def stream_tumbling_distinct_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DISTINCT-count: hourly unique users computed as a
+    real stream with the mergeable HLL sketch — the form that
+    survives unbounded key spaces where a streaming COUNT(DISTINCT)
+    would hold every key in state forever (sketch state is constant
+    per window). Complete-mode snapshot over the drained stream, so
+    every window is emitted and the result is deterministic on the
+    static fixture.
+
+    BOUND-CHECKED oracle (the r7 sketch discipline applied to
+    STREAMING): the batch side recomputes each window's exact
+    distinct count (the anchor the oracle reproduces) and the stream
+    side's sketch estimate must sit within max(3, 5%·exact) —
+    pinned TRUE by the oracle, so a sketch drifting out of bounds in
+    the streaming engine fails the driver hash exactly like its
+    batch sibling agg_approx_distinct."""
+    ev = _read_event_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_approx"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "n_approx",
+        )
+    )
+    snap = _run_to_memory(agg, spark, output_mode="complete")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600)
+            .cast("long")
+            .alias("win_start")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    tol = F.greatest(F.lit(3.0), F.col("n_users_exact") * 0.05)
+    return exact.join(snap, "win_start").select(
+        "win_start",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_users_exact")).cast("double")
+            <= tol
+        ).alias("approx_ok"),
+    )
