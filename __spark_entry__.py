@@ -55,6 +55,7 @@ _SWEEP_PRIORITY = [
     "agg_gini_concentration",
     "stream_tumbling_distinct_true",
     "sink_compaction",
+    "join_asof_nearest",
     # (2) changed in round 7: the sketch trio promoted to
     # bound-checked SQL oracles; funnel_conversion rewritten to the
     # one-exchange window form; stream_python_sink_true's read-back
@@ -91,7 +92,6 @@ _SWEEP_PRIORITY = [
     # code, pure signal refresh, cheapest queries first
     "agg_minmax_stats",
     "agg_count_distinct",
-    "agg_having",
     "agg_rollup",
     "agg_distinct_arg",
     "agg_normalize_l1",

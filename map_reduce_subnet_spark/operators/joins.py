@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
 from map_reduce_subnet_spark.operators.registry import query
+from map_reduce_subnet_spark.plans.inspect import count_exchanges
 from map_reduce_subnet_spark.sources.tables import load_table
 
 
@@ -698,5 +699,108 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "join_bloom_runtime: no might_contain in the executed plan "
             "— the runtime bloom filter was not injected into the fact "
             "scan"
+        )
+    return out
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+SELECT p.event_id, p.user_id, c.event_id AS nearest_click_id,
+       CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS delta_us
+FROM events p
+LEFT JOIN LATERAL (
+    SELECT c.event_id, c.ts
+    FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+    ORDER BY ABS(epoch_us(c.ts) - epoch_us(p.ts)),
+             (c.ts > p.ts),
+             CASE WHEN c.ts <= p.ts THEN -c.event_id ELSE c.event_id END
+    LIMIT 1
+) c ON TRUE
+WHERE p.event_type = 'purchase'
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join: each purchase → the click whose
+    timestamp is closest in EITHER direction, per user — the
+    sensor-alignment variant of the backward as-of (join_asof), used
+    when the matching observation may legitimately land just after
+    the probe. Deterministic tie rules: exact-distance ties prefer
+    the BEFORE side; same-timestamp ties pick the highest click id
+    backward (the join_asof convention) and the lowest forward.
+
+    Scalable formulation: union both sides with a marker and run TWO
+    frame passes over the SAME (user_id, ts, side, click_id) sort —
+    a backward carry (last click at-or-before, unbounded-preceding
+    frame) and a forward carry (first click after, unbounded-
+    following frame). Catalyst plans ONE Exchange+Sort feeding both
+    Window operators, so the nearest join costs exactly what the
+    one-sided as-of costs: a single user_id shuffle and O(n log n)
+    per partition — never the O(n·m) range join. The final pick is a
+    per-row comparison of the two carried deltas."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("long").alias("click_us"),
+        F.lit(1).alias("side"),
+    )
+    unioned = clicks.unionByName(purchases)
+    order = ["ts", "side", "click_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    picked = (
+        unioned.withColumn(
+            "b_id", F.last("click_id", ignorenulls=True).over(wb)
+        )
+        .withColumn("b_us", F.last("click_us", ignorenulls=True).over(wb))
+        .withColumn("f_id", F.first("click_id", ignorenulls=True).over(wf))
+        .withColumn("f_us", F.first("click_us", ignorenulls=True).over(wf))
+        .where(F.col("side") == 1)
+    )
+    p_us = F.unix_micros(F.col("ts"))
+    b_delta = p_us - F.col("b_us")  # >= 0
+    f_delta = F.col("f_us") - p_us  # > 0
+    take_b = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (b_delta <= f_delta)
+    )
+    out = picked.select(
+        F.col("p_event_id").alias("event_id"),
+        "user_id",
+        F.when(take_b, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .alias("nearest_click_id"),
+        F.when(take_b, F.col("b_us") - p_us)
+        .otherwise(f_delta)
+        .cast("long")
+        .alias("delta_us"),
+    )
+    # Catalyst fuses all four carries into ONE Window operator over a
+    # single Exchange+Sort (same partitioning AND ordering) — pin it.
+    n_ex = count_exchanges(out)
+    if n_ex != 1:
+        raise RuntimeError(
+            f"join_asof_nearest: expected 1 exchange (shared user_id "
+            f"window shuffle), plan has {n_ex} — the backward/forward "
+            "frames stopped sharing the sort"
         )
     return out
