@@ -5,60 +5,81 @@ rounds (reference neurons/validator.py:166-170). The batch/streaming
 MERGE operators here (merge_upsert, stream_upsert_foreachbatch) write
 that state as immutable versioned directories with a pointer swap;
 this module lifts the discipline into a reusable table format with
-the three properties a real lakehouse MERGE target provides:
+the properties a real lakehouse MERGE target provides:
 
-- **Atomic commits**: a version becomes visible only when its line is
-  appended to the ``_log`` file AFTER its parquet write completes. A
-  crash mid-write leaves an orphan directory the log never references
-  — invisible to every reader (the same orphan discipline as the
-  custom streaming sink's commit log in sources/pydatasource.py).
+- **Atomic commits**: version N becomes visible only when its log
+  file ``_log/{N}.json`` exists — and that file is created with
+  ``O_CREAT|O_EXCL`` AFTER the parquet write completes. A crash
+  mid-write leaves an orphan data directory the log never references
+  — invisible to every reader. Data directories carry a per-attempt
+  unique suffix, so a recovering writer recomputing version N writes
+  a FRESH directory instead of colliding with its own orphan (the
+  round-7 advice finding: ``errorifexists`` on a deterministic path
+  made crash recovery fail on its own debris).
+- **Optimistic concurrency**: the ``O_EXCL`` create of the version's
+  log file is an atomic put-if-absent — exactly Delta's
+  ``_delta_log`` protocol on a POSIX filesystem. Two writers racing
+  to commit version N: exactly one create succeeds; the loser gets
+  :class:`ConcurrentWriteError` and its (uniquely named) data
+  directory becomes an unreferenced orphan — the winner's data is
+  never touched. ``commit(df, expected_version=...)`` additionally
+  lets a read-modify-write caller fail fast when the head moved
+  after its snapshot read (classic OCC validation).
 - **Snapshot isolation**: data directories are immutable; a reader
   resolves its version at open time and keeps a consistent view no
   matter how many commits land afterwards.
 - **Time travel**: any retained version stays readable by number.
+- **Change feed**: :meth:`changes` classifies the per-key delta
+  between two versions (insert/update/delete) — the incremental-
+  consumer read path that pairs with time travel.
 
 What it intentionally does NOT provide (honest scope vs Delta/
-Iceberg, which need external jars this container lacks): concurrent
-WRITER coordination (single-writer assumed, as in the foreachBatch
-sink where one driver owns the table), file-level pruning statistics,
-and schema evolution. The commit/read surface mirrors theirs, so a
-deployment swaps this for a real table format without touching the
-MERGE logic above it.
+Iceberg, which need external jars this container lacks): file-level
+pruning statistics, schema evolution, and multi-table transactions.
+The commit/read surface mirrors theirs, so a deployment swaps this
+for a real table format without touching the MERGE logic above it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this writer raced for.
+
+    Delta-shaped failure semantics: the caller re-reads the head,
+    re-derives its delta against the new snapshot, and retries —
+    or surfaces the conflict. The losing attempt's data directory
+    is an unreferenced orphan; no committed data was disturbed.
+    """
 
 
 class VersionedTable:
-    """Single-writer versioned parquet table rooted at ``root``."""
+    """Versioned parquet table rooted at ``root`` (OCC multi-writer)."""
 
     def __init__(self, root: str) -> None:
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        os.makedirs(self._log_dir, exist_ok=True)
 
     @property
-    def _log(self) -> str:
+    def _log_dir(self) -> str:
         return os.path.join(self.root, "_log")
 
     def _entries(self) -> list[dict]:
-        if not os.path.exists(self._log):
-            return []
-        out = []
-        with open(self._log) as f:
-            for line in f:
-                if line.strip():
-                    out.append(json.loads(line))
-        # replays append duplicate lines: last line per version wins
-        # (the jsonl-stream-sink read-back discipline)
-        by_version: dict[int, dict] = {}
-        for e in out:
-            by_version[e["version"]] = e
-        return [by_version[v] for v in sorted(by_version)]
+        out: dict[int, dict] = {}
+        for name in os.listdir(self._log_dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self._log_dir, name)) as f:
+                e = json.load(f)
+            out[e["version"]] = e
+        return [out[v] for v in sorted(out)]
 
     def versions(self) -> list[int]:
         return [e["version"] for e in self._entries()]
@@ -67,18 +88,56 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def commit(self, df: DataFrame) -> int:
-        """Write df as the next version. The parquet write completes
-        BEFORE the log append, so readers can never observe a
-        half-written version; a crash in between leaves an orphan
-        directory no log line references."""
-        version = (self.current_version() or 0) + 1
-        path = os.path.join(self.root, f"v{version:06d}")
+    def commit(
+        self, df: DataFrame, expected_version: int | None = None
+    ) -> int:
+        """Write ``df`` as the next version; return its number.
+
+        ``expected_version`` (OCC validation): the head version this
+        writer's snapshot read observed (``0`` / ``None`` semantics
+        differ — pass the value ``current_version()`` returned, or
+        omit for blind append). If the head moved since, raise
+        :class:`ConcurrentWriteError` BEFORE the (expensive) data
+        write. Either way the final arbiter is the atomic ``O_EXCL``
+        create of the version's log file: losing that race also
+        raises, after the data write, leaving only an orphan dir.
+        """
+        head = self.current_version()
+        if expected_version is not None and (head or 0) != expected_version:
+            raise ConcurrentWriteError(
+                f"expected head {expected_version}, found {head}: "
+                "another writer committed; re-read and retry"
+            )
+        version = (head or 0) + 1
+        # Unique per-attempt directory: a crashed/raced attempt's
+        # debris can never collide with a later attempt or clobber a
+        # winner's data (the log line, not the name, binds a version
+        # to its directory).
+        path = os.path.join(
+            self.root, f"v{version:06d}-{uuid.uuid4().hex[:12]}"
+        )
         df.write.parquet(path)
-        with open(self._log, "a") as f:
-            f.write(json.dumps({"version": version, "path": path}) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        line = json.dumps({"version": version, "path": path})
+        log_file = os.path.join(self._log_dir, f"{version:020d}.json")
+        try:
+            fd = os.open(log_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} was committed by another writer "
+                "during this attempt; re-read and retry"
+            ) from None
+        try:
+            os.write(fd, line.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        # fsync the log directory so the commit file's existence is
+        # durable (POSIX: file creation lives in the dir entry).
+        dfd = os.open(self._log_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return version
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -95,3 +154,60 @@ class VersionedTable:
                 f"version {version} not in table (have {sorted(entries)})"
             )
         return spark.read.parquet(entries[version]["path"])
+
+    def changes(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        v_from: int,
+        v_to: int,
+    ) -> DataFrame:
+        """Change-data-feed between two committed snapshots: one row
+        per key whose state differs, with ``_change_type`` in
+        (insert, update, delete) and the ``v_to``-side values (NULL
+        non-key columns for deletes, like Delta's CDF delete rows
+        carry the pre-image on the other side).
+
+        Plan shape: ONE full-outer shuffle join of the two snapshots
+        on the key — O(|v_from| + |v_to|), never a log replay; at
+        100 TB both sides are plain pruned parquet scans of immutable
+        directories and the join keys co-partition."""
+        old = self.read(spark, v_from)
+        new = self.read(spark, v_to)
+        value_cols = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+        )
+        n = new.select(
+            *[F.col(c).alias(f"__n_{c}") for c in new.columns]
+        )
+        cond: Column | None = None
+        for k in key_cols:
+            eq = o[f"__o_{k}"] == n[f"__n_{k}"]
+            cond = eq if cond is None else (cond & eq)
+        joined = o.join(n, cond, "full_outer")
+        new_key_null = F.col(f"__n_{key_cols[0]}").isNull()
+        old_key_null = F.col(f"__o_{key_cols[0]}").isNull()
+        # Struct equality is null-safe per field in Spark and DuckDB
+        # alike via the <=> / IS NOT DISTINCT FROM composition below.
+        changed = F.lit(False)
+        for c in value_cols:
+            changed = changed | ~F.col(f"__n_{c}").eqNullSafe(
+                F.col(f"__o_{c}")
+            )
+        change_type = (
+            F.when(old_key_null, F.lit("insert"))
+            .when(new_key_null, F.lit("delete"))
+            .when(changed, F.lit("update"))
+        )
+        out_keys = [
+            F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k)
+            for k in key_cols
+        ]
+        out_vals = [F.col(f"__n_{c}").alias(c) for c in value_cols]
+        return (
+            joined.select(
+                *out_keys, *out_vals, change_type.alias("_change_type")
+            )
+            .where(F.col("_change_type").isNotNull())
+        )

@@ -112,13 +112,13 @@ def test_layout_queries_match_oracle(spark, ddb, name):
 
 
 def test_versioned_table_commit_log_discipline(spark, tmp_path):
-    """The versioned table's three contracts: (a) snapshot isolation —
+    """The versioned table's core contracts: (a) snapshot isolation —
     a frame read at version N still serves N's rows after later
     commits; (b) orphan invisibility — a data directory without a log
-    line (crash between write and append) is never served; (c) replay
-    tolerance — duplicate log lines for one version don't duplicate
-    the version list."""
-    import json
+    entry (crash between write and commit) is never served; (c) crash
+    recovery — a writer that died between data write and log create
+    recommits the same version cleanly (unique data dirs mean its own
+    debris can't collide, the round-7 advice finding)."""
     import os
 
     from map_reduce_subnet_spark.sources.versioned import VersionedTable
@@ -134,21 +134,114 @@ def test_versioned_table_commit_log_discipline(spark, tmp_path):
     assert snap1.count() == 3
     assert t.read(spark).count() == 10
     assert t.read(spark, 1).count() == 3
-    # (b) an orphan directory (no log line) must be invisible
+    # (b) an orphan directory (no log entry) must be invisible
     spark.range(99).withColumnRenamed("id", "x").write.parquet(
-        os.path.join(root, "v000099")
+        os.path.join(root, "v000099-deadbeefcafe")
     )
     assert t.versions() == [1, 2]
     assert t.read(spark).count() == 10
-    # (c) a replayed (duplicate) log line collapses to one entry
-    with open(os.path.join(root, "_log")) as f:
-        first = f.readline()
-    with open(os.path.join(root, "_log"), "a") as f:
-        f.write(first)
-    assert t.versions() == [1, 2]
+    # (c) crash recovery: simulate a writer that wrote v3 data but
+    # died before the log create (orphan), then recovered and
+    # recommitted — the recommit must succeed and serve ONLY the
+    # recommitted rows
+    spark.range(7).withColumnRenamed("id", "x").write.parquet(
+        os.path.join(root, "v000003-0rphan0rphan")
+    )
+    v3 = t.commit(spark.range(4).withColumnRenamed("id", "x"))
+    assert v3 == 3
+    assert t.read(spark, 3).count() == 4
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="version 7"):
         t.read(spark, 7)
     with _pytest.raises(ValueError, match="no commits"):
         VersionedTable(str(tmp_path / "empty")).read(spark)
+
+
+def test_versioned_table_optimistic_concurrency(spark, tmp_path):
+    """Delta-shaped OCC failure semantics: (a) expected_version
+    validation fails fast when the head moved after the caller's
+    snapshot read; (b) the atomic O_EXCL log create arbitrates a
+    same-version race — the loser raises, the winner's data is
+    untouched; (c) the loser retries against the new head and
+    succeeds; interleaved commits from two handles yield a gap-free
+    linear history."""
+    import pytest as _pytest
+
+    from map_reduce_subnet_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "vt_occ")
+    a = VersionedTable(root)
+    b = VersionedTable(root)  # second writer handle, same table
+    a.commit(spark.range(5).withColumnRenamed("id", "x"))
+    # (a) OCC validation: A snapshots head=1, B commits v2, A's
+    # commit with expected_version=1 must fail WITHOUT writing
+    head_seen_by_a = a.current_version()
+    b.commit(spark.range(6).withColumnRenamed("id", "x"))
+    with _pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+        a.commit(
+            spark.range(1).withColumnRenamed("id", "x"),
+            expected_version=head_seen_by_a,
+        )
+    # (b) blind-append race on the SAME version number: pre-create
+    # v3's log file (as if another writer won between A's head read
+    # and its log create) — A must raise and v3's committed rows
+    # must be the winner's
+    import json
+    import os
+
+    win = os.path.join(root, "v000003-winnerwinner")
+    spark.range(9).withColumnRenamed("id", "x").write.parquet(win)
+    with open(os.path.join(root, "_log", f"{3:020d}.json"), "x") as f:
+        f.write(json.dumps({"version": 3, "path": win}))
+    # Freeze A's head view at 2 (its snapshot predates the winner's
+    # log create) so its commit attempt targets the taken version 3
+    # and must lose the O_EXCL arbitration AFTER its data write.
+    a.current_version = lambda: 2
+    with _pytest.raises(ConcurrentWriteError, match="version 3"):
+        a.commit(spark.range(2).withColumnRenamed("id", "x"))
+    del a.current_version
+    assert a.read(spark, 3).count() == 9
+    # (c) the loser retries against the new head and lands v4;
+    # history is linear and gap-free across both handles
+    v4 = a.commit(
+        spark.range(11).withColumnRenamed("id", "x"),
+        expected_version=a.current_version(),
+    )
+    assert v4 == 4
+    assert b.versions() == [1, 2, 3, 4]
+    assert [b.read(spark, v).count() for v in b.versions()] == [5, 6, 9, 11]
+
+
+def test_versioned_table_changefeed(spark, tmp_path):
+    """CDC read path: changes(v_from, v_to) classifies per-key
+    insert/update/delete between two snapshots and ignores unchanged
+    keys."""
+    from pyspark.sql import Row
+
+    from map_reduce_subnet_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt_cdc"))
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=1, v=10.0), Row(k=2, v=20.0), Row(k=3, v=None)]
+        )
+    )
+    t.commit(
+        spark.createDataFrame(
+            [Row(k=1, v=10.0), Row(k=3, v=30.0), Row(k=4, v=40.0)]
+        )
+    )
+    got = {
+        r["k"]: (r["_change_type"], r["v"])
+        for r in t.changes(spark, ["k"], 1, 2).collect()
+    }
+    # k=1 unchanged (absent); k=2 deleted; k=3 null->30 update; k=4 insert
+    assert got == {
+        2: ("delete", None),
+        3: ("update", 30.0),
+        4: ("insert", 40.0),
+    }
