@@ -80,3 +80,77 @@ def sql_dstddev(expr: str) -> str:
     sxx = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(27,6))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     return f"ROUND(SQRT((({sxx}) - ({sx}) * ({sx}) / ({n})) / (({n}) - 1.0)), 6)"
+
+
+# ---------------------------------------------------------------------------
+# Portable ln: a deterministic natural log for positive integers.
+#
+# libm ln() is NOT bit-identical across implementations (glibc vs the
+# JVM's StrictMath vs DuckDB's host libm), which kept
+# text_lm_unigram_score oracle-less through round 7. But IEEE-754
+# +,-,*,/ ARE exactly specified, and both engines evaluate scalar
+# expressions op-by-op (Spark codegen emits plain Java doubles — no
+# FMA contraction; DuckDB runs one vectorized kernel per operator —
+# no cross-op fusion). So a log built ONLY from those ops, with an
+# identical expression tree on both sides, is bit-identical:
+#
+#   x = m * 2^k   with k = bitlength(x)-1 (integer ops),
+#                      m = x / 2^k in [1, 2) (exact: divide by 2^k)
+#   ln(m) = 2*atanh(z), z = (m-1)/(m+1) in [0, 1/3]
+#         ≈ 2*(z + z^3/3 + ... + z^15/15)   (truncated, FIXED order)
+#   ln(x) = k*LN2_LITERAL + ln(m)
+#
+# The truncation error (< 4e-9) is part of the function's DEFINITION —
+# both engines compute the same truncation, so the result hashes
+# exactly while staying within ~1e-8 of true ln for any int64. The
+# same move as the portable md5 bucket hash: redefine the operator
+# over a primitive both engines share bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# Nearest double to ln 2; parsed to the same bits by both engines.
+LN2_LITERAL = "0.6931471805599453"
+
+
+def portable_ln_stages(
+    x: str, prefix: str, dialect: str
+) -> list[tuple[str, str]]:
+    """Ordered (column_name, sql_expr) stages computing the portable
+    ln of positive BIGINT expression ``x``; the last stage is named
+    ``{prefix}ln``. Each stage may reference earlier stages' names.
+    ``dialect``: "spark" (shiftleft) or "duckdb" (<<) — the only
+    operator the two SQL dialects spell differently; everything else
+    is textually identical by construction."""
+    if dialect == "spark":
+        shift = f"shiftleft(CAST(1 AS BIGINT), {prefix}k)"
+    else:
+        shift = f"(CAST(1 AS BIGINT) << {prefix}k)"
+    poly = "(1.0/15.0)"
+    for d in (13, 11, 9, 7, 5, 3):
+        poly = f"((1.0/{d}.0) + ({prefix}z2 * {poly}))"
+    return [
+        (f"{prefix}k", f"(length(bin({x})) - 1)"),
+        (f"{prefix}m", f"(CAST({x} AS DOUBLE) / CAST({shift} AS DOUBLE))"),
+        (f"{prefix}z", f"(({prefix}m - 1.0) / ({prefix}m + 1.0))"),
+        (f"{prefix}z2", f"({prefix}z * {prefix}z)"),
+        (
+            f"{prefix}ln",
+            f"((CAST({prefix}k AS DOUBLE) * {LN2_LITERAL}) + "
+            f"(2.0 * ({prefix}z * (1.0 + ({prefix}z2 * {poly})))))",
+        ),
+    ]
+
+
+def portable_ln_py(x: int) -> float:
+    """Reference mirror of :func:`portable_ln_stages` in plain Python
+    floats (also IEEE doubles, same op order ⇒ same bits) — for
+    parity tests and driver-side checks."""
+    k = x.bit_length() - 1
+    m = float(x) / float(1 << k)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    poly = 1.0 / 15.0
+    for d in (13, 11, 9, 7, 5, 3):
+        poly = (1.0 / float(d)) + (z2 * poly)
+    return (float(k) * 0.6931471805599453) + (
+        2.0 * (z * (1.0 + (z2 * poly)))
+    )

@@ -275,6 +275,47 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_latest_state_versions(spark: SparkSession, sf_dir: str, root: str):
+    """Three deterministic latest-state MERGE commits into a
+    :class:`VersionedTable` at ``root`` — batch k = events with
+    ``event_id % 3 == k``, each merged latest-wins by (ts, event_id)
+    — shared by table_timetravel (snapshot audit) and
+    table_changefeed (CDC read). Commits pass the observed head as
+    ``expected_version`` so the registered queries exercise the OCC
+    validation path on every run."""
+    from map_reduce_subnet_spark.sources.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        (F.col("event_id") % 3).alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    table = VersionedTable(root)
+    for k in range(3):
+        delta = (
+            ev.where(F.col("k") == k)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "value", "ts_us", "event_id")
+        )
+        head = table.current_version()
+        if head is not None:
+            delta = (
+                table.read(spark)
+                .unionByName(delta)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+        table.commit(delta, expected_version=head or 0)
+    return table
+
+
 @query(
     "table_timetravel",
     oracle=f"""
@@ -323,40 +364,12 @@ def table_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     from map_reduce_subnet_spark.functions.stable import dsum as _dsum
-    from map_reduce_subnet_spark.sources.tables import load_table as _lt
-    from map_reduce_subnet_spark.sources.versioned import VersionedTable
 
-    ev = _lt(spark, sf_dir, "events").select(
-        "user_id",
-        "value",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        "event_id",
-        (F.col("event_id") % 3).alias("k"),
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts_us"), F.desc("event_id")
-    )
     root = os.path.join(
         tempfile.gettempdir(), f"mrs_ttable_{_uuid.uuid4().hex[:12]}"
     )
-    table = VersionedTable(root)
     try:
-        for k in range(3):
-            delta = (
-                ev.where(F.col("k") == k)
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("user_id", "value", "ts_us", "event_id")
-            )
-            if table.current_version() is not None:
-                delta = (
-                    table.read(spark)
-                    .unionByName(delta)
-                    .withColumn("rn", F.row_number().over(w))
-                    .where(F.col("rn") == 1)
-                    .drop("rn")
-                )
-            table.commit(delta)
+        table = _build_latest_state_versions(spark, sf_dir, root)
         snapshots = None
         for v in table.versions():
             agg = (
@@ -377,6 +390,88 @@ def table_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "table_changefeed",
+    oracle="""
+WITH newest AS (
+    SELECT user_id, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+), new_state AS (
+    SELECT user_id, value, ts_us, event_id FROM newest WHERE rn = 1
+), oldest AS (
+    SELECT user_id, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events WHERE event_id % 3 = 0
+), old_state AS (
+    SELECT user_id, value, ts_us, event_id FROM oldest WHERE rn = 1
+), classified AS (
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           n.value AS value, n.ts_us AS ts_us, n.event_id AS event_id,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                WHEN (n.value IS DISTINCT FROM o.value)
+                  OR (n.ts_us IS DISTINCT FROM o.ts_us)
+                  OR (n.event_id IS DISTINCT FROM o.event_id)
+                THEN 'update'
+           END AS _change_type
+    FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+)
+SELECT user_id, value, ts_us, event_id, _change_type
+FROM classified WHERE _change_type IS NOT NULL
+""",
+)
+def table_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the versioned table
+    (sources/versioned.py::VersionedTable.changes): the incremental-
+    consumer read path that pairs with table_timetravel's snapshot
+    audit. The same three deterministic MERGE commits build per-user
+    latest-state versions v1..v3, then the feed classifies every key
+    whose state differs between v1 and v3 as insert / update /
+    delete with the v3-side values — exactly Delta's
+    ``table_changes(v_from, v_to)`` surface, which is how a
+    downstream training-data pipeline consumes only what moved
+    instead of re-reading the whole table each run.
+
+    Because per-key latest-wins merges are associative, state-at-v1
+    equals the per-user argmax over batch 0 and state-at-v3 the
+    argmax over all events — what the oracle regenerates and diffs.
+
+    Scale shape: the feed is ONE full-outer shuffle join of two
+    immutable snapshot scans on the merge key — O(|v1| + |v3|), no
+    commit-log replay, no driver materialization (the frame is
+    localCheckpointed only so the scratch table directory can be
+    deleted; a real deployment's table lives on and the feed stays
+    fully lazy).
+
+    Grounding: the reference validator's periodically-sunk weight
+    state (reference neurons/validator.py:149-163) is exactly the
+    mutable-latest-state table whose inter-version delta this feed
+    exposes."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_cdc_{_uuid.uuid4().hex[:12]}"
+    )
+    try:
+        table = _build_latest_state_versions(spark, sf_dir, root)
+        feed = table.changes(spark, ["user_id"], 1, 3).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return feed
 
 
 @query(

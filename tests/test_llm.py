@@ -740,11 +740,18 @@ def test_ann_ivf_kmeans_golden(spark):
 
 def test_lm_unigram_score_parity(spark):
     """text_lm_unigram_score vs a plain-python unigram LM on the same
-    corpus: identical tokenization (single-space split), identical
-    quantization (each ln at 6dp, half-up — the decimal cast), so the
-    pinned ordering must agree and scores match to quantization
-    tolerance."""
+    corpus using the SAME portable ln (functions/stable.py::
+    portable_ln_py — python floats are IEEE doubles with the same op
+    order, so per-token log-probs are bit-identical): pinned ordering
+    AND scores to quantization tolerance. Also pins the portable ln
+    itself against math.log (must stay within 1e-8 of true ln — the
+    semantic-fidelity bound the docstring promises)."""
     import math
+
+    from map_reduce_subnet_spark.functions.stable import portable_ln_py
+
+    for x in (1, 2, 3, 7, 1000, 2**31 - 1, 2**62 + 12345):
+        assert portable_ln_py(x) == pytest.approx(math.log(x), abs=1e-8)
 
     got = QUERIES["text_lm_unigram_score"](spark, SF_DIR).toPandas()
     assert len(got) == 20
@@ -760,10 +767,11 @@ def test_lm_unigram_score_parity(spark):
             math.floor(-x * 1e6 + 0.5) / 1e6
         )
 
+    lnt = portable_ln_py(total)
     want = []
     for doc_id, t in zip(docs["doc_id"], docs["text"]):
         ws = t.split(" ")
-        s = sum(q6(math.log(counts[w]) - math.log(total)) for w in ws)
+        s = sum(q6(portable_ln_py(counts[w]) - lnt) for w in ws)
         want.append((round(s / len(ws), 6), int(doc_id), len(ws)))
     want.sort()
     want20 = want[:20]
