@@ -380,9 +380,18 @@ def decode_gif(payload: bytes):
     screen descriptor, global/local color table, extension-block
     skipping, sub-block reassembly, variable-width LZW, and 4-pass
     de-interlacing. Raises ValueError on anything that is not a
-    GIF87a/GIF89a still image."""
+    GIF87a/GIF89a still image — including payloads truncated mid
+    sub-block, which the byte walk would otherwise surface as
+    IndexError/struct.error (r7 advice)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_body(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated GIF payload: {ex}") from ex
+
+
+def _decode_gif_body(payload: bytes):
     pos = 6
     _sw, _sh, packed, _bg, _par = struct.unpack_from("<HHBBB", payload, pos)
     pos += 7

@@ -677,6 +677,13 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk"),
         F.count("*").alias("n_total"),
     ).collect()
+    # Engine-portability note (r7 advice): this probes the sketch via
+    # the py4j bridge, which does not exist under Spark Connect. If a
+    # public SQL-side read path for count_min_sketch lands in a future
+    # Spark (e.g. a cms_estimate() expression), switch the probe to
+    # F.expr over the sketch column and drop this bridge call; until
+    # then the bridge is the only way to evaluate the guarantee, and
+    # the collected sketch is a fixed 0.001x0.99 table, not data.
     cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(sk["sk"])
     )

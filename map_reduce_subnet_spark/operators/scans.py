@@ -708,6 +708,18 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
+    # Precondition (same discipline as the all-ASCII byte-feature
+    # precondition): the oracle pins files_before=32/files_after=4,
+    # which holds only when every round-robin partition is non-empty
+    # — Spark emits part files only for non-empty write tasks, so a
+    # degenerate fixture would silently under-produce files and
+    # guarantee an oracle mismatch. Fail loudly instead (r7 advice).
+    n_events = ev.count()
+    if n_events < 32:
+        raise ValueError(
+            "sink_compaction requires >= 32 events so all 32 "
+            f"round-robin partitions are non-empty; fixture has {n_events}"
+        )
     root = os.path.join(
         tempfile.gettempdir(), f"mrs_compact_{uuid.uuid4().hex[:12]}"
     )

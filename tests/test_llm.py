@@ -615,6 +615,13 @@ def test_gif_codec_roundtrip_and_rejections():
     payload[74] += 1  # width 24 -> 25
     with _pytest.raises(ValueError, match="pixels"):
         decode_gif(bytes(payload))
+    # truncation anywhere in the byte walk (mid-LSD, mid-extension,
+    # mid-sub-block) must surface as the documented ValueError, never
+    # a raw IndexError/struct.error (r7 advice)
+    whole = synthesize_gif(7)
+    for cut in (8, 14, 20, 40, len(whole) // 2, len(whole) - 2):
+        with _pytest.raises(ValueError):
+            decode_gif(whole[:cut])
 
 
 def test_gif_decodes_real_world_payloads():
