@@ -10,16 +10,29 @@ column is materialized (a bare count() would let Catalyst prune the
 projection expressions, timing map-only queries as empty scans) but no
 rows cross to the driver.
 
-Timing methodology (round 3, tightened round 7): a warm-up pass
-first touches the JVM, the parquet footers AND the Python worker pool
-(round 2's single-shot numbers made sub-second queries
-noise-dominated: a 0.25 s query landing after a GC-heavy Python-UDF
-block read as a 5× "regression" with an unchanged plan). Each query
-under REPEAT_UNDER seconds runs twice and records the MIN (the
-least-interference estimate on this box); queries above the threshold
-are startup/throughput-dominated (live streaming jobs, per-group
-Python demos) and record their single run — at ~180 registry queries
-the earlier median-of-3 pass pushed wall-clock past 10 minutes.
+Timing methodology (round 3, tightened round 7, hardened round 8
+after the driver's r7 artifact recorded seven single-run streaming
+rows at 2-15x their own unchanged-code baselines under post-pytest
+machine load):
+
+- a warm-up pass first touches the JVM, the parquet footers AND the
+  Python worker pool (round 2's single-shot numbers made sub-second
+  queries noise-dominated);
+- each query under REPEAT_UNDER seconds runs twice and records the
+  MIN (the least-interference estimate on this box);
+- STREAMING rows (stream_*) ALWAYS get >= 2 runs regardless of the
+  threshold — their cost is trigger/startup-dominated, which is
+  exactly the component machine load inflates, and every r7 wild row
+  was a single-run streaming row;
+- any row whose recorded value still exceeds 2x its committed
+  baseline (bench_baseline.json, compiled from BASELINE.md by
+  scripts/build_bench_baseline.py) triggers ONE automatic extra run
+  before being recorded — a real regression survives the repeat, a
+  GC/load spike doesn't;
+- the bench refuses to START until the 1-min load average drops
+  below LOAD_GATE (waiting up to LOAD_WAIT_S), and records the load
+  average at start and per-row in the detail file, so a loaded run
+  is at least legible as one.
 """
 
 from __future__ import annotations
@@ -44,10 +57,43 @@ REPEAT_UNDER = 6.0  # sec: first-run times below this get a 2nd run
 # estimate, and on a quiet machine min-of-2 and median-of-3 agree
 # to noise (NOTES.md measurement traps).
 
+SLOW_FACTOR = 2.0  # recorded/baseline ratio that triggers one re-run
+LOAD_GATE = 12.0  # 1-min load average below which the bench starts
+LOAD_WAIT_S = 240.0  # max seconds to wait for the gate, then proceed
+
+
+def _load_baseline() -> dict[str, float]:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    try:
+        with open(path) as f:
+            return {k: float(v) for k, v in json.load(f).items()}
+    except Exception:
+        return {}
+
+
+def _wait_for_quiet_machine() -> float:
+    """Block until the 1-min load average is below LOAD_GATE or the
+    wait budget runs out (the driver always needs an artifact — never
+    refuse forever). Returns the load average at bench start."""
+    deadline = time.monotonic() + LOAD_WAIT_S
+    load = os.getloadavg()[0]
+    while load >= LOAD_GATE and time.monotonic() < deadline:
+        print(
+            f"bench: load {load:.1f} >= gate {LOAD_GATE}, waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return load
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    baseline = _load_baseline()
+    start_load = _wait_for_quiet_machine()
     spark = get_spark(app_name="mrs-bench")
 
     # Warm-up: JVM + parquet footers (agg_reduce_sum scans lineitem),
@@ -79,21 +125,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n
+    }
     times: dict[str, float] = {}
     n_runs: dict[str, int] = {}
-    for name in sorted(QUERIES):
+    loads: dict[str, float] = {}
+    for name in sorted(only or QUERIES):
         fn = QUERIES[name]
         # Sub-threshold queries run twice and record the MIN: a
         # GC-spiked first sample of a sub-second query must not be
         # recorded as a single-shot "5x regression", and the minimum
         # is the least-interference estimate on this box. Queries
         # whose first run is already over the threshold record that
-        # single run (startup/throughput-dominated; a repeat would
-        # double a minutes-long bench for little signal). A repeat
-        # run that throws after an earlier run succeeded is a
-        # transient flake: keep the successful sample(s) (n_runs
-        # records how many survived); only 0-successes records a
-        # failure.
+        # single run UNLESS they are streaming rows (always >= 2
+        # runs: their trigger/startup-dominated cost is what machine
+        # load inflates — all seven r7 wild rows were single-run
+        # stream_* rows). A repeat run that throws after an earlier
+        # run succeeded is a transient flake: keep the successful
+        # sample(s) (n_runs records how many survived); only
+        # 0-successes records a failure.
+        loads[name] = round(os.getloadavg()[0], 2)
+        is_streaming = name.startswith("stream_")
         runs: list[float] = []
         want = 2
         while len(runs) < want:
@@ -102,8 +155,31 @@ def main() -> None:
             except Exception as ex:
                 print(f"bench: {name} run FAILED: {ex}", file=sys.stderr)
                 break
-            if len(runs) == 1 and runs[0] >= REPEAT_UNDER:
+            if (
+                len(runs) == 1
+                and runs[0] >= REPEAT_UNDER
+                and not is_streaming
+            ):
                 want = 1
+        # Slow-row protection: a recorded value still >2x the
+        # committed baseline gets ONE more run — a real plan
+        # regression survives it and stays red; an interference
+        # spike doesn't and stops polluting the round artifact.
+        base = baseline.get(name)
+        if (
+            runs
+            and base is not None
+            and min(runs) > SLOW_FACTOR * base
+        ):
+            print(
+                f"bench: {name} {min(runs):.2f}s > {SLOW_FACTOR}x "
+                f"baseline {base:.2f}s — automatic re-run",
+                file=sys.stderr,
+            )
+            try:
+                runs.append(run_once(fn))
+            except Exception as ex:
+                print(f"bench: {name} re-run FAILED: {ex}", file=sys.stderr)
         if not runs:
             times[name] = -1.0
             n_runs[name] = 0
@@ -126,8 +202,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "runs": n_runs,
+        "loadavg_1m": loads,
+        "loadavg_at_start": round(start_load, 2),
         "methodology": (
-            f"warmed; min-of-2 under {REPEAT_UNDER}s, single run above"
+            f"warmed; min-of-2 under {REPEAT_UNDER}s, single run above; "
+            "streaming rows always min-of-2; rows >2x baseline get one "
+            f"automatic re-run; start gated on load<{LOAD_GATE}"
         ),
         "sf": sf_val,
     }
