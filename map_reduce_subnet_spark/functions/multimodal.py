@@ -521,6 +521,488 @@ def synthesize_wav(seed: int, n_frames: int = 800, rate: int = 8000) -> bytes:
     return hdr + data
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 baseline sequential DCT): pure-python
+# Huffman entropy codec + numpy IDCT — the third genuinely-compressed
+# format after DEFLATE-PNG and LZW-GIF, no codec libraries. Decodes
+# SOF0/SOF1 grayscale and non-subsampled (1x1) 3-component scans with
+# restart-marker support; progressive (SOF2) and chroma-subsampled
+# images raise ValueError with an honest scope note (the container's
+# only sample JPEGs are progressive, so real-world coverage is pinned
+# on the "raises cleanly" side).
+# ---------------------------------------------------------------------------
+
+# Zigzag position k -> natural (row-major) index, per T.81 Figure 5.
+JPEG_ZIGZAG: tuple[int, ...] = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K luminance quantization table (natural order).
+JPEG_QTAB = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K luminance Huffman specs: (BITS[1..16], HUFFVAL).
+JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+JPEG_DC_VALS = tuple(range(12))
+JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_canonical_codes(bits, vals) -> dict:
+    """Canonical Huffman codes per T.81 Annex C: symbol -> (code, len)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_decode_table(bits, vals) -> dict:
+    """(len, code) -> symbol lookup for the bit-serial decoder."""
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _jpeg_canonical_codes(bits, vals).items()
+    }
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """Bit-serial reader over entropy-coded data with 0xFF00
+    unstuffing; raises ValueError at end-of-data or on a stray
+    marker (truncation surfaces as the documented error)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(d):
+                raise ValueError("truncated JPEG entropy data")
+            m = d[self.pos]
+            if m == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(
+                    f"unexpected marker 0x{m:02x} inside entropy data"
+                )
+        return b
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._acc = self._next_byte()
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, idx: int) -> None:
+        """Byte-align and consume the next RSTn marker (DRI scans)."""
+        self._n = 0
+        d = self.data
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ValueError("missing restart marker")
+        m = d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7) or (m - 0xD0) != (idx % 8):
+            raise ValueError(f"bad restart marker 0x{m:02x}")
+        self.pos += 2
+
+    def decode_symbol(self, table: dict) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | self.read_bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` magnitude bits to a signed
+    coefficient."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# IDCT basis M[u, x] = c(u)/2 * cos((2x+1) u pi / 16); f = M.T @ F @ M.
+_JPEG_IDCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def jpeg_idct_block(coef: np.ndarray) -> np.ndarray:
+    """2-D inverse DCT of one dequantized 8x8 block (float64)."""
+    return _JPEG_IDCT_M.T @ coef.astype(np.float64) @ _JPEG_IDCT_M
+
+
+def _parse_jpeg(payload: bytes):
+    """Parse a baseline JPEG into quantized coefficient blocks.
+
+    Returns dict(width, height, components=[{id, coefs int32
+    (nby, nbx, 8, 8) in natural order, qtab int32 (8, 8)}]).
+    ValueError on progressive/hierarchical SOFs, subsampling,
+    12-bit precision, arithmetic coding, or truncation."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    try:
+        while pos < len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(
+                    f"expected marker at {pos}, got 0x{payload[pos]:02x}"
+                )
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            seg_len = (payload[pos] << 8) | payload[pos + 1]
+            seg = payload[pos + 2 : pos + seg_len]
+            if len(seg) != seg_len - 2:
+                raise ValueError("truncated JPEG segment")
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                    if pq != 0:
+                        raise ValueError("16-bit quant tables unsupported")
+                    zz = np.frombuffer(seg, np.uint8, 64, p + 1)
+                    nat = np.zeros(64, np.int32)
+                    nat[list(JPEG_ZIGZAG)] = zz
+                    qtabs[tq] = nat.reshape(8, 8)
+                    p += 65
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0x0F
+                    bits = tuple(seg[p + 1 : p + 17])
+                    n = sum(bits)
+                    vals = tuple(seg[p + 17 : p + 17 + n])
+                    tab = _jpeg_decode_table(bits, vals)
+                    (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                    p += 17 + n
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline ok
+                prec = seg[0]
+                if prec != 8:
+                    raise ValueError("only 8-bit precision supported")
+                h = (seg[1] << 8) | seg[2]
+                w = (seg[3] << 8) | seg[4]
+                nf = seg[5]
+                comps = []
+                for i in range(nf):
+                    cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    if samp != 0x11:
+                        raise ValueError(
+                            "chroma-subsampled JPEG unsupported (this "
+                            "decoder handles 1x1 sampling only)"
+                        )
+                    comps.append({"id": cid, "tq": tq})
+                frame = {"w": w, "h": h, "comps": comps}
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    "only baseline sequential JPEG (SOF0/SOF1) is "
+                    f"supported, got SOF marker 0x{marker:02x} "
+                    "(progressive/hierarchical/arithmetic)"
+                )
+            elif marker == 0xDD:  # DRI
+                restart_interval = (seg[0] << 8) | seg[1]
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise ValueError("SOS before SOF")
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                    comp = next(
+                        c for c in frame["comps"] if c["id"] == cs
+                    )
+                    scan.append(
+                        {
+                            "comp": comp,
+                            "dc": dc_tabs[tdta >> 4],
+                            "ac": ac_tabs[tdta & 0x0F],
+                        }
+                    )
+                nbx = (frame["w"] + 7) // 8
+                nby = (frame["h"] + 7) // 8
+                for s in scan:
+                    s["coefs"] = np.zeros((nby, nbx, 8, 8), np.int32)
+                reader = _JpegBitReader(payload, pos + seg_len)
+                preds = [0] * ns
+                n_mcu = nbx * nby  # 1x1 sampling: MCU = one block/comp
+                for m in range(n_mcu):
+                    if restart_interval and m and m % restart_interval == 0:
+                        reader.align_and_expect_rst(
+                            m // restart_interval - 1
+                        )
+                        preds = [0] * ns
+                    by, bx = divmod(m, nbx)
+                    for si, s in enumerate(scan):
+                        blk = np.zeros(64, np.int32)
+                        size = reader.decode_symbol(s["dc"])
+                        diff = _jpeg_extend(reader.read_bits(size), size)
+                        preds[si] += diff
+                        blk[0] = preds[si]
+                        k = 1
+                        while k < 64:
+                            sym = reader.decode_symbol(s["ac"])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, sz = sym >> 4, sym & 0x0F
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"bad AC symbol 0x{sym:02x}"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                reader.read_bits(sz), sz
+                            )
+                            k += 1
+                        s["coefs"][by, bx] = blk.reshape(8, 8)
+                for s in scan:
+                    s["comp"]["coefs"] = s["coefs"]
+                for c in frame["comps"]:
+                    c["qtab"] = qtabs[c["tq"]]
+                return {
+                    "width": frame["w"],
+                    "height": frame["h"],
+                    "components": frame["comps"],
+                }
+            # APPn / COM / others: skip
+            pos += seg_len
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"truncated JPEG payload: {ex}") from ex
+    raise ValueError("JPEG contains no scan data")
+
+
+def decode_jpeg_coefficients(payload: bytes):
+    """Baseline JPEG → (width, height, [(coefs_q int32 (nby, nbx, 8, 8),
+    qtab int32 (8, 8)) per component]): the entropy-decode + zigzag +
+    DC-prediction layer, integer-exact (no IDCT) — what the
+    regenerating SQL oracle checks."""
+    p = _parse_jpeg(payload)
+    return (
+        p["width"],
+        p["height"],
+        [(c["coefs"], c["qtab"]) for c in p["components"]],
+    )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 pixels (h, w) for grayscale, (h, w, 3)
+    RGB for 3-component YCbCr (1x1 sampling). Dequantize → IDCT →
+    level shift → clip (+ BT.601 YCbCr→RGB for color)."""
+    p = _parse_jpeg(payload)
+    w, h = p["width"], p["height"]
+    planes = []
+    for c in p["components"]:
+        coefs = c["coefs"].astype(np.float64) * c["qtab"]
+        nby, nbx = coefs.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    jpeg_idct_block(coefs[by, bx])
+                )
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+# Coefficient program shared by synthesize_jpeg and the SQL oracle
+# (operators/llm.py::_jpeg_decode_oracle): zigzag positions that force
+# ZRL runs (1→20→40 has gaps of 18 and 19 zeros) and, for seed%4==3,
+# a position-63 coefficient so the no-EOB block end path runs too.
+JPEG_AC_POSITIONS = (1, 20, 40, 63)
+
+
+def _jpeg_coef_program(seed: int, bx: int, by: int) -> np.ndarray:
+    """Quantized coefficients for one block, natural order (8, 8)."""
+    blk = np.zeros(64, np.int32)
+    blk[0] = ((seed * 7 + bx * 3 + by * 5) % 32) - 16
+    ks = ()
+    if seed % 2 == 1:
+        ks = JPEG_AC_POSITIONS[:3]
+        if seed % 4 == 3:
+            ks = JPEG_AC_POSITIONS
+    for k in ks:
+        v = ((seed * 11 + bx * 7 + by * 13 + k * 3) % 9) - 4
+        blk[JPEG_ZIGZAG[k]] = 1 if v == 0 else v
+    return blk.reshape(8, 8)
+
+
+def synthesize_jpeg(seed: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic baseline JFIF bytes (grayscale, Annex K quant +
+    Huffman tables), REALLY entropy-coded: the quantized coefficients
+    are a pure integer program of (seed, bx, by) — which is what lets
+    multimodal_decode_jpeg's oracle regenerate the decoded
+    coefficients in SQL — run through DC differential coding, zigzag
+    run-length with ZRL/EOB, canonical Huffman and byte stuffing."""
+    nbx, nby = w // 8, h // 8
+    dc_codes = _jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+    wtr = _JpegBitWriter()
+    pred = 0
+    for b in range(nbx * nby):
+        by, bx = divmod(b, nbx)
+        blk = _jpeg_coef_program(seed, bx, by).reshape(-1)
+        zz = blk[list(JPEG_ZIGZAG)]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        size = abs(diff).bit_length()
+        code, ln = dc_codes[size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+        k, last = 1, 0
+        nz = [k2 for k2 in range(1, 64) if zz[k2] != 0]
+        for k in nz:
+            run = k - last - 1
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                wtr.write(code, ln)
+                run -= 16
+            v = int(zz[k])
+            sz = abs(v).bit_length()
+            code, ln = ac_codes[(run << 4) | sz]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << sz) - 1, sz)
+            last = k
+        if last != 63:
+            code, ln = ac_codes[0x00]  # EOB
+            wtr.write(code, ln)
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = JPEG_QTAB.reshape(-1)[list(JPEG_ZIGZAG)].astype(np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + zz_q.tobytes())
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00])
+        + bytes(JPEG_DC_BITS)
+        + bytes(JPEG_DC_VALS)
+        + bytes([0x10])
+        + bytes(JPEG_AC_BITS)
+        + bytes(JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    )
+
+
 def decode_media(payload: bytes, media_type: str):
     """Decode an image/audio/video payload.
 
@@ -538,13 +1020,17 @@ def decode_media(payload: bytes, media_type: str):
         return decode_png(payload)
     if media_type == "image/gif":
         return decode_gif(payload)
+    if media_type == "image/jpeg":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"media decoding for {media_type!r} requires codec libraries; "
         "this build decodes pure-bytes formats (audio/wav, image/ppm), "
-        "DEFLATE-compressed PNG (image/png, stdlib zlib) and "
-        "LZW-compressed GIF (image/gif, pure-python LZW) and ships "
-        "the Spark plumbing + a deterministic fake featurizer for the "
-        "rest (see operators/llm.py::multimodal_features)"
+        "DEFLATE-compressed PNG (image/png, stdlib zlib), "
+        "LZW-compressed GIF (image/gif, pure-python LZW) and baseline "
+        "sequential JPEG (image/jpeg, pure-python Huffman + numpy "
+        "IDCT; progressive/subsampled variants raise ValueError) and "
+        "ships the Spark plumbing + a deterministic fake featurizer "
+        "for the rest (see operators/llm.py::multimodal_features)"
     )
 
 

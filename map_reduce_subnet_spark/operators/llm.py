@@ -2931,6 +2931,184 @@ def scan_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded
 
 
+def _jpeg_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic baseline-JPEG media table (doc_id, payload BINARY),
+    materialized once per fixture (functions/cache.py discipline,
+    same rationale as _png_media_cached/_gif_media_cached): the
+    decode query should time the DECODER, not the synthesizer+Huffman
+    encoder, and payloads are deterministic per doc_id."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.functions import multimodal as _mm
+    from map_reduce_subnet_spark.functions.cache import (
+        fixture_cache_dir,
+        is_cached,
+    )
+
+    cache = fixture_cache_dir(sf_dir, "documents", "jpegmedia")
+    if not is_cached(cache):
+        _cp.register_pickle_by_value(_mm)
+        synthesize = _mm.synthesize_jpeg
+
+        def synth_batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].astype("int64"),
+                        "payload": [
+                            synthesize(int(i)) for i in pdf["doc_id"]
+                        ],
+                    }
+                )
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        d.mapInPandas(
+            synth_batches, schema="doc_id long, payload binary"
+        ).write.mode("overwrite").parquet(cache)
+    return spark.read.schema("doc_id long, payload binary").parquet(cache)
+
+
+def _jpeg_decode_oracle() -> str:
+    """DuckDB twin of multimodal_decode_jpeg that REGENERATES the
+    expected entropy-decode output from synthesize_jpeg's integer
+    coefficient program — no byte decoding in SQL. A hash match
+    proves the whole baseline entropy loop (zigzag + DC differential
+    coding + run-length/ZRL/EOB + canonical Huffman + byte stuffing →
+    Huffman decode + EXTEND + prediction + dezigzag + dequantize)
+    lossless over the integer coefficient domain. The lossy IDCT
+    stage is excluded BY DESIGN (no closed SQL form for the cosine
+    basis); it is pinned bit-for-bit against an explicit-loop
+    reference in tests/test_llm.py instead — the same split a codec
+    conformance suite makes between entropy and transform layers."""
+    from map_reduce_subnet_spark.functions.multimodal import (
+        JPEG_AC_POSITIONS,
+        JPEG_QTAB,
+        JPEG_ZIGZAG,
+    )
+
+    q = JPEG_QTAB.reshape(-1)
+    dcq = "(((d.doc_id*7 + bx.bx*3 + by.by*5) % 32) - 16)"
+    b = "(by.by*3 + bx.bx)"
+    terms = [f"({dcq} * 16) * ((({b}*64) % 251) + 1)"]
+    nnz = []
+    for k in JPEG_AC_POSITIONS:
+        n = JPEG_ZIGZAG[k]
+        gate = "d.doc_id % 4 = 3" if k == 63 else "d.doc_id % 2 = 1"
+        v0 = f"(((d.doc_id*11 + bx.bx*7 + by.by*13 + {k}*3) % 9) - 4)"
+        v = f"(CASE WHEN {v0} = 0 THEN 1 ELSE {v0} END)"
+        terms.append(
+            f"(CASE WHEN {gate} THEN ({v} * {int(q[n])}) * "
+            f"((({b}*64 + {n}) % 251) + 1) ELSE 0 END)"
+        )
+        nnz.append(f"(CASE WHEN {gate} THEN 1 ELSE 0 END)")
+    term_sum = " + ".join(terms)
+    nnz_sum = " + ".join(nnz)
+    return f"""
+WITH blocks AS (
+    SELECT d.doc_id,
+           {dcq} AS dcq,
+           ({term_sum}) AS cs_term,
+           ({nnz_sum}) AS n_nz
+    FROM documents d,
+         (SELECT unnest(range(0, 3)) AS bx) bx,
+         (SELECT unnest(range(0, 2)) AS by) by
+)
+SELECT doc_id,
+       CAST(24 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(6 AS BIGINT) AS n_blocks,
+       CAST(SUM(dcq) * 16 AS BIGINT) AS dc_sum,
+       CAST(SUM(n_nz) AS BIGINT) AS n_nonzero_ac,
+       CAST(((SUM(cs_term) % 2147483647) + 2147483647) % 2147483647
+            AS BIGINT) AS coef_checksum
+FROM blocks
+GROUP BY doc_id
+"""
+
+
+@query("multimodal_decode_jpeg", oracle=_jpeg_decode_oracle())
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode a corpus of REAL baseline JPEGs (per-doc payload read
+    from the materialized media table → pure-python Huffman entropy
+    decode → dequantize → numpy IDCT → pixels), emitting the decoded
+    dimensions plus integer-exact coefficient metrics (dequantized-DC
+    sum, nonzero-AC count, position-weighted coefficient checksum) —
+    the third genuinely-compressed format after DEFLATE-PNG and
+    LZW-GIF (VERDICT r7 #7), shrinking the codec stub to
+    progressive/subsampled variants and video.
+
+    The full pixel decode RUNS inside the stage (IDCT included — the
+    honest per-row decode price), but the ORACLE-checked columns stop
+    at the integer coefficient domain: the cosine transform has no
+    SQL twin, so its correctness is pinned by the explicit-loop IDCT
+    parity test and the DC-exactness test instead (see
+    _jpeg_decode_oracle docstring for the conformance-suite split).
+
+    Same worker-shipping discipline as the PNG/GIF stages (multimodal
+    module rides register_pickle_by_value); same scale shape —
+    scan-local mapInPandas, constant memory per Arrow batch, parallel
+    with input partitions, binary never crosses a shuffle."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.functions import multimodal as _mm
+
+    _cp.register_pickle_by_value(_mm)
+    decode_coefs = _mm.decode_jpeg_coefficients
+    decode_px = _mm.decode_jpeg
+
+    def decode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h, [(coefs, qtab)] = decode_coefs(data)
+                px = decode_px(data)  # full decode incl. IDCT
+                if px.shape != (h, w):
+                    raise ValueError(
+                        f"decoded pixel shape {px.shape} != ({h}, {w})"
+                    )
+                nby, nbx = coefs.shape[:2]
+                deq = (
+                    coefs.reshape(nby * nbx, 64).astype(np.int64)
+                    * qtab.reshape(1, 64).astype(np.int64)
+                )
+                flat = deq.reshape(-1)
+                weights = (
+                    np.arange(flat.size, dtype=np.int64) % 251
+                ) + 1
+                checksum = int((flat * weights).sum()) % (2**31 - 1)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(nby * nbx),
+                        int(deq[:, 0].sum()),
+                        int(np.count_nonzero(deq[:, 1:])),
+                        checksum,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_blocks",
+                    "dc_sum", "n_nonzero_ac", "coef_checksum",
+                ],
+            )
+
+    media = _jpeg_media_cached(spark, sf_dir)
+    return media.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, n_blocks long, "
+        "dc_sum long, n_nonzero_ac long, coef_checksum long",
+    )
+
+
 @query(
     "quality_dedup_rates",
     oracle="""

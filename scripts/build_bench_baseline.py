@@ -27,6 +27,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Prose-only superseding rows (section anchors in BASELINE.md), applied
 # AFTER the table parse — each was checked to have no later table row.
+# MAINTENANCE RULE: when a later BASELINE.md table row lands for one of
+# these keys, DELETE its entry here (the unconditional override would
+# otherwise mask the new row — caught once already for
+# text_lm_unigram_score's r8 portable-ln row).
 PROSE_SUPERSEDES = {
     # r5: applyInArrow switch ("Round-5 additions", bullet list)
     "udtf_grouped_map": 1.5704,
@@ -42,7 +46,6 @@ PROSE_SUPERSEDES = {
     # r6 continuation closing-run warmed medians (prose paragraph)
     "graph_pagerank": 6.45,
     "stream_upsert_foreachbatch": 2.33,
-    "text_lm_unigram_score": 0.62,
     "multimodal_image_resize": 2.71,
     "scan_partition_prune": 0.43,
     # r7: superseding prose row ("Superseding row: agg_ema 0.89")
