@@ -624,6 +624,84 @@ def test_gif_codec_roundtrip_and_rejections():
             decode_gif(whole[:cut])
 
 
+def test_jpeg_codec_roundtrip_and_idct():
+    """The baseline JPEG codec's conformance split: (a) the entropy
+    layer is integer-exact — decode(synthesize(seed)) recovers the
+    coefficient program bit-for-bit for both seed parities (EOB-only,
+    ZRL-run and no-EOB position-63 blocks); (b) the IDCT matches an
+    explicit-loop T.81 reference; (c) DC-only blocks reconstruct
+    EXACT constant pixels; (d) progressive SOF2 and truncated
+    payloads raise the documented ValueError."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_subnet_spark.functions import multimodal as mm
+
+    # Huffman table sanity: BITS sums match HUFFVAL lengths
+    assert sum(mm.JPEG_DC_BITS) == len(mm.JPEG_DC_VALS)
+    assert sum(mm.JPEG_AC_BITS) == len(mm.JPEG_AC_VALS) == 162
+
+    for seed in range(8):
+        w, h, [(coefs, qtab)] = mm.decode_jpeg_coefficients(
+            mm.synthesize_jpeg(seed)
+        )
+        assert (w, h) == (24, 16)
+        assert (qtab == mm.JPEG_QTAB).all()
+        for by in range(2):
+            for bx in range(3):
+                assert (
+                    coefs[by, bx] == mm._jpeg_coef_program(seed, bx, by)
+                ).all(), (seed, bx, by)
+
+    # (b) IDCT vs the explicit double-loop definition
+    seed = 7
+    _, _, [(coefs, qtab)] = mm.decode_jpeg_coefficients(
+        mm.synthesize_jpeg(seed)
+    )
+    deq = coefs[0, 1].astype(float) * qtab
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4 * deq[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            ref[x, y] = s
+    assert np.allclose(mm.jpeg_idct_block(deq), ref, atol=1e-9)
+
+    # (c) DC-only images decode to exact per-block constants
+    px = mm.decode_jpeg(mm.synthesize_jpeg(4))
+    for by in range(2):
+        for bx in range(3):
+            dc = int(mm._jpeg_coef_program(4, bx, by)[0, 0]) * 16
+            expect = int(np.clip(round(dc / 8 + 128), 0, 255))
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert set(block.reshape(-1).tolist()) == {expect}
+
+    # (d) honest scope: progressive rejected with a clear error;
+    # truncation anywhere raises ValueError, never IndexError
+    import glob
+
+    for fn in glob.glob("/usr/share/doc/nodejs/*.jpg")[:1]:
+        with open(fn, "rb") as f:
+            with _pytest.raises(ValueError, match="baseline sequential"):
+                mm.decode_jpeg(f.read())
+    whole = mm.synthesize_jpeg(3)
+    for cut in (1, 10, 30, 100, len(whole) // 2, len(whole) - 3):
+        with _pytest.raises(ValueError):
+            mm.decode_jpeg(whole[:cut])
+    with _pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg(b"not a jpeg")
+
+
 def test_gif_decodes_real_world_payloads():
     """The decoder must handle GIFs produced by real encoders, not
     just its own synthesizer: the libxslt doc images (shipped in this
