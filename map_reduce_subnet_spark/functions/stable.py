@@ -124,18 +124,32 @@ def portable_ln_stages(
         shift = f"shiftleft(CAST(1 AS BIGINT), {prefix}k)"
     else:
         shift = f"(CAST(1 AS BIGINT) << {prefix}k)"
-    poly = "(1.0/15.0)"
+    # Every numeric literal is spelled CAST(x AS DOUBLE): Spark SQL
+    # parses a bare `1.0` as DECIMAL(2,1), so `1.0/3.0` folds in
+    # DECIMAL arithmetic (~1e-13 off the double quotient) and the
+    # accumulated drift reached ~1e-8 — caught when text_zipf_slope's
+    # regression amplified what text_lm_unigram_score's 6dp
+    # quantization had absorbed. The cast of an exact decimal literal
+    # to double is the nearest double, identical in both engines.
+    def dbl(v: str) -> str:
+        return f"CAST({v} AS DOUBLE)"
+
+    one = dbl("1")
+    poly = f"({one}/{dbl('15')})"
     for d in (13, 11, 9, 7, 5, 3):
-        poly = f"((1.0/{d}.0) + ({prefix}z2 * {poly}))"
+        poly = f"(({one}/{dbl(str(d))}) + ({prefix}z2 * {poly}))"
     return [
         (f"{prefix}k", f"(length(bin({x})) - 1)"),
         (f"{prefix}m", f"(CAST({x} AS DOUBLE) / CAST({shift} AS DOUBLE))"),
-        (f"{prefix}z", f"(({prefix}m - 1.0) / ({prefix}m + 1.0))"),
+        (
+            f"{prefix}z",
+            f"(({prefix}m - {one}) / ({prefix}m + {one}))",
+        ),
         (f"{prefix}z2", f"({prefix}z * {prefix}z)"),
         (
             f"{prefix}ln",
-            f"((CAST({prefix}k AS DOUBLE) * {LN2_LITERAL}) + "
-            f"(2.0 * ({prefix}z * (1.0 + ({prefix}z2 * {poly})))))",
+            f"((CAST({prefix}k AS DOUBLE) * {dbl(LN2_LITERAL)}) + "
+            f"({dbl('2')} * ({prefix}z * ({one} + ({prefix}z2 * {poly})))))",
         ),
     ]
 

@@ -531,6 +531,206 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entropy_oracle() -> str:
+    """DuckDB twin of text_entropy_unigram via the portable ln
+    (functions/stable.py) — identical expression trees ⇒ the entropy
+    hashes exactly, same as text_lm_unigram_score."""
+    from map_reduce_subnet_spark.functions.stable import (
+        portable_ln_stages,
+        sql_dsum,
+    )
+
+    c_ctes = []
+    prev = "counts"
+    for i, (cn, ce) in enumerate(portable_ln_stages("c", "c_", "duckdb")):
+        name = f"pc{i}"
+        c_ctes.append(f"{name} AS (SELECT *, {ce} AS {cn} FROM {prev})")
+        prev = name
+    c_chain = ",\n".join(c_ctes)
+    agg_src = prev
+    t_ctes = []
+    prev = "agg"
+    for i, (cn, ce) in enumerate(portable_ln_stages("t", "t_", "duckdb")):
+        name = f"pt{i}"
+        t_ctes.append(f"{name} AS (SELECT *, {ce} AS {cn} FROM {prev})")
+        prev = name
+    t_chain = ",\n".join(t_ctes)
+    return f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+    SELECT source, word, COUNT(*) AS c FROM toks GROUP BY source, word
+),
+{c_chain},
+agg AS (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS t,
+           COUNT(*) AS vocab_size,
+           {sql_dsum('CAST(c AS DOUBLE) * c_ln')} AS sum_clnc
+    FROM {agg_src} GROUP BY source
+),
+{t_chain}
+SELECT source, t AS n_tokens, vocab_size,
+       (t_ln - (sum_clnc / CAST(t AS DOUBLE))) AS entropy_nats
+FROM {prev}
+"""
+
+
+@query("text_entropy_unigram", oracle=_entropy_oracle())
+def text_entropy_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram ENTROPY (nats) — the corpus-diversity
+    diagnostic of a training-data pipeline (a source whose token
+    distribution collapses toward low entropy is boilerplate or
+    template spam; entropy drops are the classic symptom of
+    scrape-loop contamination). H = ln t − (Σ c·ln c)/t over each
+    source's token counts, computed with the PORTABLE ln
+    (functions/stable.py) so the scores are bit-identical across
+    engines and fully hash-enforced — the r8 move that unblocked
+    text_lm_unigram_score, reused.
+
+    Scale shape: one tokenize pass → (source, word) counts with
+    map-side partial agg (the only shuffle), per-source rollup over
+    the vocabulary (tiny after counting); the ln runs over COUNT
+    rows, not token rows. Grounding: validated-dimension scoring,
+    reference README.md:22."""
+    from map_reduce_subnet_spark.functions.stable import (
+        dsum,
+        portable_ln_stages,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(tx.words("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    for name, expr in portable_ln_stages("c", "c_", "spark"):
+        counts = counts.withColumn(name, F.expr(expr))
+    agg = counts.groupBy("source").agg(
+        F.sum("c").alias("t"),
+        F.count("*").alias("vocab_size"),
+        dsum(F.col("c").cast("double") * F.col("c_ln"), "sum_clnc"),
+    )
+    for name, expr in portable_ln_stages("t", "t_", "spark"):
+        agg = agg.withColumn(name, F.expr(expr))
+    return agg.select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        "vocab_size",
+        (F.col("t_ln") - F.col("sum_clnc") / F.col("t").cast("double")).alias(
+            "entropy_nats"
+        ),
+    )
+
+
+def _zipf_oracle() -> str:
+    """DuckDB twin of text_zipf_slope (portable-ln OLS over the
+    top-1000 frequency ranks)."""
+    from map_reduce_subnet_spark.functions.stable import (
+        portable_ln_stages,
+        sql_dsum,
+    )
+
+    ctes = []
+    prev = "ranked"
+    for i, ((rn, re_), (cn, ce)) in enumerate(
+        zip(
+            portable_ln_stages("rnk", "r_", "duckdb"),
+            portable_ln_stages("c", "c_", "duckdb"),
+        )
+    ):
+        name = f"p{i}"
+        ctes.append(
+            f"{name} AS (SELECT *, {re_} AS {rn}, {ce} AS {cn} FROM {prev})"
+        )
+        prev = name
+    chain = ",\n".join(ctes)
+    return f"""
+WITH counts AS (
+    SELECT word, COUNT(*) AS c
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+), ranked AS (
+    SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) AS BIGINT)
+              AS rnk
+    FROM counts
+    ORDER BY c DESC, word ASC
+    LIMIT 1000
+),
+{chain},
+sums AS (
+    SELECT COUNT(*) AS n,
+           {sql_dsum('r_ln')} AS sx,
+           {sql_dsum('c_ln')} AS sy,
+           {sql_dsum('r_ln * r_ln')} AS sxx,
+           {sql_dsum('r_ln * c_ln')} AS sxy
+    FROM {prev}
+)
+SELECT n AS n_ranks,
+       ((CAST(n AS DOUBLE) * sxy) - (sx * sy))
+         / ((CAST(n AS DOUBLE) * sxx) - (sx * sx)) AS zipf_slope,
+       ((sy - (((CAST(n AS DOUBLE) * sxy) - (sx * sy))
+         / ((CAST(n AS DOUBLE) * sxx) - (sx * sx))) * sx)
+         / CAST(n AS DOUBLE)) AS zipf_intercept
+FROM sums
+"""
+
+
+@query("text_zipf_slope", oracle=_zipf_oracle())
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law FIT over the corpus frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) across the top-1000 token ranks — natural
+    text sits near slope −1; synthetic/templated corpora flatten, and
+    the fitted (slope, intercept) pair is the standard one-look
+    corpus-health diagnostic next to entropy. Both logs are the
+    PORTABLE ln and the moment sums are decimal-stabilized, so the
+    regression hashes exactly against DuckDB.
+
+    Scale shape: token counts with map-side partial agg (one
+    shuffle), then TakeOrdered(1000) — a distributed top-k, never a
+    global sort — and the OLS moments reduce 1000 rows to one. The
+    rank window runs on the 1000-row frame, not the vocabulary."""
+    from map_reduce_subnet_spark.functions.stable import (
+        dsum,
+        portable_ln_stages,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    top = (
+        d.select(F.explode(tx.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(1000)
+    )
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("word")))
+        .cast("long"),
+    )
+    for name, expr in portable_ln_stages(
+        "rnk", "r_", "spark"
+    ) + portable_ln_stages("c", "c_", "spark"):
+        ranked = ranked.withColumn(name, F.expr(expr))
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        dsum("r_ln", "sx"),
+        dsum("c_ln", "sy"),
+        dsum(F.col("r_ln") * F.col("r_ln"), "sxx"),
+        dsum(F.col("r_ln") * F.col("c_ln"), "sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_ranks"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / n).alias("zipf_intercept"),
+    )
+
+
 @query(
     "text_term_freq",
     oracle="""

@@ -475,6 +475,127 @@ def table_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mv_incremental_refresh",
+    oracle="""
+WITH newest AS (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+), st AS (
+    SELECT user_id, value FROM newest WHERE rn = 1
+)
+SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM st
+GROUP BY 1
+""",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW maintenance driven by the change
+    feed: a per-bucket aggregate MV (count + value sum over the
+    latest-state table, bucket = user_id % 16) is built ONCE at v1,
+    then rolled forward to v3 by applying ONLY the CDC delta —
+    inserts add their contribution, deletes retract the pre-image,
+    updates do both — never re-reading the base table. The returned
+    rows are the INCREMENTALLY maintained MV; the oracle recomputes
+    the v3 aggregate from scratch, so a hash match IS the
+    incremental-equals-full property that makes IVM trustworthy.
+
+    Exactness discipline: the MV keeps its sums in DECIMAL(27,6)
+    (exact integer arithmetic) through build and delta application —
+    float addition is non-associative, so a double-typed MV would
+    drift from the full recompute and could never hash; the decimal
+    sums make apply-delta and recompute EQUAL, not merely close, at
+    any scale and any delta order. Cast to double only at the edge.
+
+    Scale shape: the v1 build is one agg over a snapshot scan; the
+    roll-forward touches O(changed keys) rows (the changefeed's
+    full-outer join) + one tiny agg on the MV's bucket key — the
+    whole point of IVM at 100 TB: refresh cost tracks the DELTA, not
+    the base table. Grounding: the reference validator's running
+    score state (neurons/validator.py:146-163) maintained
+    incrementally instead of recomputed per round."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from map_reduce_subnet_spark.functions.stable import SUM_DECIMAL
+
+    bucket = (F.col("user_id") % 16).cast("long").alias("bucket")
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_mv_{_uuid.uuid4().hex[:12]}"
+    )
+    try:
+        table = _build_latest_state_versions(spark, sf_dir, root)
+        mv1 = (
+            table.read(spark, 1)
+            .groupBy(bucket)
+            .agg(
+                F.count("*").alias("n1"),
+                F.sum(F.col("value").cast(SUM_DECIMAL)).alias("s1"),
+            )
+        )
+        feed = table.changes(
+            spark, ["user_id"], 1, 3, include_preimage=True
+        )
+        zero = F.lit(0).cast(SUM_DECIMAL)
+        delta = (
+            feed.select(
+                bucket,
+                F.when(F.col("_change_type") == "insert", F.lit(1))
+                .when(F.col("_change_type") == "delete", F.lit(-1))
+                .otherwise(F.lit(0))
+                .alias("dn"),
+                # coalesce inside the when: a NULL value contributes
+                # 0 to the delta, matching SUM's null-skip in the
+                # full recompute (and keeping a null new-value from
+                # nulling out the retraction term)
+                (
+                    F.when(
+                        F.col("_change_type") != "delete",
+                        F.coalesce(F.col("value").cast(SUM_DECIMAL), zero),
+                    ).otherwise(zero)
+                    - F.when(
+                        F.col("_change_type") != "insert",
+                        F.coalesce(
+                            F.col("value_prev").cast(SUM_DECIMAL), zero
+                        ),
+                    ).otherwise(zero)
+                ).alias("ds"),
+            )
+            .groupBy("bucket")
+            .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+        )
+        mv3 = (
+            mv1.join(delta, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (
+                    F.coalesce("n1", F.lit(0)) + F.coalesce("dn", F.lit(0))
+                ).alias("n_users"),
+                (
+                    F.coalesce(F.col("s1"), zero)
+                    + F.coalesce(F.col("ds"), zero)
+                ).alias("s"),
+            )
+            .where(F.col("n_users") > 0)
+            .select(
+                "bucket",
+                F.col("n_users").cast("long").alias("n_users"),
+                F.col("s").cast("double").alias("sum_value"),
+            )
+        )
+        out = mv3.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "merge_scd2_history",
     oracle="""
 SELECT user_id, event_id, value,

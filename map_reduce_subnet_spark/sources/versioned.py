@@ -161,12 +161,19 @@ class VersionedTable:
         key_cols: list[str],
         v_from: int,
         v_to: int,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Change-data-feed between two committed snapshots: one row
         per key whose state differs, with ``_change_type`` in
         (insert, update, delete) and the ``v_to``-side values (NULL
         non-key columns for deletes, like Delta's CDF delete rows
         carry the pre-image on the other side).
+
+        ``include_preimage`` adds ``<col>_prev`` columns carrying the
+        ``v_from``-side values (NULL for inserts) — what an
+        incremental consumer needs to RETRACT old contributions from
+        a downstream aggregate (Delta CDF's update_preimage rows,
+        flattened onto the same row).
 
         Plan shape: ONE full-outer shuffle join of the two snapshots
         on the key — O(|v_from| + |v_to|), never a log replay; at
@@ -205,9 +212,17 @@ class VersionedTable:
             for k in key_cols
         ]
         out_vals = [F.col(f"__n_{c}").alias(c) for c in value_cols]
+        out_prev = (
+            [F.col(f"__o_{c}").alias(f"{c}_prev") for c in value_cols]
+            if include_preimage
+            else []
+        )
         return (
             joined.select(
-                *out_keys, *out_vals, change_type.alias("_change_type")
+                *out_keys,
+                *out_vals,
+                *out_prev,
+                change_type.alias("_change_type"),
             )
             .where(F.col("_change_type").isNotNull())
         )

@@ -89,11 +89,23 @@ def _read_events_stream(
     import pyarrow.parquet as pq
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    candidates = (
+    matches = (
         sorted(_glob.glob(os.path.join(glob_path, "*.parquet")))
         if os.path.isdir(glob_path)
         else sorted(_glob.glob(glob_path))
     ) or [probe_file]
+    # A glob match can itself be a DIRECTORY (real corpora arrive as
+    # directory tables of many part files — the sf1 rehearsal layout,
+    # caught r8): descend one level so the footer probe always reads
+    # files. pq.read_schema on a directory raises.
+    candidates = []
+    for m in matches:
+        if os.path.isdir(m):
+            candidates.extend(
+                sorted(_glob.glob(os.path.join(m, "*.parquet")))
+            )
+        else:
+            candidates.append(m)
     ts_types = {f: str(pq.read_schema(f).field("ts").type) for f in candidates}
     if len(set(ts_types.values())) > 1:
         raise ValueError(

@@ -57,6 +57,21 @@ QUERY_SET = [
     "sim_ann_ivf_kmeans",
     "graph_pagerank",
     "funnel_conversion",
+    # r8 (VERDICT r7 #6): the streaming + warehouse families — the
+    # 10x questions here are state-store growth (the stream-stream
+    # join keeps BOTH sides' rows in state within the time bound;
+    # the stateful EMA keeps one row per user) and the versioned
+    # table's commit path (merge input stays one row per key per
+    # side, snapshots are plain scans — commits should scale with
+    # the REDUCED state, not the event count).
+    "stream_tumbling_true",
+    "stream_stream_join_true",
+    "stream_stateful_ema_batches",
+    "stream_upsert_foreachbatch",
+    "table_timetravel",
+    "table_changefeed",
+    "merge_scd2_history",
+    "merge_upsert",
 ]
 
 COPY_TABLES = [
@@ -197,12 +212,21 @@ def main() -> None:
     # sf0.1 queries 4-6x slower)
     spark = get_spark(app_name="mrs-scale-rehearsal")
     # Untimed warmup (bench.py discipline): JVM + parquet footers at
-    # both scales so the first timed row doesn't absorb startup.
+    # both scales so the first timed row doesn't absorb startup, plus
+    # one throwaway stateful streaming job when the query set contains
+    # streaming rows — engine + state-store + python state-worker
+    # spin-up cost about 20 s and landed entirely in the first timed
+    # streaming row of the first r8 rehearsal (28.65 s at sf0.1 for a
+    # query whose bench row is ~5 s).
+    names = [q for q in args.queries.split(",") if q]
     for sf_dir in (SRC, DST):
         QUERIES["agg_reduce_sum"](spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
-    names = [q for q in args.queries.split(",") if q]
+    if any(n.startswith("stream_") for n in names):
+        QUERIES["stream_stateful_ema"](spark, SRC).write.format(
+            "noop"
+        ).mode("overwrite").save()
     results = {}
     for name in names:
         row = {}

@@ -400,3 +400,51 @@ def test_scd2_intervals_partition_each_users_timeline(spark):
             assert a["valid_to_us"] == b["valid_from_us"], user
             assert not a["is_current"]
             assert a["valid_from_us"] <= a["valid_to_us"], user
+
+
+def test_portable_ln_bit_identical_across_engines(spark, ddb):
+    """The portable ln (functions/stable.py) must produce BIT-IDENTICAL
+    doubles in Spark SQL, DuckDB SQL and plain Python over a dense
+    integer range plus large sentinels — the foundation under the
+    text_lm_unigram_score / text_entropy_unigram / text_zipf_slope
+    oracles. Regression for the Spark decimal-literal trap: a bare
+    `1.0` parses as DECIMAL(2,1) in Spark SQL, so un-cast literals
+    fold to subtly different constants (~1e-13) that accumulated to
+    ~1e-8 in the series — every literal must stay spelled
+    CAST(x AS DOUBLE)."""
+    import math
+    import struct
+
+    from map_reduce_subnet_spark.functions.stable import (
+        portable_ln_py,
+        portable_ln_stages,
+    )
+
+    xs = list(range(1, 2001)) + [2**31 - 1, 2**45 + 999, 2**62 + 12345]
+    # python mirror is within 1e-8 of true ln everywhere on the range
+    for x in xs[::97] + xs[-3:]:
+        assert portable_ln_py(x) == pytest.approx(math.log(x), abs=1e-8)
+
+    # DuckDB
+    ctes, prev = [], "base"
+    for i, (n, e) in enumerate(portable_ln_stages("x", "x_", "duckdb")):
+        ctes.append(f"p{i} AS (SELECT *, {e} AS {n} FROM {prev})")
+        prev = f"p{i}"
+    vals = ", ".join(f"({x})" for x in xs)
+    q = (
+        f"WITH base AS (SELECT CAST(x AS BIGINT) AS x FROM (VALUES {vals})"
+        f" t(x)), " + ", ".join(ctes) + f" SELECT x, x_ln FROM {prev}"
+    )
+    for x, v in ddb.sql(q).fetchall():
+        assert struct.pack("<d", v) == struct.pack(
+            "<d", portable_ln_py(int(x))
+        ), f"duckdb ln({x}) diverged"
+
+    # Spark
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    for n, e in portable_ln_stages("x", "x_", "spark"):
+        df = df.withColumn(n, F.expr(e))
+    for r in df.select("x", "x_ln").collect():
+        assert struct.pack("<d", r["x_ln"]) == struct.pack(
+            "<d", portable_ln_py(int(r["x"]))
+        ), f"spark ln({r['x']}) diverged"
