@@ -207,6 +207,91 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]))) AS shingle
+    FROM documents
+), keep AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {SHINGLE_DF_CAP}
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM keep GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+    FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(n_common AS DOUBLE) / sa.n_sh AS contain_a_in_b,
+       CAST(n_common AS DOUBLE) / sb.n_sh AS contain_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(n_common AS DOUBLE) / sa.n_sh >= 0.5
+   OR CAST(n_common AS DOUBLE) / sb.n_sh >= 0.5
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set CONTAINMENT C(A→B) = |A∩B| / |A| in both
+    directions per candidate pair — the ASYMMETRIC near-dup signal
+    Jaccard misses: a short document quoted whole inside a long one
+    has high containment but low Jaccard (|A∩B|/|A∪B| is diluted by
+    the long side), and training pipelines drop exactly that
+    quote/boilerplate-inclusion case (Broder's containment measure,
+    the original resemblance/containment pair). Pairs where either
+    direction ≥ 0.5 survive.
+
+    Same scale machinery as dedup_ngram_jaccard (capped shingle
+    inverted index, in-bucket pair expansion, NEVER all-pairs — one
+    shingle-key shuffle reused by the size and bucket branches); only
+    the final normalization differs, so the two queries share their
+    plan shape and differ in one projection."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tx.shingles("text", 3))).alias("shingle"),
+    )
+    wdf = Window.partitionBy("shingle")
+    keep = (
+        sh.withColumn("_df", F.count("*").over(wdf))
+        .where(F.col("_df") <= SHINGLE_DF_CAP)
+        .drop("_df")
+    )
+    sizes = keep.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    buckets = (
+        keep.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    inter = (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c_ab = F.col("n_common").cast("double") / F.col("sa.n_sh")
+    c_ba = F.col("n_common").cast("double") / F.col("sb.n_sh")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b_id"))
+        .where((c_ab >= 0.5) | (c_ba >= 0.5))
+        .select(
+            "a_id",
+            "b_id",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+    )
+
+
 MINHASH_N_PERM = 12
 MINHASH_BAND_ROWS = 3
 MOD32 = 4294967296  # 2^32 — modulus of the universal-hash family

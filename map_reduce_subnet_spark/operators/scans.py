@@ -747,3 +747,108 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def _z_interleave_sql(a: str, b: str, dialect: str, nbits: int = 16) -> str:
+    """Bit-interleave two ``nbits``-bit non-negative integer
+    expressions into a ``2*nbits``-bit Morton z-value (``a``'s bits at
+    even positions, ``b``'s at odd) — the space-filling curve behind
+    OPTIMIZE ZORDER clustering. Pure integer shifts/ands, generated
+    for both SQL dialects (Spark spells shifts as functions, DuckDB as
+    operators) so the oracle reproduces the value bit-for-bit."""
+    terms = []
+    for i in range(nbits):
+        if dialect == "spark":
+            terms.append(f"shiftleft((shiftright({a}, {i}) & 1), {2 * i})")
+            terms.append(
+                f"shiftleft((shiftright({b}, {i}) & 1), {2 * i + 1})"
+            )
+        else:
+            terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_oracle() -> str:
+    a = "(user_id & 1023)"
+    b = "((CAST(epoch_us(ts) AS BIGINT) // 3600000000) & 1023)"
+    z = _z_interleave_sql(a, b, "duckdb", nbits=10)
+    return f"""
+WITH zed AS (
+    SELECT CAST({z} >> 14 AS BIGINT) AS zbucket, user_id,
+           (CAST(epoch_us(ts) AS BIGINT) // 3600000000) AS hb, value
+    FROM events
+)
+SELECT zbucket,
+       COUNT(*) AS n_events,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       MIN(hb) AS min_hour, MAX(hb) AS max_hour,
+       {sql_dsum('value')} AS sum_value
+FROM zed
+GROUP BY zbucket
+"""
+
+
+@query("sink_zorder_cluster", oracle=_zorder_oracle())
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered rewrite — the multi-dimensional data-skipping
+    layout behind Delta/Iceberg's OPTIMIZE ZORDER BY (user_id, hour):
+    each event gets a 32-bit Morton z-value interleaving its user and
+    hour bits, the top 6 z-bits pick one of 64 cluster buckets, and
+    the table is REWRITTEN partitioned by bucket. Because the z-curve
+    keeps both dimensions locally dense, every bucket's (min, max)
+    footprint is narrow in BOTH user_id and hour — which is exactly
+    what parquet footer stats pruning consumes: a point or range
+    predicate on EITHER dimension skips the buckets whose footprint
+    misses it, where a single-column sort gives locality in one
+    dimension only.
+
+    The timed region includes the partitioned write, the read-back,
+    and the per-bucket footprint aggregation from the REWRITTEN
+    layout; the oracle regenerates bucket assignment + footprints
+    straight from events, so a hash match proves the z-assignment,
+    the partitioned write and the read-back all lossless. The
+    footprint rows returned ARE the skipping index a scan planner
+    would consult.
+
+    Scale shape: one deterministic integer program per row (no
+    sampling — unlike repartitionByRange, bucket boundaries are
+    data-independent, so the layout is reproducible and the oracle
+    can exist), one shuffle on zbucket for the write, footer-sized
+    metadata per bucket thereafter. At 100 TB the same rewrite runs
+    per partition-directory with more z-bits; the 64-bucket choice
+    here keeps the fixture's files right-sized."""
+    import glob as _glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    a = "(user_id & 1023)"
+    b = "((unix_micros(ts) div 3600000000) & 1023)"
+    z = _z_interleave_sql(a, b, "spark", nbits=10)
+    zed = ev.select(
+        F.expr(f"CAST({z} >> 14 AS BIGINT)").alias("zbucket"),
+        "user_id",
+        F.expr("(unix_micros(ts) div 3600000000)").alias("hb"),
+        "value",
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_zorder_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        zed.write.partitionBy("zbucket").parquet(root)
+        back = spark.read.parquet(root)
+        agg = (
+            back.groupBy(F.col("zbucket").cast("long").alias("zbucket"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("user_id").alias("min_user"),
+                F.max("user_id").alias("max_user"),
+                F.min("hb").alias("min_hour"),
+                F.max("hb").alias("max_hour"),
+                dsum("value", "sum_value"),
+            )
+        )
+        out = agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -777,8 +777,17 @@ def test_decode_media_dispatch():
 
     png = decode_media(synthesize_png(3), "image/png")
     assert png.shape == (16, 24, 3)
-    with _pytest.raises(NotImplementedError):
+    # jpeg is REAL since r8 (baseline sequential); truncated payloads
+    # raise the decode error, not the stub error
+    from map_reduce_subnet_spark.functions.multimodal import synthesize_jpeg
+
+    jpg = decode_media(synthesize_jpeg(3), "image/jpeg")
+    assert jpg.shape == (16, 24)
+    with _pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+    # the honest stub remains for codec formats with no pure-python path
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x20ftypmp42", "video/mp4")
 
 
 def test_quantized_recall_golden(spark):
