@@ -37,72 +37,71 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # (1) NEW in round 7 — need their first driver row
-    "multimodal_decode_gif",
-    "join_bloom_runtime",
-    "agg_cms_heavy_hitters",
-    "scan_xml_roundtrip",
-    "scan_binaryfile_media",
-    "dedup_chunk_level",
-    "table_timetravel",
-    "text_quality_gopher",
-    "merge_scd2_history",
-    "window_cumulative_uniques",
-    "sample_ksample_per_stratum",
-    "multimodal_audio_stats",
-    "agg_robust_mad",
-    "text_decontaminate",
-    "agg_gini_concentration",
-    "stream_tumbling_distinct_true",
+    # (1) NEW in round 8 — need their first driver row
+    "graph_triangle_count",
+    "table_vacuum",
+    "table_changefeed",
+    "multimodal_decode_jpeg",
+    "mv_incremental_refresh",
+    "text_entropy_unigram",
+    "text_zipf_slope",
+    "dedup_containment",
+    "sink_zorder_cluster",
+    # (2) changed in round 8: text_lm_unigram_score promoted to the
+    # portable-ln full oracle; sink_compaction grew the fixture
+    # precondition; scan_binaryfile_media moved to localCheckpoint;
+    # table_timetravel commits through the new OCC path;
+    # multimodal_decode_gif's truncation handling changed; the
+    # streaming footer probe learned directory layouts (one
+    # representative streaming key — also the oldest stream row, r5)
+    "text_lm_unigram_score",
     "sink_compaction",
-    "join_asof_nearest",
-    # (2) changed in round 7: the sketch trio promoted to
-    # bound-checked SQL oracles; funnel_conversion rewritten to the
-    # one-exchange window form; stream_python_sink_true's read-back
-    # dedupes replayed commit-log lines; multimodal_features' oracle
-    # grew the empty-text COALESCE
-    "agg_approx_distinct",
-    "agg_hll_sketch_merge",
-    "agg_approx_percentile",
-    "funnel_conversion",
-    "stream_python_sink_true",
-    "multimodal_features",
-    # (3) VERDICT r6 #1: the 19 keys whose newest driver row was
-    # still r1/r2 (agg_approx_distinct + agg_approx_percentile are
-    # already above) — rotate the whole backlog through this round so
-    # every CORRECTNESS row in the registry is at most 2 rounds old
-    "agg_corr",
-    "agg_global",
-    "agg_max_by",
-    "agg_pivot",
-    "agg_string_agg",
-    "agg_unpivot",
-    "gen_date_spine",
-    "join_broadcast_nested_loop",
-    "join_cross_bipartite",
-    "merge_upsert",
-    "project_try_cast",
-    "scan_filter_pushdown",
-    "scan_json_props",
-    "str_posexplode",
-    "text_chunking",
-    "text_pii_scrub",
-    "window_first_last",
-    # (4) backfill: the oldest remaining green rows (r3) — unchanged
-    # code, pure signal refresh, cheapest queries first
-    "agg_minmax_stats",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_distinct_arg",
-    "agg_normalize_l1",
-    "join_anti",
-    "dedup_exact",
-    "text_stats",
-    "text_langid_ngram",
-    # (multimodal_join, sample_systematic, text_token_count,
-    # sim_cosine_topk, text_quality, text_langid, filter_membership,
-    # str_basics, project_cast rotated back out for the ten new r7
-    # keys — all r3-green, structurally simple, unchanged)
+    "scan_binaryfile_media",
+    "table_timetravel",
+    "multimodal_decode_gif",
+    "stream_tumbling_true",
+    # (3) VERDICT r7 #3 backlog: the entire r3 cohort (oldest rows in
+    # the registry) ...
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "dedup_ngram_jaccard",
+    "filter_membership",
+    "multimodal_join",
+    "project_cast",
+    "project_conditional",
+    "sample_systematic",
+    "sim_cosine_topk",
+    "str_basics",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_term_freq",
+    "text_token_count",
+    # (4) ... plus as many of the 28 r4 rows as the cap allows (21 —
+    # the 7 simplest scalar demos defer to r9: map_funcs, limit_topk,
+    # str_split_explode, str_hash, date_parts, date_arith, math_funcs)
+    "agg_reduce_sum",
+    "agg_salted_hotkey",
+    "array_funcs",
+    "array_hof",
+    "json_funcs",
+    "scan_full",
+    "scan_prune_columns",
+    "setop_dedup",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "sort_multi_key",
+    "str_regex",
+    "text_tfidf_topk",
+    "udaf_grouped_agg",
+    "udf_scalar",
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_percent_rank",
+    "window_running_sum",
+    "window_topk_per_group",
 ]
 
 

@@ -699,3 +699,155 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (nd + F.lit(1.0)) / nd
         ).alias("gini"),
     )
+
+
+def _triangle_oracle() -> str:
+    from map_reduce_subnet_spark.operators.llm import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+tri AS (
+    SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+    FROM mh_pairs e1
+    JOIN mh_pairs e2 ON e1.b_id = e2.a_id
+    JOIN mh_pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+),
+deg AS (
+    SELECT id, COUNT(*) AS deg FROM (
+        SELECT a_id AS id FROM mh_pairs
+        UNION ALL SELECT b_id AS id FROM mh_pairs
+    ) GROUP BY id
+),
+ntri AS (
+    SELECT id, COUNT(*) AS tri FROM (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b AS id FROM tri
+        UNION ALL SELECT c AS id FROM tri
+    ) GROUP BY id
+),
+pernode AS (
+    SELECT d.id AS node_id, d.deg AS deg,
+           COALESCE(n.tri, CAST(0 AS BIGINT)) AS tri
+    FROM deg d LEFT JOIN ntri n ON n.id = d.id
+),
+tot AS (
+    SELECT (SELECT COUNT(*) FROM mh_pairs) AS n_edges,
+           (SELECT COUNT(*) FROM tri) AS n_tri,
+           (SELECT COALESCE(SUM((deg * (deg - 1)) // 2), CAST(0 AS BIGINT))
+            FROM deg) AS n_wedges
+)
+SELECT node_id, deg, tri,
+       CASE WHEN deg < 2 THEN 0.0
+            ELSE CAST(tri AS DOUBLE)
+                 / (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE) / 2.0)
+       END AS local_cc
+FROM pernode
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS node_id, n_edges AS deg, n_tri AS tri,
+       CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE CAST(3 * n_tri AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       END AS local_cc
+FROM tot
+"""
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficients over the MinHash
+    near-dup candidate graph: per node its degree, the number of
+    triangles through it, and its local clustering coefficient
+    (tri / C(deg,2)); one sentinel row (node_id = -1) carries the
+    global view — edge count, total triangles, and the global
+    (transitivity) coefficient 3·T / wedges. On a dedup candidate
+    graph this measures how clique-like the duplicate neighborhoods
+    are — near-1 local coefficients mean banding found coherent
+    duplicate clusters, not hub-and-spoke hash collisions — the
+    standard diagnostic before trusting connected components as
+    cluster ids (graph_pagerank's centrality sibling; grounding:
+    reference README.md:18's "dominant peer" analysis).
+
+    Scale shape (the canonical MapReduce triangle enumeration, but as
+    three declarative self-joins Catalyst plans with hash exchanges):
+    edges are canonical a<b so each triangle a<b<c is emitted exactly
+    once by joining edge(a,b)⋈edge(b,c) on the middle vertex and
+    closing with edge(a,c). Cost is O(Σ deg²) wedge candidates — on a
+    capped candidate graph (LSH_BUCKET_CAP bounds every bucket, so
+    degrees are bounded) this cannot degenerate into the all-pairs
+    blowup; the pair table is the materialized-once fixture artifact
+    (_candidate_pairs_cached), so no MinHash re-computation. No
+    driver-side iteration at all — one job, three shuffles on vertex
+    keys.
+    """
+    from map_reduce_subnet_spark.functions.checkpoint import (
+        stable_checkpoint,
+    )
+    from map_reduce_subnet_spark.operators.llm import (
+        _candidate_pairs_cached,
+    )
+
+    pairs = _candidate_pairs_cached(spark, sf_dir)
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b_id") == F.col("e2.a_id"))
+        .join(
+            e3,
+            (F.col("e3.a_id") == F.col("e1.a_id"))
+            & (F.col("e3.b_id") == F.col("e2.b_id")),
+        )
+        .select(
+            F.col("e1.a_id").alias("a"),
+            F.col("e1.b_id").alias("b"),
+            F.col("e2.b_id").alias("c"),
+        )
+    )
+    tri = stable_checkpoint(tri)
+    deg = (
+        pairs.select(F.col("a_id").alias("id"))
+        .unionAll(pairs.select(F.col("b_id").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ntri = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("tri"))
+    )
+    pernode = deg.join(ntri, "id", "left").select(
+        F.col("id").alias("node_id"),
+        "deg",
+        F.coalesce(F.col("tri"), F.lit(0).cast("long")).alias("tri"),
+        F.when(F.col("deg") < 2, F.lit(0.0))
+        .otherwise(
+            F.coalesce(F.col("tri"), F.lit(0).cast("long")).cast("double")
+            / (
+                F.col("deg").cast("double")
+                * (F.col("deg") - 1).cast("double")
+                / F.lit(2.0)
+            )
+        )
+        .alias("local_cc"),
+    )
+    totals = (
+        deg.agg(
+            F.coalesce(
+                F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("n_wedges")
+        )
+        .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
+        .crossJoin(tri.agg(F.count("*").alias("n_tri")))
+        .select(
+            F.lit(-1).cast("long").alias("node_id"),
+            F.col("n_edges").alias("deg"),
+            F.col("n_tri").alias("tri"),
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                (F.lit(3) * F.col("n_tri")).cast("double")
+                / F.col("n_wedges").cast("double")
+            )
+            .alias("local_cc"),
+        )
+    )
+    return pernode.unionByName(totals)

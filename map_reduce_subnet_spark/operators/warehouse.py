@@ -637,3 +637,99 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to_us"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "table_vacuum",
+    oracle=f"""
+WITH newest AS (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+), head AS (
+    SELECT user_id, value FROM newest WHERE rn = 1
+)
+SELECT CAST(3 AS BIGINT) AS versions_before,
+       CAST(1 AS BIGINT) AS orphans_removed,
+       CAST(1 AS BIGINT) AS versions_expired,
+       CAST(2 AS BIGINT) AS versions_retained,
+       CAST(3 AS BIGINT) AS head_version,
+       TRUE AS expired_unreadable,
+       COUNT(*) AS n_users,
+       {sql_dsum('value')} AS sum_last_value
+FROM head
+""",
+)
+def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM of the versioned table (sources/versioned.py): the
+    retention/GC half of the lakehouse lifecycle that pairs with
+    table_timetravel (snapshot reads) and table_changefeed (CDC).
+    The same three deterministic MERGE commits build v1..v3, a
+    crashed writer is simulated by writing a data directory the log
+    never references (exactly the debris commit()'s atomicity
+    argument promises stays invisible), then ``vacuum(retain_last=2)``
+    must (a) remove the orphan, (b) expire v1 (log line + data dir),
+    (c) keep v2/v3 readable — and the HEAD snapshot's aggregate after
+    vacuum must still equal the full recompute from events, which is
+    what the oracle regenerates. Reading the expired v1 must now
+    raise (pinned as ``expired_unreadable``): expiry is a stated
+    retention contract, like Delta's VACUUM horizon, not silent data
+    loss.
+
+    Scale shape: vacuum is O(versions + directories) driver-side
+    metadata work plus deletes of whole immutable directories — it
+    never scans, rewrites or shuffles data; the post-vacuum head read
+    is the same pruned parquet scan as any snapshot read."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from map_reduce_subnet_spark.functions.stable import dsum as _dsum
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_vac_{_uuid.uuid4().hex[:12]}"
+    )
+    try:
+        table = _build_latest_state_versions(spark, sf_dir, root)
+        versions_before = len(table.versions())
+        # crashed writer: data landed, log append never happened
+        orphan = os.path.join(root, f"v000099-{_uuid.uuid4().hex[:12]}")
+        table.read(spark).limit(1).write.parquet(orphan)
+        stats = table.vacuum(retain_last=2)
+        try:
+            table.read(spark, 1)
+            expired_unreadable = False
+        except ValueError:
+            expired_unreadable = True
+        head = table.current_version()
+        agg = (
+            table.read(spark, head)
+            .agg(
+                F.count("*").alias("n_users"),
+                _dsum("value", "sum_last_value"),
+            )
+            .select(
+                F.lit(versions_before).cast("long").alias("versions_before"),
+                F.lit(stats["orphans_removed"])
+                .cast("long")
+                .alias("orphans_removed"),
+                F.lit(stats["versions_expired"])
+                .cast("long")
+                .alias("versions_expired"),
+                F.lit(stats["versions_retained"])
+                .cast("long")
+                .alias("versions_retained"),
+                F.lit(head).cast("long").alias("head_version"),
+                F.lit(expired_unreadable).alias("expired_unreadable"),
+                "n_users",
+                "sum_last_value",
+            )
+        )
+        rows = agg.collect()  # 1 row; scratch table dir is deleted below
+        schema = agg.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -44,7 +44,12 @@ from __future__ import annotations
 
 import json
 import os
+import shutil as _shutil
 import uuid
+
+
+def _rmtree(path: str) -> None:
+    _shutil.rmtree(path, ignore_errors=True)
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -139,6 +144,57 @@ class VersionedTable:
         finally:
             os.close(dfd)
         return version
+
+    def vacuum(self, retain_last: int | None = None) -> dict[str, int]:
+        """Garbage-collect the table directory; returns counts.
+
+        Two kinds of debris accumulate by design (commit() never
+        deletes anything — immutability is what makes snapshot reads
+        and crash recovery trivial):
+
+        - **Orphan data directories**: debris of crashed or
+          OCC-losing writers — directories no log entry references.
+          Always removed; by the atomicity argument in commit(), an
+          unreferenced directory can never become visible later, so
+          this is safe under concurrent readers AND writers (a
+          writer's in-flight directory is only at risk if it loses
+          its race anyway; same retention caveat as Delta's VACUUM
+          vs uncommitted writes — callers coordinate vacuum with
+          active writers, not readers).
+        - **Expired versions**: with ``retain_last=N``, every
+          version except the newest N is dropped (log file first,
+          then data — a reader that resolved its snapshot before the
+          log deletion may still be scanning the directory; POSIX
+          unlink semantics keep its open files readable, mirroring
+          object-store eventualities Delta documents for VACUUM).
+
+        Time travel remains exact within the retention window and
+        raises :class:`ValueError` outside it — expiry is a stated
+        contract, not data loss.
+        """
+        entries = self._entries()
+        referenced = {e["path"] for e in entries}
+        orphans_removed = 0
+        for name in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, name)
+            if name == "_log" or not os.path.isdir(p):
+                continue
+            if p not in referenced:
+                _rmtree(p)
+                orphans_removed += 1
+        versions_expired = 0
+        if retain_last is not None and len(entries) > retain_last:
+            for e in entries[: len(entries) - retain_last]:
+                os.remove(
+                    os.path.join(self._log_dir, f"{e['version']:020d}.json")
+                )
+                _rmtree(e["path"])
+                versions_expired += 1
+        return {
+            "orphans_removed": orphans_removed,
+            "versions_expired": versions_expired,
+            "versions_retained": len(entries) - versions_expired,
+        }
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read of ``version`` (default: latest). The

@@ -245,3 +245,70 @@ def test_versioned_table_changefeed(spark, tmp_path):
         3: ("update", 30.0),
         4: ("insert", 40.0),
     }
+
+
+def test_versioned_table_vacuum(spark, tmp_path):
+    """vacuum removes orphan dirs + expired versions, keeps retained
+    snapshots byte-identical, and expired reads raise."""
+    import os
+
+    import pytest
+
+    from map_reduce_subnet_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "vt_vac")
+    t = VersionedTable(root)
+    for v in range(1, 4):
+        t.commit(spark.range(v * 10).withColumnRenamed("id", "k"))
+    # crashed-writer debris: data dir without a log line
+    spark.range(3).write.parquet(os.path.join(root, "v000099-orphan"))
+    before_v3 = sorted(r.k for r in t.read(spark, 3).collect())
+
+    stats = t.vacuum(retain_last=2)
+    assert stats == {
+        "orphans_removed": 1,
+        "versions_expired": 1,
+        "versions_retained": 2,
+    }
+    assert t.versions() == [2, 3]
+    # retained snapshots intact, head unchanged
+    assert sorted(r.k for r in t.read(spark, 3).collect()) == before_v3
+    assert len(t.read(spark, 2).collect()) == 20
+    with pytest.raises(ValueError):
+        t.read(spark, 1)
+    # idempotent: nothing left to collect
+    assert t.vacuum(retain_last=2) == {
+        "orphans_removed": 0,
+        "versions_expired": 0,
+        "versions_retained": 2,
+    }
+    # only the two retained data dirs + _log remain on disk
+    dirs = [d for d in os.listdir(root) if d != "_log"]
+    assert len(dirs) == 2
+
+
+def test_versioned_table_vacuum_after_occ_loss(spark, tmp_path):
+    """The fail-fast OCC path leaves NO debris (validation precedes
+    the data write), so vacuum after a lost race finds zero orphans
+    and both committed versions intact."""
+    from map_reduce_subnet_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "vt_vac_occ")
+    a = VersionedTable(root)
+    b = VersionedTable(root)
+    a.commit(spark.range(5))
+    head = a.current_version()
+    a.commit(spark.range(6), expected_version=head)
+    try:
+        b.commit(spark.range(7), expected_version=head)
+        raise AssertionError("expected ConcurrentWriteError")
+    except ConcurrentWriteError:
+        pass
+    stats = a.vacuum()
+    assert stats["orphans_removed"] == 0
+    assert stats["versions_expired"] == 0
+    assert stats["versions_retained"] == 2
+    assert len(a.read(spark, 2).collect()) == 6
