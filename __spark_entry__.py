@@ -40,6 +40,10 @@ _SWEEP_PRIORITY = [
     # (1) NEW in round 8 — need their first driver row
     "graph_triangle_count",
     "table_vacuum",
+    "sample_temperature",
+    "window_rolling_quantiles",
+    "agg_skew_kurtosis",
+    "scan_schema_evolution",
     "table_changefeed",
     "multimodal_decode_jpeg",
     "mv_incremental_refresh",

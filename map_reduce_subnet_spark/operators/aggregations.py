@@ -751,3 +751,117 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "med")
         .agg(F.expr("percentile(dev, 0.5D)").alias("mad"))
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+WITH q AS (
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qi FROM lineitem
+), sums AS (
+    SELECT l_returnflag, COUNT(*) AS n,
+           SUM(qi) AS s1, SUM(qi * qi) AS s2,
+           SUM((qi * qi) * qi) AS s3,
+           SUM((qi * qi) * (qi * qi)) AS s4
+    FROM q GROUP BY l_returnflag
+), m AS (
+    SELECT l_returnflag, n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+           CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+           CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+    FROM sums
+), c AS (
+    SELECT l_returnflag, n, mean,
+           r2 - mean * mean AS m2,
+           r3 - 3.0 * mean * r2 + 2.0 * ((mean * mean) * mean) AS m3,
+           r4 - 4.0 * mean * r3 + 6.0 * (mean * mean) * r2
+              - 3.0 * ((mean * mean) * (mean * mean)) AS m4
+    FROM m
+)
+SELECT l_returnflag, n, mean,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+FROM c
+""",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population SKEWNESS and excess KURTOSIS per group — the 3rd
+    and 4th standardized moments that tell a data-quality pipeline
+    whether a metric's distribution is lopsided or heavy-tailed
+    before anyone trusts its mean ± stddev.
+
+    Built from explicit raw power sums rather than the engines'
+    skewness()/kurtosis() built-ins, deliberately: the built-ins
+    disagree across engines on bias correction (sample g1 vs
+    Fisher-Pearson G1), which makes them un-oracle-able, and their
+    one-pass moment updates are float-order-dependent. Here the
+    integer-valued measure (l_quantity ≤ 50 — pinned by the oracle's
+    lossless BIGINT cast) yields EXACT integer sums Σq..Σq⁴ that any
+    reduction order reproduces (q⁴ ≤ 6.25e6, so even 1e9 rows per
+    group fit int64; at larger scales the same sums widen to
+    DECIMAL(38,0) and stay exact). The central-moment conversion
+    (m2 = r2 − mean², m3/m4 via the binomial expansion, powers
+    spelled as explicit products — no libm pow) is then an identical
+    scalar float program on identical operands in both engines, hence
+    bit-exact. NOTE the boundary, learned the hard way: decimal-
+    quantizing full-precision per-row doubles (the dsum pattern on
+    (x−mean)ᵏ) is NOT portable — double→decimal rounding diverges
+    between engines on near-tie low bits; integer inputs sidestep
+    the round entirely.
+
+    Scale shape: one scan, map-side partial aggregation of five
+    integer sums, one shuffle on the 3-value group key. (The textbook
+    caveat that raw-moment formulas cancel catastrophically applies
+    when m2 ≪ mean² by many orders — not the regime here, and
+    determinism, not ulp-accuracy, is what the oracle enforces.)
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qi")
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("qi").alias("s1"),
+        F.sum(F.col("qi") * F.col("qi")).alias("s2"),
+        F.sum((F.col("qi") * F.col("qi")) * F.col("qi")).alias("s3"),
+        F.sum(
+            (F.col("qi") * F.col("qi")) * (F.col("qi") * F.col("qi"))
+        ).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m = sums.select(
+        "l_returnflag",
+        "n",
+        mean.alias("mean"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        r4.alias("r4"),
+    )
+    mc = F.col("mean")
+    m2 = F.col("r2") - mc * mc
+    m3 = (
+        F.col("r3")
+        - F.lit(3.0) * mc * F.col("r2")
+        + F.lit(2.0) * ((mc * mc) * mc)
+    )
+    m4 = (
+        F.col("r4")
+        - F.lit(4.0) * mc * F.col("r3")
+        + F.lit(6.0) * (mc * mc) * F.col("r2")
+        - F.lit(3.0) * ((mc * mc) * (mc * mc))
+    )
+    c = m.select("l_returnflag", "n", "mean", m2.alias("m2"),
+                 m3.alias("m3"), m4.alias("m4"))
+    return c.select(
+        "l_returnflag",
+        "n",
+        "mean",
+        (F.col("m3") / (F.col("m2") * F.sqrt("m2"))).alias("skewness"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias(
+            "excess_kurtosis"
+        ),
+    )

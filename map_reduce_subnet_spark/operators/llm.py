@@ -4263,3 +4263,149 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") >= 3).alias("contaminated"),
         )
     )
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), weighted AS (
+    SELECT source, n_docs,
+           SUM(n_docs) OVER () AS n_total,
+           CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)
+                           / CAST(SUM(n_docs) OVER () AS DOUBLE))
+                      * 1e12) AS BIGINT) AS wq
+    FROM counts
+), alloc AS (
+    SELECT source, n_docs, n_total, wq,
+           SUM(wq) OVER () AS wq_sum,
+           CAST(n_total // 10 AS BIGINT) AS budget
+    FROM weighted
+), targets AS (
+    SELECT source, n_docs,
+           CAST(FLOOR(CAST(budget AS DOUBLE)
+                      * (CAST(wq AS DOUBLE) / CAST(wq_sum AS DOUBLE)))
+                AS BIGINT) AS target_n
+    FROM alloc
+), ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {tx.sql_portable_hash60("CAST(doc_id AS VARCHAR)")},
+                        doc_id
+           ) AS rk
+    FROM documents
+), picked AS (
+    SELECT r.source, COUNT(*) AS picked_n,
+           CAST(SUM(r.doc_id) AS BIGINT) AS sum_picked_ids
+    FROM ranked r JOIN targets t ON r.source = t.source
+    WHERE r.rk <= t.target_n
+    GROUP BY r.source
+)
+SELECT t.source, t.n_docs, t.target_n,
+       COALESCE(p.picked_n, CAST(0 AS BIGINT)) AS picked_n,
+       COALESCE(p.sum_picked_ids, CAST(0 AS BIGINT)) AS sum_picked_ids,
+       CAST(COALESCE(p.picked_n, CAST(0 AS BIGINT)) AS DOUBLE)
+           / CAST(t.n_docs AS DOUBLE) AS sample_rate
+FROM targets t LEFT JOIN picked p ON p.source = t.source
+""",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED mixture sampling across document sources —
+    the multilingual/multi-source rebalancing rule from the published
+    XLM-R / mT5 recipes: sample source i with probability
+    q_i ∝ p_i^α (α = 0.5 here), so over-represented sources are
+    down-weighted and the tail is boosted, under a total budget of
+    N/10 documents. Per source the query emits the allocation
+    (target_n), what a deterministic pick actually achieved
+    (picked_n, clipped at the source's population), an id checksum of
+    the picked set, and the realized per-source sampling rate.
+
+    Determinism across engines, with NO tolerance band: the only
+    cross-source float reduction (Σ w_i) is made exact by quantizing
+    each weight to an integer FIRST — w_i = floor(sqrt(n_i/N)·1e12)
+    — so the sum is integer arithmetic; every remaining float step
+    (sqrt, one division, one multiply, floor) is an identical
+    single-expression program on identical operands in both engines,
+    hence bit-exact. The pick itself orders each source by the
+    portable md5 hash of doc_id (functions/text.py::portable_hash60)
+    — a deterministic uniform permutation both engines reproduce.
+
+    Scale shape: the allocation plan runs on the per-source count
+    table (a handful of rows — window functions over it are free);
+    the corpus-sized work is one scan-local hash + one row_number
+    window partitioned by source (one shuffle on source), and the
+    tiny target table broadcasts onto it. At 100 TB a skewed source
+    partition is the only hazard — the same per-source window
+    discipline as sample_ksample_per_stratum, and the hash order
+    means any prefix of a source's ranking is itself a uniform
+    sample, so the window can early-stop via the rank filter."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wall = Window.partitionBy(F.lit(1))
+    targets = (
+        counts.withColumn("n_total", F.sum("n_docs").over(wall))
+        .withColumn(
+            "wq",
+            F.floor(
+                F.sqrt(
+                    F.col("n_docs").cast("double")
+                    / F.col("n_total").cast("double")
+                )
+                * F.lit(1e12)
+            ).cast("long"),
+        )
+        .withColumn("wq_sum", F.sum("wq").over(wall))
+        .withColumn(
+            "budget",
+            F.floor(F.col("n_total").cast("double") / F.lit(10.0)).cast(
+                "long"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.floor(
+                F.col("budget").cast("double")
+                * (F.col("wq").cast("double") / F.col("wq_sum").cast("double"))
+            )
+            .cast("long")
+            .alias("target_n"),
+        )
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                tx.portable_hash60(F.col("doc_id").cast("string")),
+                F.col("doc_id"),
+            )
+        ),
+    )
+    picked = (
+        ranked.join(F.broadcast(targets), "source")
+        .where(F.col("rk") <= F.col("target_n"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("picked_n"),
+            F.sum("doc_id").alias("sum_picked_ids"),
+        )
+    )
+    return targets.join(picked, "source", "left").select(
+        "source",
+        "n_docs",
+        "target_n",
+        F.coalesce(F.col("picked_n"), F.lit(0).cast("long")).alias(
+            "picked_n"
+        ),
+        F.coalesce(F.col("sum_picked_ids"), F.lit(0).cast("long")).alias(
+            "sum_picked_ids"
+        ),
+        (
+            F.coalesce(F.col("picked_n"), F.lit(0).cast("long")).cast(
+                "double"
+            )
+            / F.col("n_docs").cast("double")
+        ).alias("sample_rate"),
+    )

@@ -852,3 +852,61 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=f"""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY 1
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on read (``mergeSchema``): an old writer laid
+    down parquet files with 3 columns, a newer writer added
+    ``o_orderpriority`` — one read reconciles both generations into
+    the union schema, old files surfacing NULL for the column they
+    predate. This is the additive-evolution contract every long-lived
+    ingest directory needs (Delta/Iceberg formalize it in metadata;
+    plain parquet directories get it from footer merging), and the
+    aggregate over the merged read must hash-match recomputing the
+    same NULL-for-old-rows program from the source table — proving no
+    rows were dropped, duplicated, or mis-aligned across generations.
+
+    Scale notes: ``mergeSchema`` reconciles footers from a sample of
+    files on the DRIVER at planning time — O(files), the reason it is
+    off by default; at 100 TB you either pin the evolved schema
+    explicitly (``.schema(...)`` — zero planning cost, same row-level
+    semantics, NULL-fills missing columns per file) or let a table
+    format carry it in metadata. The row-level machinery this query
+    pins — per-file column resolution + NULL fill in the vectorized
+    reader — is identical in all three, so the correctness story
+    transfers; scan-local, one shuffle for the final aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_evolve_{uuid.uuid4().hex[:12]}"
+    )
+    # generation 0: the pre-evolution writer (3 columns)
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.parquet(os.path.join(root, "gen0"))
+    # generation 1: the post-evolution writer (adds o_orderpriority)
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.parquet(os.path.join(root, "gen1"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    out = (
+        merged.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+    return _materialize_and_clean(spark, out, root)

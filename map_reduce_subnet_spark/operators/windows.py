@@ -358,3 +358,68 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > F.lit(2.5))
         .select("event_id", "event_type", "value", z.alias("z"))
     )
+
+
+@query(
+    "window_rolling_quantiles",
+    oracle="""
+WITH q AS (
+    SELECT event_id, user_id, ts, value,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cv
+    FROM events
+)
+SELECT event_id, user_id, cv,
+       quantile_cont(cv, 0.25) OVER w AS roll_p25,
+       quantile_cont(cv, 0.50) OVER w AS roll_med,
+       quantile_cont(cv, 0.75) OVER w AS roll_p75
+FROM q
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def window_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING QUANTILES over a sliding row frame: per user, the
+    25th/50th/75th percentile of the last 7 events' (centi-quantized)
+    values — the robust-statistics sibling of window_moving_avg, the
+    shape behind rolling-median outlier masks and streaming IQR
+    monitors where a mean would chase the outliers it should flag.
+
+    Exactness, with no tolerance band: the input is quantized to an
+    INTEGER (floor(value·100) — floor of an identical double program
+    is identical) and the probed quantiles are DYADIC (1/4, 1/2,
+    3/4), so every interpolation step — frac = p·(n−1)'s fractional
+    part (dyadic), frac·(b−a) (dyadic × small integer), and the
+    final sum — is EXACT float arithmetic. Exact arithmetic makes
+    the result independent of which algebraically-equivalent
+    interpolation formula each engine uses (a + f·(b−a) vs
+    (1−f)·a + f·b), which is precisely what rounds 1-ulp
+    cross-engine drift off the table. A non-dyadic p (0.9) or raw
+    double inputs would NOT be safe — that is the documented
+    boundary of this pattern.
+
+    Scale shape: one shuffle on user_id, then one Sort +
+    WindowExec evaluating all three quantiles over the SAME frame
+    (one frame buffer, bounded at 7 rows per partition position —
+    constant memory per key, no whole-partition materialization
+    like an unbounded frame would need)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "cv",
+        F.expr("percentile(cv, 0.25)").over(w).alias("roll_p25"),
+        F.expr("percentile(cv, 0.50)").over(w).alias("roll_med"),
+        F.expr("percentile(cv, 0.75)").over(w).alias("roll_p75"),
+    )
