@@ -44,6 +44,9 @@ _SWEEP_PRIORITY = [
     "window_rolling_quantiles",
     "agg_skew_kurtosis",
     "scan_schema_evolution",
+    "text_bpe_merges",
+    "text_hashing_vectorizer",
+    "scan_csv_malformed",
     "table_changefeed",
     "multimodal_decode_jpeg",
     "mv_incremental_refresh",

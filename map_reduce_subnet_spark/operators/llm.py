@@ -4409,3 +4409,208 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("sample_rate"),
     )
+
+
+BPE_N_MERGES = 5
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled-CTE oracle for text_bpe_merges: round t's argmax pair
+    is a scalar subquery into the next round's replace — the
+    dedup_cluster unrolling discipline applied to a LEARNED-artifact
+    loop. Every CTE is MATERIALIZED (each vocab is referenced by the
+    pair count AND the next vocab)."""
+    ctes = [
+        """v0 AS MATERIALIZED (
+    SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS seq, freq FROM (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE len(w) > 0 GROUP BY w)
+)"""
+    ]
+    for t in range(rounds):
+        ctes.append(f"""pc{t} AS MATERIALIZED (
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(s)),
+                      i -> s[i] || '|' || s[i+1])) AS pair, freq
+        FROM (SELECT string_split(substr(seq, 2, len(seq) - 2), '||') AS s,
+                     freq FROM v{t})
+        WHERE len(s) >= 2) GROUP BY pair
+)""")
+        ctes.append(f"""b{t} AS MATERIALIZED (
+    SELECT pair, cnt FROM pc{t} ORDER BY cnt DESC, pair ASC LIMIT 1
+)""")
+        ctes.append(f"""v{t + 1} AS MATERIALIZED (
+    SELECT replace(seq,
+        '|' || (SELECT string_split(pair, '|')[1] FROM b{t}) || '||'
+            || (SELECT string_split(pair, '|')[2] FROM b{t}) || '|',
+        '|' || (SELECT replace(pair, '|', '') FROM b{t}) || '|') AS seq,
+        freq
+    FROM v{t})""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({t + 1} AS BIGINT) AS round,
+       string_split(pair, '|')[1] AS lhs,
+       string_split(pair, '|')[2] AS rhs,
+       replace(pair, '|', '') AS merged,
+       cnt AS pair_count
+FROM b{t}"""
+        for t in range(rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+@query("text_bpe_merges", oracle=_bpe_oracle(BPE_N_MERGES))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-PAIR-ENCODING merge learning (Sennrich et al. 2016 — the
+    tokenizer-training algorithm behind GPT/Llama vocabularies): the
+    first 5 merge rules learned from the corpus, each row the round's
+    argmax-frequency adjacent symbol pair (count-desc, pair-asc
+    tie-break) and its weighted count. This is the genuinely
+    ITERATIVE LEARNED-ARTIFACT op of a tokenizer pipeline — each
+    round's pair statistics depend on the previous round's merges.
+
+    The classic learner trick makes it tractable at any corpus size:
+    merges are learned over the DISTINCT-WORD vocabulary weighted by
+    word frequency (pair counts are identical to corpus-wide counts
+    because BPE never merges across word boundaries), so per-round
+    cost is O(vocab), not O(corpus), after one corpus tokenize pass.
+
+    The merge step itself is pure string algebra, portable across
+    engines: a word's symbol sequence is encoded with each symbol
+    DOUBLY delimited ('hello' → '|h||e||l||l||o|'), so replacing
+    '|x||y|' with '|xy|' is EXACTLY one greedy left-to-right
+    non-overlapping merge pass — every occurrence carries its own
+    delimiters, so adjacent matches never share a boundary character
+    (a single-separator encoding misses every second match of
+    'b c b c', and raw concatenation merges across symbol
+    boundaries; the double-delimiter form has neither defect, and
+    '|' is provably outside the corpus alphabet — the all-ASCII
+    fixture precondition test pins that). Both engines' replace()
+    are left-to-right non-overlapping, so Spark and the oracle's
+    unrolled 5-round CTE chain walk identical vocab states.
+
+    Scale shape: one corpus tokenize shuffle builds the weighted
+    vocab (checkpointed); each round is one pair-key shuffle with
+    map-side partial SUM + a TakeOrdered(1) — the driver sees ONE
+    row per round (the argmax pair — the learned artifact itself,
+    like the IVF centroid sync), and the vocab update is scan-local.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = stable_checkpoint(
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.regexp_replace("w", "(.)", r"|$1|").alias("seq"), "freq"
+        )
+    )
+    out_schema = (
+        "round long, lhs string, rhs string, merged string, "
+        "pair_count long"
+    )
+    merges = []
+    for t in range(BPE_N_MERGES):
+        s = F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), r"\|\|"
+        )
+        pairs = (
+            vocab.withColumn("s", s)
+            .where(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> concat(element_at(s, i), '|', "
+                        "element_at(s, i + 1)))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # empty/degenerate corpus: no pairs to merge
+            break
+        pair, cnt = best[0]["pair"], best[0]["cnt"]
+        x, y = pair.split("|")
+        merges.append((t + 1, x, y, x + y, cnt))
+        vocab = stable_checkpoint(
+            vocab.select(
+                F.replace(
+                    F.col("seq"),
+                    F.lit(f"|{x}||{y}|"),
+                    F.lit(f"|{x}{y}|"),
+                ).alias("seq"),
+                "freq",
+            )
+        )
+    return spark.createDataFrame(merges, out_schema)
+
+
+@query(
+    "text_hashing_vectorizer",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+), hashed AS (
+    SELECT doc_id,
+           CAST({tx.sql_portable_hash60('w')} % 64 AS BIGINT) AS dim
+    FROM tok WHERE len(w) > 0
+), sparse AS (
+    SELECT doc_id, dim, COUNT(*) AS cnt
+    FROM hashed GROUP BY doc_id, dim
+)
+SELECT doc_id, dim, cnt,
+       sqrt(CAST(SUM(cnt * cnt) OVER (PARTITION BY doc_id) AS DOUBLE))
+           AS doc_l2
+FROM sparse
+""",
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the "hashing trick", Weinberger et al. 2009 —
+    sklearn's HashingVectorizer): every token maps to one of 64 fixed
+    dimensions via the portable md5 hash, per-doc counts become a
+    fixed-width sparse vector with no vocabulary to build, ship, or
+    broadcast — the stateless featurization that feeds linear
+    probes / quality classifiers over a 100 TB corpus where an exact
+    vocabulary (text_term_freq's shape) would itself be a giant
+    distributed artifact. Emitted sparse (doc_id, dim, cnt) with each
+    doc's L2 norm alongside (sqrt of an exact integer sum-of-squares
+    — identical in both engines) ready for cosine normalization.
+
+    Scale shape: tokenize + hash are scan-local (no dictionary, the
+    whole point), ONE shuffle on (doc_id, dim) with map-side partial
+    counts, then a per-doc window on the already-partitioned sparse
+    frame. Collisions are the accepted trade of the trick (64 dims
+    here keeps the fixture's collision structure interesting); a
+    deployment sizes dims to 2^18+ and adds a second sign hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sparse = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .select(
+            "doc_id",
+            (tx.portable_hash60(F.col("w")) % 64).alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    return sparse.select(
+        "doc_id",
+        "dim",
+        "cnt",
+        F.sqrt(
+            F.sum(F.col("cnt") * F.col("cnt")).over(wdoc).cast("double")
+        ).alias("doc_l2"),
+    )

@@ -910,3 +910,106 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _materialize_and_clean(spark, out, root)
+
+
+@query(
+    "scan_csv_malformed",
+    oracle=f"""
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropmalformed,
+       {sql_dsum('CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END')}
+           AS sum_price_good,
+       TRUE AS failfast_raises
+FROM orders
+""",
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-RECORD handling across the CSV reader's three parse
+    modes — the dirty-ingest contract every real pipeline hits before
+    its first clean batch. A scratch CSV is laid down DISTRIBUTEDLY
+    (rows rendered to text executor-side — no driver materialization)
+    with every 7th order's price field deterministically corrupted to
+    a non-numeric token, then:
+
+    - **PERMISSIVE** (default): corrupt rows survive with NULL
+      fields + the raw line captured in the
+      ``columnNameOfCorruptRecord`` column — counted, and the good
+      rows' price sum must match recomputing the same %7 program on
+      the source table (nothing dropped, nothing double-read);
+    - **DROPMALFORMED**: row count must equal exactly the good rows;
+    - **FAILFAST**: the read must RAISE (pinned as a boolean — the
+      mode a pipeline uses when corruption means stop-the-world).
+
+    Scale notes: mode handling is per-record inside the distributed
+    parse — no driver involvement, no second pass (contrast
+    inferSchema); the corrupt-record column materializes only rows
+    that fail the schema, so the memory cost tracks the corruption
+    rate, not the table. The caveat the docs bury: Spark requires the
+    corrupt-record column present in the declared schema, and
+    DROPMALFORMED counts need an action over the full parse — both
+    exercised here."""
+    o = load_table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_badcsv_{uuid.uuid4().hex[:12]}"
+    )
+    price_field = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("notanumber")
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            price_field,
+        ).alias("value")
+    ).write.text(root)
+    schema = (
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "_bad string"
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(root)
+    )
+    agg = permissive.agg(
+        F.count("*").alias("n_total"),
+        F.count("_bad").alias("n_corrupt"),
+        dsum("o_totalprice", "sum_price_good"),
+    )
+    # CSV malformed-detection only sees the columns the parser is
+    # asked for: a bare .count() (or any aggregate Catalyst can
+    # rewrite to count(*) — count(coalesce(c, 0)) included) prunes
+    # every column, parses nothing, and drops nothing. count(c) is
+    # the minimal aggregate that genuinely REQUIRES the corruptible
+    # column, forcing the parse DROPMALFORMED needs; surviving rows
+    # always carry a non-NULL price, so count(c) = surviving rows.
+    # This pruning interaction is exactly the caveat pinned here.
+    dropped = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double"
+        )
+        .option("mode", "DROPMALFORMED")
+        .csv(root)
+        .agg(F.count("o_totalprice").alias("c"))
+        .collect()[0]["c"]
+    )
+    try:
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double"
+        ).option("mode", "FAILFAST").csv(root).collect()
+        failfast_raises = False
+    except Exception:
+        failfast_raises = True
+    out = agg.select(
+        "n_total",
+        "n_corrupt",
+        F.lit(dropped).cast("long").alias("n_dropmalformed"),
+        "sum_price_good",
+        F.lit(failfast_raises).alias("failfast_raises"),
+    )
+    return _materialize_and_clean(spark, out, root)

@@ -959,3 +959,82 @@ def test_fixture_text_is_pure_ascii():
     texts = pq.read_table(f"{SF_DIR}/documents.parquet")["text"].to_pylist()
     for t in texts:
         t.encode("ascii")  # raises UnicodeEncodeError on violation
+
+
+def test_bpe_merges_match_pure_python_reference(spark):
+    """text_bpe_merges equals a straightforward pure-python BPE
+    learner (dict-of-tuples vocab, greedy left-to-right merge) on the
+    smoke fixture — pinning the double-delimiter string-replace
+    encoding against an implementation with no string tricks at all."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from map_reduce_subnet_spark.operators.llm import (
+        BPE_N_MERGES,
+        text_bpe_merges,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).column("text").to_pylist()
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[tuple(w)] += 1
+    expected = []
+    for rnd in range(1, BPE_N_MERGES + 1):
+        pc = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq
+        if not pc:
+            break
+        # count desc, pair asc — the engine tie-break
+        (x, y), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rnd, x, y, x + y, cnt))
+        merged = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == x
+                    and syms[i + 1] == y
+                ):
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + freq
+        vocab = merged
+    got = [
+        (r.round, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in text_bpe_merges(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_double_delimiter_algebra():
+    """The three cases that break naive encodings: adjacent matches
+    (single-separator misses every second one), tail collision, and
+    prefix collision (raw/single-sided encodings merge across symbol
+    boundaries)."""
+    def wrap(syms):
+        return "".join(f"|{s}|" for s in syms)
+
+    def merge(seq, x, y):
+        return seq.replace(f"|{x}||{y}|", f"|{x}{y}|")
+
+    # adjacent occurrences both merge in ONE pass
+    assert merge(wrap("bcbc"), "b", "c") == wrap(["bc", "bc"])
+    # 'a' tail of 'xa' must not match
+    assert merge(wrap(["xa", "b"]), "a", "b") == wrap(["xa", "b"])
+    # 'b' prefix of 'bc' must not match
+    assert merge(wrap(["a", "bc"]), "a", "b") == wrap(["a", "bc"])
+    # overlapping triple merges greedily left-to-right
+    assert merge(wrap("aaa"), "a", "a") == wrap(["aa", "a"])
