@@ -47,6 +47,8 @@ _SWEEP_PRIORITY = [
     "text_bpe_merges",
     "text_hashing_vectorizer",
     "scan_csv_malformed",
+    "join_point_in_time",
+    "pipeline_curation_e2e",
     "table_changefeed",
     "multimodal_decode_jpeg",
     "mv_incremental_refresh",

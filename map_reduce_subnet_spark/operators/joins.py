@@ -804,3 +804,95 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frames stopped sharing the sort"
         )
     return out
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+WITH hist AS (
+    SELECT user_id, event_id AS state_event_id, value AS state_value,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           LEAD(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to_us
+    FROM events WHERE event_type <> 'purchase'
+), probes AS (
+    SELECT user_id, event_id AS probe_event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS probe_ts_us
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.probe_event_id, p.user_id, p.probe_ts_us,
+       h.state_event_id, h.state_value,
+       h.state_event_id IS NOT NULL AS has_state
+FROM probes p
+LEFT JOIN hist h
+  ON h.user_id = p.user_id
+ AND h.valid_from_us <= p.probe_ts_us
+ AND (h.valid_to_us IS NULL OR p.probe_ts_us < h.valid_to_us)
+""",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME JOIN against SCD2 history — the feature-store
+    correctness primitive ("what was this user's state when the
+    purchase happened?") that prevents feature leakage from the
+    future: every purchase event is joined to the ONE non-purchase
+    state row whose [valid_from, valid_to) interval covers the
+    purchase timestamp, NULL state (kept, flagged) when the purchase
+    predates any state. The interval build is merge_scd2_history's
+    single-LEAD window; the dual of join_asof (as-of picks the
+    nearest past row from a sorted stream each probe, PIT picks the
+    covering interval from a versioned dimension — same semantics
+    when intervals tile time, but SCD2 history also survives
+    deletes/corrections because intervals are explicit).
+
+    Zero-width intervals (two state changes sharing a timestamp)
+    disambiguate themselves: [t, t) covers nothing, so the later
+    change wins — each probe matches AT MOST one row by
+    construction, no post-join dedup needed.
+
+    Scale shape: both sides shuffle ONCE on user_id; the interval
+    predicate rides the equi-join as a residual filter (per-user
+    history is the small side locally — no range-join blowup, no
+    broadcast needed, and AQE handles skewed users). At 100 TB this
+    is the plan you want: the alternative binned-range join
+    (join_asof_binned) only pays off when a single key's history
+    outgrows a partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "state_event_id")
+    hist = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("state_event_id"),
+            F.col("value").alias("state_value"),
+            F.unix_micros(F.col("ts")).alias("valid_from_us"),
+            "ts",
+        )
+        .withColumn(
+            "valid_to_us", F.lead("valid_from_us").over(w)
+        )
+        .drop("ts")
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("probe_event_id"),
+        F.unix_micros(F.col("ts")).alias("probe_ts_us"),
+    )
+    joined = probes.join(
+        hist,
+        (probes["user_id"] == hist["user_id"])
+        & (F.col("valid_from_us") <= F.col("probe_ts_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("probe_ts_us") < F.col("valid_to_us"))
+        ),
+        "left",
+    )
+    return joined.select(
+        "probe_event_id",
+        probes["user_id"].alias("user_id"),
+        "probe_ts_us",
+        "state_event_id",
+        "state_value",
+        F.col("state_event_id").isNotNull().alias("has_state"),
+    )

@@ -2244,24 +2244,29 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash family: changing the family changes the tag, so an old
     cache can never serve the previous family's drop set.
     """
+    d = load_table(spark, sf_dir, "documents")
+    drops = _dropset_cached(spark, sf_dir)
+    return d.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _dropset_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup drop set (non-survivor doc_ids), materialized ONCE
+    per fixture — see dedup_survivors for the caching rationale; also
+    consumed by pipeline_curation_e2e as its corpus-wide kill-list."""
     from map_reduce_subnet_spark.functions.cache import (
         fixture_cache_dir,
         is_cached,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     cache = fixture_cache_dir(sf_dir, "documents", "dropset_mh2")
-    if is_cached(cache):
-        drops = spark.read.schema("doc_id long").parquet(cache)
-    else:
+    if not is_cached(cache):
         pairs = _candidate_pairs_cached(spark, sf_dir)
         survivor_drops(connected_components(pairs)).write.mode(
             "overwrite"
         ).parquet(cache)
-        drops = spark.read.schema("doc_id long").parquet(cache)
-    return d.join(F.broadcast(drops), "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return spark.read.schema("doc_id long").parquet(cache)
 
 
 @query(
@@ -4613,4 +4618,142 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(
             F.sum(F.col("cnt") * F.col("cnt")).over(wdoc).cast("double")
         ).alias("doc_l2"),
+    )
+
+
+def _curation_oracle() -> str:
+    k = DEDUP_CLUSTER_MAX_ITERS
+    return f"""
+WITH {_minhash_ctes()},
+{_cluster_ctes(k)},
+drops AS MATERIALIZED (
+    SELECT id AS doc_id FROM l{k} WHERE id <> label
+),
+base AS (
+    SELECT doc_id, source, text,
+           len(string_split(text, ' ')) AS wc,
+           len(text) AS cl
+    FROM documents
+), q AS (
+    SELECT doc_id, source, text FROM base
+    WHERE wc BETWEEN 20 AND 90
+      AND 3 * wc <= cl - wc + 1 AND cl - wc + 1 <= 8 * wc
+), ex AS (
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(array_to_string(
+                       string_split(text, ' ')[1:30], ' '))
+                   ORDER BY doc_id
+               ) AS rn
+        FROM q
+    ) WHERE rn = 1
+), fin AS (
+    SELECT e.doc_id, e.source FROM ex e
+    LEFT JOIN drops dr ON dr.doc_id = e.doc_id
+    WHERE dr.doc_id IS NULL
+), raw_c AS (
+    SELECT source, COUNT(*) AS n_raw FROM base GROUP BY source
+), q_c AS (
+    SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source
+), ex_c AS (
+    SELECT source, COUNT(*) AS n_exact FROM ex GROUP BY source
+), fin_c AS (
+    SELECT source, COUNT(*) AS n_final FROM fin GROUP BY source
+)
+SELECT r.source, r.n_raw,
+       COALESCE(q_c.n_quality, CAST(0 AS BIGINT)) AS n_quality,
+       COALESCE(ex_c.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+       COALESCE(fin_c.n_final, CAST(0 AS BIGINT)) AS n_final,
+       CAST(COALESCE(fin_c.n_final, CAST(0 AS BIGINT)) AS DOUBLE)
+           / CAST(r.n_raw AS DOUBLE) AS retention
+FROM raw_c r
+LEFT JOIN q_c ON q_c.source = r.source
+LEFT JOIN ex_c ON ex_c.source = r.source
+LEFT JOIN fin_c ON fin_c.source = r.source
+"""
+
+
+@query("pipeline_curation_e2e", oracle=_curation_oracle())
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data CURATION FUNNEL, composed from
+    the engine's own stages the way a production corpus build chains
+    them — per source, how many documents survive each gate:
+
+    1. **Quality** (scan-local integer rules): word count in
+       [20, 90] and mean word length in [3, 8] — the mean spelled as
+       two integer inequalities (3·wc ≤ chars_in_words ≤ 8·wc), so
+       the gate is exact on both engines with no division at all.
+    2. **Exact head-dedup**: one survivor (min doc_id) per md5 of
+       the first 30 words — the boilerplate-prefix kill that plain
+       whole-text hashing misses (this corpus has zero whole-text
+       dups but 19+ prefix dups at sf0.01: normalization is what
+       makes "exact" dedup bite in practice).
+    3. **Near-dup drop list**: the corpus-wide MinHash→components
+       kill-list (_dropset_cached — computed ONCE per corpus, the
+       artifact discipline real dedup pipelines use) applied as a
+       broadcast anti-join. Deliberately corpus-global rather than
+       recomputed per funnel run: dedup lists are expensive
+       corpus-level artifacts consumed by every downstream curation,
+       and applying them after cheaper gates is the standard order.
+
+    The oracle recomputes all three gates INCLUDING the full
+    MinHash + 20-round label-propagation chain — one hash match
+    certifies the entire funnel, not just its last stage.
+
+    Scale shape: quality is scan-local; head-dedup is one shuffle on
+    the 16-byte fingerprint (not the text); the drop list broadcasts
+    (duplicates are the exception at any scale); the four funnel
+    counts are partial-agg'd rollups on the tiny source key. Total:
+    two corpus shuffles end to end. Grounding: the reference
+    validator's filter→score→normalize→sink loop
+    (neurons/validator.py:134-163) is this funnel's one-node
+    ancestor."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = F.size(F.split(F.col("text"), " "))
+    cl = F.length("text")
+    cw = cl - wc + F.lit(1)
+    base = d.select("doc_id", "source", "text", wc.alias("wc"), cl.alias("cl"))
+    q = base.where(
+        F.col("wc").between(20, 90)
+        & (F.lit(3) * F.col("wc") <= F.col("cl") - F.col("wc") + 1)
+        & (F.col("cl") - F.col("wc") + 1 <= F.lit(8) * F.col("wc"))
+    ).select("doc_id", "source", "text")
+    fp = F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " ")
+    )
+    ex = (
+        q.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(fp).orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
+    fin = ex.join(
+        F.broadcast(_dropset_cached(spark, sf_dir)), "doc_id", "left_anti"
+    )
+
+    def counts(frame, name):
+        return frame.groupBy("source").agg(F.count("*").alias(name))
+
+    zero = F.lit(0).cast("long")
+    out = (
+        counts(base, "n_raw")
+        .join(counts(q, "n_quality"), "source", "left")
+        .join(counts(ex, "n_exact"), "source", "left")
+        .join(counts(fin, "n_final"), "source", "left")
+    )
+    return out.select(
+        "source",
+        "n_raw",
+        F.coalesce("n_quality", zero).alias("n_quality"),
+        F.coalesce("n_exact", zero).alias("n_exact"),
+        F.coalesce("n_final", zero).alias("n_final"),
+        (
+            F.coalesce("n_final", zero).cast("double")
+            / F.col("n_raw").cast("double")
+        ).alias("retention"),
     )
