@@ -49,6 +49,7 @@ _SWEEP_PRIORITY = [
     "scan_csv_malformed",
     "join_point_in_time",
     "pipeline_curation_e2e",
+    "text_lm_bigram_score",
     "table_changefeed",
     "multimodal_decode_jpeg",
     "mv_incremental_refresh",

@@ -4778,3 +4778,137 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_raw").cast("double")
         ).alias("retention"),
     )
+
+
+def _lm_bigram_oracle() -> str:
+    """DuckDB oracle for text_lm_bigram_score — the unigram oracle's
+    portable-ln CTE-chain pattern over the smoothed bigram ratio
+    (c12+1)/(c1+V)."""
+    from map_reduce_subnet_spark.functions.stable import portable_ln_stages
+
+    stages = list(
+        zip(
+            portable_ln_stages("nm", "a_", "duckdb"),
+            portable_ln_stages("dn", "b_", "duckdb"),
+        )
+    )
+    ctes = []
+    prev = "base"
+    for i, ((an, ae), (bn, be)) in enumerate(stages):
+        name = f"p{i}"
+        ctes.append(
+            f"{name} AS (SELECT *, {ae} AS {an}, {be} AS {bn} FROM {prev})"
+        )
+        prev = name
+    chain = ",\n".join(ctes)
+    return f"""
+WITH tokarr AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+    SELECT doc_id, unnest(w) AS word FROM tokarr
+), big AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+        SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM tokarr WHERE len(w) >= 2)
+), c12 AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), c1 AS (
+    SELECT word AS w1, COUNT(*) AS c1 FROM toks GROUP BY word
+), vocab AS (
+    SELECT COUNT(DISTINCT word) AS v FROM toks
+), base AS (
+    SELECT b.doc_id,
+           c12.c12 + CAST(1 AS BIGINT) AS nm,
+           c1.c1 + vocab.v AS dn
+    FROM big b
+    JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+    JOIN c1 ON c1.w1 = b.w1
+    CROSS JOIN vocab
+),
+{chain}
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST((a_ln - b_ln) AS DECIMAL(27,6))) AS DOUBLE)
+           / COUNT(*) AS avg_logprob
+FROM {prev}
+GROUP BY doc_id
+ORDER BY avg_logprob ASC, doc_id ASC
+LIMIT 20
+"""
+
+
+@query("text_lm_bigram_score", oracle=_lm_bigram_oracle())
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM language-model quality scoring — the context-aware
+    upgrade of text_lm_unigram_score (CCNet scores with a 5-gram LM;
+    the bigram is the smallest model that already separates "right
+    words, wrong order" from fluent text, which a unigram LM cannot
+    see by construction): per document, the mean log of the add-one
+    smoothed conditional P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) over its
+    bigrams, surfacing the 20 least-fluent documents. Both log
+    arguments are positive BIGINTs, so the PORTABLE ln applies to
+    each side directly and the scores are hash-exact across engines —
+    the same promotion that took the unigram scorer off rows-only in
+    r8, here by construction rather than retrofit.
+
+    Scale shape: one tokenize pass feeds three count artifacts —
+    bigram counts (shuffle on the (w1,w2) key, map-side combined),
+    unigram counts (shuffle on w1), and the 1-row vocabulary size
+    (broadcast). Scoring joins each doc's bigram stream to the two
+    dictionaries (right sides are one row per vocab entry — hot
+    contexts multiply nothing) and decimal-quantizes each per-bigram
+    log-prob so the per-doc sum is order-independent at any
+    parallelism. The count dictionaries ARE the trained model; a
+    deployment persists them exactly like the MinHash signature
+    table."""
+    from map_reduce_subnet_spark.functions.stable import (
+        SUM_DECIMAL,
+        portable_ln_stages,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    arr = d.select("doc_id", F.split("text", " ").alias("w"))
+    toks = arr.select("doc_id", F.explode("w").alias("word"))
+    big = (
+        arr.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = toks.groupBy("word").agg(F.count("*").alias("c1"))
+    vocab = toks.agg(F.countDistinct("word").alias("v"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1.withColumnRenamed("word", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (F.col("c12") + F.lit(1).cast("long")).alias("nm"),
+            (F.col("c1") + F.col("v")).alias("dn"),
+        )
+    )
+    for name, expr in portable_ln_stages(
+        "nm", "a_", "spark"
+    ) + portable_ln_stages("dn", "b_", "spark"):
+        scored = scored.withColumn(name, F.expr(expr))
+    lnp = F.col("a_ln") - F.col("b_ln")
+    return (
+        scored.select("doc_id", lnp.alias("lnp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum(F.col("lnp").cast(SUM_DECIMAL)).cast("double")
+                / F.count("*")
+            ).alias("avg_logprob"),
+        )
+        .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+        .limit(20)
+    )
