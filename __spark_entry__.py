@@ -50,6 +50,7 @@ _SWEEP_PRIORITY = [
     "join_point_in_time",
     "pipeline_curation_e2e",
     "text_lm_bigram_score",
+    "agg_mutual_information",
     "table_changefeed",
     "multimodal_decode_jpeg",
     "mv_incremental_refresh",

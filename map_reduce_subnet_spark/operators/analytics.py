@@ -851,3 +851,138 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pernode.unionByName(totals)
+
+
+def _mi_oracle() -> str:
+    from map_reduce_subnet_spark.functions.stable import portable_ln_stages
+
+    stages = list(
+        zip(
+            portable_ln_stages("nm", "a_", "duckdb"),
+            portable_ln_stages("dn", "b_", "duckdb"),
+        )
+    )
+    ctes = []
+    prev = "joined"
+    for i, ((an, ae), (bn, be)) in enumerate(stages):
+        name = f"p{i}"
+        ctes.append(
+            f"{name} AS (SELECT *, {ae} AS {an}, {be} AS {bn} FROM {prev})"
+        )
+        prev = name
+    chain = ",\n".join(ctes)
+    return f"""
+WITH cells AS (
+    SELECT event_type AS et, CAST(user_id % 8 AS BIGINT) AS bucket,
+           COUNT(*) AS c_xy
+    FROM events GROUP BY 1, 2
+), cx AS (
+    SELECT et, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY et
+), cy AS (
+    SELECT bucket, CAST(SUM(c_xy) AS BIGINT) AS c_y
+    FROM cells GROUP BY bucket
+), tot AS (
+    SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM cells
+), joined AS (
+    SELECT c.et, c.bucket, c.c_xy,
+           c.c_xy * t.n AS nm, cx.c_x * cy.c_y AS dn, t.n AS n
+    FROM cells c
+    JOIN cx ON cx.et = c.et
+    JOIN cy ON cy.bucket = c.bucket
+    CROSS JOIN tot t
+),
+{chain},
+scored AS (
+    SELECT et, bucket, c_xy, (a_ln - b_ln) AS pmi,
+           (CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE)) * (a_ln - b_ln)
+               AS contrib
+    FROM {prev}
+)
+SELECT et, bucket, c_xy, pmi FROM scored
+UNION ALL
+SELECT '__all__' AS et, CAST(-1 AS BIGINT) AS bucket,
+       (SELECT n FROM tot) AS c_xy,
+       (SELECT list_reduce(list(contrib ORDER BY et, bucket),
+                           (acc, x) -> acc + x)
+        FROM scored) AS pmi
+"""
+
+
+@query("agg_mutual_information", oracle=_mi_oracle())
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between event type and user cohort
+    (user_id % 8) — the dependence diagnostic a feature pipeline runs
+    before trusting two columns as independent (feature selection,
+    leakage hunts, stratification checks): per contingency cell its
+    pointwise MI ln(p(x,y) / (p(x)p(y))), plus a sentinel row
+    ('__all__', -1) carrying the full MI Σ p(x,y)·PMI in nats.
+
+    Hash-exact across engines, twice over: each cell's PMI is
+    ln(c_xy·N) − ln(c_x·c_y) — both arguments positive BIGINTs
+    (products < 2^63 at any realistic scale), so the PORTABLE ln
+    applies directly; and the cross-cell MI sum — 24 float terms
+    whose addition order engines would otherwise choose differently —
+    is a SORTED FOLD (collect, sort by cell key, reduce left-to-
+    right), the exactness trick for small float reductions where
+    decimal quantization would re-introduce the double→decimal
+    rounding trap on computed doubles (the agg_skew_kurtosis lesson).
+
+    Scale shape: ONE shuffle builds the contingency cells with
+    map-side partial counts; margins and the fold run on the
+    |X|·|Y|-cell frame (24 rows — driver-free, but trivially sized),
+    which is the standard two-level rollup any MI job uses at 100 TB.
+    """
+    from map_reduce_subnet_spark.functions.stable import (
+        portable_ln_stages,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.col("user_id") % 8).cast("long").alias("bucket"),
+    ).agg(F.count("*").alias("c_xy"))
+    cx = cells.groupBy("et").agg(F.sum("c_xy").alias("c_x"))
+    cy = cells.groupBy("bucket").agg(F.sum("c_xy").alias("c_y"))
+    tot = cells.agg(F.sum("c_xy").alias("n"))
+    joined = (
+        cells.join(cx, "et")
+        .join(cy, "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "et",
+            "bucket",
+            "c_xy",
+            (F.col("c_xy") * F.col("n")).alias("nm"),
+            (F.col("c_x") * F.col("c_y")).alias("dn"),
+            "n",
+        )
+    )
+    for name, expr in portable_ln_stages(
+        "nm", "a_", "spark"
+    ) + portable_ln_stages("dn", "b_", "spark"):
+        joined = joined.withColumn(name, F.expr(expr))
+    scored = joined.select(
+        "et",
+        "bucket",
+        "c_xy",
+        (F.col("a_ln") - F.col("b_ln")).alias("pmi"),
+        (
+            (F.col("c_xy").cast("double") / F.col("n").cast("double"))
+            * (F.col("a_ln") - F.col("b_ln"))
+        ).alias("contrib"),
+        "n",
+    )
+    total = scored.agg(
+        F.max("n").alias("n"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(et, bucket, contrib))), s -> s.contrib), "
+            "cast(0 as double), (acc, x) -> acc + x)"
+        ).alias("mi"),
+    ).select(
+        F.lit("__all__").alias("et"),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.col("n").alias("c_xy"),
+        F.col("mi").alias("pmi"),
+    )
+    return scored.select("et", "bucket", "c_xy", "pmi").unionByName(total)
