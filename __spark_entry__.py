@@ -51,6 +51,7 @@ _SWEEP_PRIORITY = [
     "pipeline_curation_e2e",
     "text_lm_bigram_score",
     "agg_mutual_information",
+    "stream_pit_join_true",
     "table_changefeed",
     "multimodal_decode_jpeg",
     "mv_incremental_refresh",

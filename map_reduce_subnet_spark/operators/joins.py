@@ -806,9 +806,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "join_point_in_time",
-    oracle="""
+PIT_ORACLE = """
 WITH hist AS (
     SELECT user_id, event_id AS state_event_id, value AS state_value,
            CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
@@ -829,8 +827,10 @@ LEFT JOIN hist h
   ON h.user_id = p.user_id
  AND h.valid_from_us <= p.probe_ts_us
  AND (h.valid_to_us IS NULL OR p.probe_ts_us < h.valid_to_us)
-""",
-)
+"""
+
+
+@query("join_point_in_time", oracle=PIT_ORACLE)
 def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT-IN-TIME JOIN against SCD2 history — the feature-store
     correctness primitive ("what was this user's state when the

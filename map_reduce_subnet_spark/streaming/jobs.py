@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DataType,
@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 )
 
 from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
+from map_reduce_subnet_spark.operators.joins import PIT_ORACLE as _PIT_ORACLE
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -1119,3 +1120,64 @@ def stream_tumbling_distinct_true(spark: SparkSession, sf_dir: str) -> DataFrame
             <= tol
         ).alias("approx_ok"),
     )
+
+
+@query("stream_pit_join_true", oracle=_PIT_ORACLE)
+def stream_pit_join_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING point-in-time enrichment, executed as a real stream:
+    each purchase micro-batch joins the STATIC SCD2 state history on
+    user_id with the validity-interval residual — the online half of
+    join_point_in_time, and exactly how a feature store serves
+    training-consistent features to a live scorer (the offline PIT
+    join and this online path must agree row-for-row, which is what
+    sharing the SAME SQL oracle proves). Stateless stream-static
+    LEFT join: no watermark, no state store, deterministic output —
+    so this live job carries the full batch oracle.
+
+    Scale shape: the stream never shuffles (the static side hashes
+    per batch); the interval predicate rides the join as a residual
+    filter. The history frame here derives from the same fixture scan
+    per micro-batch — a deployment materializes it (the
+    _signatures_cached discipline) and broadcast-refreshes on a
+    cadence, which changes freshness, not semantics."""
+    ev_static = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("h_user").orderBy("ts", "state_event_id")
+    hist = (
+        ev_static.where(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("h_user"),
+            F.col("event_id").alias("state_event_id"),
+            F.col("value").alias("state_value"),
+            F.unix_micros(F.col("ts")).alias("valid_from_us"),
+            "ts",
+        )
+        .withColumn("valid_to_us", F.lead("valid_from_us").over(w))
+        .drop("ts")
+    )
+    probes = (
+        _read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("probe_event_id"),
+            F.unix_micros(F.col("ts")).alias("probe_ts_us"),
+        )
+    )
+    joined = probes.join(
+        hist,
+        (probes["user_id"] == hist["h_user"])
+        & (F.col("valid_from_us") <= F.col("probe_ts_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("probe_ts_us") < F.col("valid_to_us"))
+        ),
+        "left",
+    ).select(
+        "probe_event_id",
+        "user_id",
+        "probe_ts_us",
+        "state_event_id",
+        "state_value",
+        F.col("state_event_id").isNotNull().alias("has_state"),
+    )
+    return _run_to_memory(joined, spark)
