@@ -986,3 +986,104 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mi").alias("pmi"),
     )
     return scored.select("et", "bucket", "c_xy", "pmi").unionByName(total)
+
+
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 20
+
+
+def _kcore_oracle(rounds: int, k: int) -> str:
+    from map_reduce_subnet_spark.operators.llm import _minhash_ctes
+
+    ctes = [
+        """e0 AS MATERIALIZED (
+    SELECT a_id AS src, b_id AS dst FROM mh_pairs
+    UNION ALL SELECT b_id AS src, a_id AS dst FROM mh_pairs)"""
+    ]
+    for t in range(rounds):
+        ctes.append(f"""a{t} AS MATERIALIZED (
+    SELECT src FROM e{t} GROUP BY src HAVING COUNT(*) >= {k})""")
+        ctes.append(f"""e{t + 1} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{t} e
+    JOIN a{t} x ON e.src = x.src
+    JOIN a{t} y ON e.dst = y.src)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {_minhash_ctes()},
+{joined}
+SELECT src AS node_id, COUNT(*) AS core_deg
+FROM e{rounds} GROUP BY src
+"""
+
+
+@query("graph_kcore", oracle=_kcore_oracle(KCORE_MAX_ROUNDS, KCORE_K))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-CORE of the MinHash candidate graph — iterative degree
+    peeling (Matula-Beck): repeatedly delete nodes with fewer than 2
+    surviving neighbors until a fixpoint; what remains is the maximal
+    subgraph where every node keeps >=2 in-core neighbors, with its
+    in-core degree. On a dedup candidate graph the 2-core is the
+    CYCLE-BEARING part — nodes held by at least two independent
+    duplicate relations — while the peeled fringe is the
+    hub-and-spoke / chain periphery a conservative dedup pass treats
+    with less confidence; the peel is also the standard preprocessor
+    before clique-ish analyses (graph_triangle_count's triangles all
+    live inside the 2-core, by definition). Completes the graph
+    family: centrality (pagerank), components (dedup_cluster),
+    closure (triangles), and now coreness.
+
+    Iteration discipline = dedup_cluster's: each round is one
+    distributed degree count + two semi-joins, the frame is
+    checkpointed per round (flat lineage), the driver reads ONE
+    scalar (surviving-edge count — monotone non-increasing, so an
+    unchanged count IS the fixpoint), and round exhaustion without a
+    fixpoint RAISES rather than emitting a half-peeled core. The
+    oracle unrolls the bounded peel into MATERIALIZED CTE rounds —
+    past-fixpoint rounds are no-ops, so the unroll is exact.
+
+    Scale shape per round: one shuffle on the node key for degrees +
+    semi-joins that reuse the same partitioning; O(edges) per round,
+    O(log-ish peel depth) rounds on real graphs. Capped bucket widths
+    bound the degree distribution, so no round has a hot reducer."""
+    from map_reduce_subnet_spark.functions.checkpoint import (
+        stable_checkpoint,
+    )
+    from map_reduce_subnet_spark.operators.llm import (
+        _candidate_pairs_cached,
+    )
+
+    pairs = _candidate_pairs_cached(spark, sf_dir)
+    edges = stable_checkpoint(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(
+            pairs.select(
+                F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+            )
+        )
+    )
+    prev_edges = None
+    for _ in range(KCORE_MAX_ROUNDS):
+        alive = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        edges = stable_checkpoint(
+            edges.join(alive, "src", "left_semi").join(
+                alive.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+        )
+        n = edges.count()
+        if n == prev_edges:
+            break
+        prev_edges = n
+    else:
+        raise RuntimeError(
+            f"graph_kcore did not reach a fixpoint in {KCORE_MAX_ROUNDS} "
+            "rounds — peel depth exceeds the unrolled oracle; raising "
+            "rather than emitting a half-peeled core"
+        )
+    return edges.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("core_deg")
+    )

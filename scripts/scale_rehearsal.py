@@ -72,6 +72,19 @@ QUERY_SET = [
     "table_changefeed",
     "merge_scd2_history",
     "merge_upsert",
+    # r8 second session: the learned-artifact + composition family.
+    # 10x questions: BPE's per-round pair shuffle grows with the
+    # DISTINCT-WORD vocab (sub-linear in corpus — the learner trick's
+    # whole point); the curation funnel composes three gates and the
+    # corpus-wide drop list (drop set grows ~x45 on the duplicate-
+    # heavy fixture — does the broadcast anti-join hold?); triangle
+    # counting's wedge cost is O(sum deg^2) with capped degrees on a
+    # pair graph that grows ~x45; the bigram LM joins the corpus to
+    # two count dictionaries whose hot keys multiply nothing.
+    "text_bpe_merges",
+    "pipeline_curation_e2e",
+    "graph_triangle_count",
+    "text_lm_bigram_score",
 ]
 
 COPY_TABLES = [

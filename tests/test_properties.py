@@ -448,3 +448,41 @@ def test_portable_ln_bit_identical_across_engines(spark, ddb):
         assert struct.pack("<d", r["x_ln"]) == struct.pack(
             "<d", portable_ln_py(int(r["x"]))
         ), f"spark ln({r['x']}) diverged"
+
+
+def test_kcore_matches_python_peel(spark):
+    """graph_kcore vs a plain-python Matula-Beck peel over the SAME
+    candidate-pair edge list: the surviving node set and every
+    in-core degree must agree exactly. Also pins the pair table's
+    a<b uniqueness, which the COUNT(*)-as-degree arithmetic assumes."""
+    from map_reduce_subnet_spark.operators import QUERIES
+    from map_reduce_subnet_spark.operators.analytics import KCORE_K
+    from map_reduce_subnet_spark.operators.llm import (
+        _candidate_pairs_cached,
+    )
+
+    got = {
+        int(r["node_id"]): int(r["core_deg"])
+        for r in QUERIES["graph_kcore"](spark, SF_DIR).collect()
+    }
+    pairs = [
+        (int(r["a_id"]), int(r["b_id"]))
+        for r in _candidate_pairs_cached(spark, SF_DIR).collect()
+    ]
+    assert len(pairs) == len(set(pairs)), "pair table has duplicates"
+    assert all(a < b for a, b in pairs), "pair table not canonical a<b"
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if n in adj and len(adj[n]) < KCORE_K:
+                for m in adj.pop(n):
+                    if m in adj:
+                        adj[m].discard(n)
+                changed = True
+    want = {n: len(neigh) for n, neigh in adj.items()}
+    assert got == want
