@@ -85,6 +85,9 @@ QUERY_SET = [
     "pipeline_curation_e2e",
     "graph_triangle_count",
     "text_lm_bigram_score",
+    # graph_kcore peels the pair graph whose edge count grows ~x45
+    # on the duplicate-heavy fixture; per-round cost is O(edges).
+    "graph_kcore",
 ]
 
 COPY_TABLES = [
