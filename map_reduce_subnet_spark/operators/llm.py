@@ -4440,9 +4440,10 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N_MERGES = 5
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Unrolled-CTE oracle for text_bpe_merges: round t's argmax pair
-    is a scalar subquery into the next round's replace — the
+def _bpe_ctes(rounds: int) -> list[str]:
+    """The v0 → (pc_t, b_t, v_{t+1}) learning chain shared by the
+    text_bpe_merges and text_bpe_encode oracles: round t's argmax
+    pair is a scalar subquery into the next round's replace — the
     dedup_cluster unrolling discipline applied to a LEARNED-artifact
     loop. Every CTE is MATERIALIZED (each vocab is referenced by the
     pair count AND the next vocab)."""
@@ -4473,6 +4474,13 @@ def _bpe_oracle(rounds: int) -> str:
         '|' || (SELECT replace(pair, '|', '') FROM b{t}) || '|') AS seq,
         freq
     FROM v{t})""")
+    return ctes
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """text_bpe_merges oracle: the learning chain, emitting each
+    round's argmax pair row."""
+    ctes = _bpe_ctes(rounds)
     rows = "\nUNION ALL\n".join(
         f"""SELECT CAST({t + 1} AS BIGINT) AS round,
        string_split(pair, '|')[1] AS lhs,
@@ -4521,6 +4529,32 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per round (the argmax pair — the learned artifact itself,
     like the IVF centroid sync), and the vocab update is scan-local.
     """
+    out_schema = (
+        "round long, lhs string, rhs string, merged string, "
+        "pair_count long"
+    )
+    return spark.createDataFrame(
+        _bpe_learned_rules(spark, sf_dir), out_schema
+    )
+
+
+_BPE_RULES_MEMO: dict[str, list[tuple[int, str, str, str, int]]] = {}
+
+
+def _bpe_learned_rules(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the distributed BPE learning loop (text_bpe_merges'
+    docstring documents the algebra) and return the merge rules.
+    Memoized per fixture identity (the trained-centroid discipline:
+    the rules are a deterministic learned artifact of the corpus, so
+    a hit can only serve the identical model) — text_bpe_encode
+    applies the model without re-training it."""
+    from map_reduce_subnet_spark.functions.cache import fixture_cache_dir
+
+    memo_key = fixture_cache_dir(sf_dir, "documents", "bperules")
+    if memo_key in _BPE_RULES_MEMO:
+        return _BPE_RULES_MEMO[memo_key]
     d = load_table(spark, sf_dir, "documents")
     vocab = stable_checkpoint(
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -4531,11 +4565,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("w", "(.)", r"|$1|").alias("seq"), "freq"
         )
     )
-    out_schema = (
-        "round long, lhs string, rhs string, merged string, "
-        "pair_count long"
-    )
-    merges = []
+    merges: list[tuple[int, str, str, str, int]] = []
     for t in range(BPE_N_MERGES):
         s = F.split(
             F.expr("substring(seq, 2, length(seq) - 2)"), r"\|\|"
@@ -4576,7 +4606,108 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "freq",
             )
         )
-    return spark.createDataFrame(merges, out_schema)
+    _BPE_RULES_MEMO[memo_key] = merges
+    return merges
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """text_bpe_encode oracle: re-learn the rules via the shared CTE
+    chain, then apply them to a DISTINCT-WORD encode table joined
+    back to the token stream. The COALESCE(chr(1)) guard makes a
+    round with no learnable pair (empty b_t) a literal no-op replace
+    instead of a NULL-poisoning one, mirroring Spark's early loop
+    break on degenerate corpora."""
+    ctes = _bpe_ctes(rounds)
+    ctes.append("""tok AS MATERIALIZED (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ) WHERE len(w) > 0)""")
+    ctes.append("""e0 AS MATERIALIZED (
+    SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS seq
+    FROM (SELECT DISTINCT w FROM tok))""")
+    for t in range(rounds):
+        ctes.append(f"""e{t + 1} AS MATERIALIZED (
+    SELECT w, replace(seq,
+        COALESCE('|' || (SELECT string_split(pair, '|')[1] FROM b{t})
+            || '||' || (SELECT string_split(pair, '|')[2] FROM b{t})
+            || '|', chr(1)),
+        '|' || COALESCE((SELECT replace(pair, '|', '') FROM b{t}), '')
+            || '|') AS seq
+    FROM e{t})""")
+    nt = (
+        f"len(string_split(substr(e.seq, 2, len(e.seq) - 2), '||'))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT t.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(t.w)) AS BIGINT) AS n_chars,
+       CAST(SUM({nt}) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(t.w)) AS DOUBLE) / CAST(SUM({nt}) AS DOUBLE)
+           AS chars_per_token
+FROM tok t JOIN e{rounds} e USING (w)
+GROUP BY t.doc_id
+"""
+    )
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(BPE_N_MERGES))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization — the APPLY side of text_bpe_merges' training
+    (sklearn's fit/transform split, a tokenizer's train/encode): the
+    learned merge rules encode every document, emitting per-doc word
+    count, character count, post-merge token count and the
+    chars-per-token compression ratio — the fertility metric
+    tokenizer teams track per corpus slice (a slice whose ratio
+    approaches 1.0 is being char-shattered: the vocabulary doesn't
+    fit it, the token budget is being wasted, and downstream quality
+    filters should see that signal).
+
+    The model is the 5-rule merge list from _bpe_learned_rules
+    (memoized per fixture like the trained IVF centroids — train
+    once, apply everywhere); applying it is pure scan-local string
+    algebra, the same doubly-delimited replace chain the learner
+    uses, so Spark and the oracle's re-learned CTE rules walk
+    identical encode states. Token count per word is the symbol
+    count of the final sequence.
+
+    Scale shape: the rules are 5 string literals BAKED into the
+    plan (no join, no broadcast — the degenerate-and-ideal form of
+    model distribution); the encode chain runs inside the scan's
+    codegen stage, and the only shuffle is the per-doc rollup on
+    doc_id. The oracle applies rules over DISTINCT words and joins
+    back (the learner trick on the apply side); Spark applies them
+    per occurrence to stay shuffle-free — identical results, and at
+    100 TB the scan-local form wins because it never materializes a
+    vocab join."""
+    rules = _bpe_learned_rules(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    seq = F.regexp_replace("w", "(.)", r"|$1|")
+    for _, x, y, _, _ in rules:
+        seq = F.replace(seq, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    enc = tok.withColumn("seq", seq).select(
+        "doc_id",
+        F.length("w").alias("nc"),
+        F.size(
+            F.split(
+                F.expr("substring(seq, 2, length(seq) - 2)"), r"\|\|"
+            )
+        ).alias("nt"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        (
+            F.sum("nc").cast("double") / F.sum("nt").cast("double")
+        ).alias("chars_per_token"),
+    )
 
 
 @query(

@@ -1038,3 +1038,56 @@ def test_bpe_double_delimiter_algebra():
     assert merge(wrap(["a", "bc"]), "a", "b") == wrap(["a", "bc"])
     # overlapping triple merges greedily left-to-right
     assert merge(wrap("aaa"), "a", "a") == wrap(["aa", "a"])
+
+
+def test_bpe_encode_matches_pure_python_tokenizer(spark):
+    """text_bpe_encode equals a pure-python tokenizer that applies
+    the learned rules with an explicit tuple-walk merge (no string
+    tricks): per-doc word/char/token counts and the ratio must agree
+    exactly."""
+    import pyarrow.parquet as pq
+
+    from map_reduce_subnet_spark.operators.llm import (
+        _bpe_learned_rules,
+        text_bpe_encode,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rules = [(x, y) for _, x, y, _, _ in _bpe_learned_rules(spark, sf_dir)]
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for x, y in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expected = {}
+    for row in tbl:
+        words = [w for w in row["text"].split(" ") if w]
+        if not words:
+            continue
+        nw = len(words)
+        nc = sum(len(w) for w in words)
+        nt = sum(encode(w) for w in words)
+        expected[row["doc_id"]] = (nw, nc, nt, nc / nt)
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_chars"],
+            r["n_tokens"],
+            r["chars_per_token"],
+        )
+        for r in text_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == expected
