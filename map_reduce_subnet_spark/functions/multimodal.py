@@ -1045,3 +1045,42 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ri = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
     ci = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
     return img[ri][:, ci]
+
+
+def average_hash(img: np.ndarray, grid: int = 8) -> tuple[int, int]:
+    """Perceptual AVERAGE HASH (aHash) of an image: partition the
+    pixel grid into ``grid x grid`` equal blocks, set bit i (row-major
+    block order) iff block i's pixel sum strictly exceeds the global
+    per-block average, and return the 64-bit fingerprint as two
+    non-negative 32-bit halves ``(hi, lo)`` — bits 32..63 and 0..31 —
+    so the value survives signed-64 columns in any engine.
+
+    Exactness: only integer sums and one integer cross-multiply
+    (``block_sum * n_blocks > total_sum`` is "block mean > global
+    mean" without a division), so the hash is bit-identical across
+    implementations. Brightness invariance: adding a constant c to
+    every pixel (no overflow wrap) adds ``c * block_px`` to every
+    block and ``c * block_px * n_blocks`` to the total, leaving every
+    comparison — and the hash — unchanged; that is the perceptual
+    property that makes aHash a near-dup key for re-exposed or
+    re-encoded variants of the same image.
+
+    Requires height and width divisible by ``grid`` (the fixture's
+    16x24 images with grid=8 → 2x3-pixel blocks, channels summed
+    into their block).
+    """
+    h, w = img.shape[0], img.shape[1]
+    if h % grid or w % grid:
+        raise ValueError(f"image {h}x{w} not divisible by grid {grid}")
+    flat = img.astype(np.int64).reshape(h, w, -1)
+    blocks = (
+        flat.reshape(grid, h // grid, grid, w // grid, flat.shape[2])
+        .sum(axis=(1, 3, 4))
+        .reshape(-1)
+    )
+    total = int(blocks.sum())
+    n = grid * grid
+    bits = (blocks * n) > total
+    lo = sum(1 << i for i in range(32) if bits[i])
+    hi = sum(1 << (i - 32) for i in range(32, n) if bits[i])
+    return int(hi), int(lo)

@@ -3910,6 +3910,115 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ahash_oracle() -> str:
+    """DuckDB twin of multimodal_image_ahash: regenerate the 8x8
+    block sums from the synthetic pixel program (block (by,bx) covers
+    rows 2by+dy, pixel-cols 3bx+dxp, channels c → stride byte
+    x = (3bx+dxp)*3 + c), rebuild the 64 bits with the same
+    division-free compare, pack the two halves with integer shifts,
+    and re-derive the hash clusters — all-integer, so a hash match
+    proves the whole decode→hash→cluster path bit-exact."""
+    v = _png_pixel_sql("(by*2 + dy)", "((bx*3 + dxp)*3 + c)")
+    return f"""
+WITH cells AS (
+    SELECT d.doc_id, by.by, bx.bx, {v} AS v
+    FROM documents d,
+         (SELECT unnest(range(0, 8)) AS by) by,
+         (SELECT unnest(range(0, 8)) AS bx) bx,
+         (SELECT unnest(range(0, 2)) AS dy) dy,
+         (SELECT unnest(range(0, 3)) AS dxp) dxp,
+         (SELECT unnest(range(0, 3)) AS c) c
+), blocks AS (
+    SELECT doc_id, by*8 + bx AS i, CAST(SUM(v) AS BIGINT) AS bs
+    FROM cells GROUP BY doc_id, by, bx
+), bits AS (
+    SELECT doc_id, i,
+           CASE WHEN bs * 64 > SUM(bs) OVER (PARTITION BY doc_id)
+                THEN 1 ELSE 0 END AS bit
+    FROM blocks
+), fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN i >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                    ELSE 0 END) AS BIGINT) AS ahash_hi,
+           CAST(SUM(CASE WHEN i < 32
+                    THEN bit * (CAST(1 AS BIGINT) << i)
+                    ELSE 0 END) AS BIGINT) AS ahash_lo
+    FROM bits GROUP BY doc_id
+)
+SELECT doc_id, ahash_hi, ahash_lo,
+       MIN(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo)
+           AS canonical_id,
+       COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo)
+           AS cluster_size
+FROM fp
+"""
+
+
+@query("multimodal_image_ahash", oracle=_ahash_oracle())
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE NEAR-DUP via PERCEPTUAL HASHING: decode every PNG, hash
+    it with the 8x8 average hash (functions/multimodal.py::
+    average_hash — block-mean-vs-global-mean sign bits, the classic
+    aHash of the pHash family), and cluster images by fingerprint —
+    canonical owner (min doc_id) + cluster size per image. This is
+    the IMAGE leg of the dedup story: exact dedup catches bitwise
+    copies, but a re-encoded / brightness-shifted export of the same
+    picture hashes differently at the byte level while its aHash is
+    UNCHANGED (the helper's docstring proves shift invariance; the
+    unit test pins it) — dataset curation at scale dedups images on
+    perceptual keys, not payload bytes. On this fixture the clusters
+    are real: the synthetic pixel program depends on doc_id only
+    through doc_id*31 mod 256, so doc_ids in the same residue class
+    mod 256 carry IDENTICAL images (~20-wide clusters at sf0.1) that
+    byte-level exact dedup of the DEFLATE payloads would ALSO catch —
+    but the aHash key is what generalizes when the payload bytes
+    differ.
+
+    Exactness: integer block sums + one integer cross-multiply per
+    bit (no division, no float), fingerprint packed with integer
+    shifts into two 32-bit halves — bit-identical in numpy, Spark
+    and DuckDB.
+
+    Scale shape: decode+hash is scan-local Arrow-batched work
+    (binary never crosses a shuffle); the ONLY exchange carries
+    (doc_id, hi, lo) — 24 bytes/image — partitioned by fingerprint
+    for the cluster window. A billion images shuffle ~24 GB of
+    fingerprints, not the pixels."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.functions import multimodal as _mm
+
+    _cp.register_pickle_by_value(_mm)
+    decode = _mm.decode_png
+    ahash = _mm.average_hash
+
+    def hash_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hi, lo = ahash(decode(bytes(payload)))
+                rows.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ahash_hi", "ahash_lo"]
+            )
+
+    media = _png_media_cached(spark, sf_dir)
+    fp = media.mapInPandas(
+        hash_batches, schema="doc_id long, ahash_hi long, ahash_lo long"
+    )
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return fp.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
 @query(
     "dedup_chunk_level",
     oracle="""

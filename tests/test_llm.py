@@ -1091,3 +1091,57 @@ def test_bpe_encode_matches_pure_python_tokenizer(spark):
         for r in text_bpe_encode(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_average_hash_properties():
+    """The perceptual contract: (a) parity with an explicit
+    quadruple-loop computation, (b) invariance under a uniform
+    brightness shift (no wrap), (c) the grid-divisibility error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_subnet_spark.functions.multimodal import average_hash
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 200, size=(16, 24, 3))
+    bs = np.zeros(64, dtype=np.int64)
+    for by in range(8):
+        for bx in range(8):
+            s = 0
+            for dy in range(2):
+                for dx in range(3):
+                    for c in range(3):
+                        s += int(img[by * 2 + dy, bx * 3 + dx, c])
+            bs[by * 8 + bx] = s
+    bits = (bs * 64) > bs.sum()
+    lo = sum(1 << i for i in range(32) if bits[i])
+    hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+    assert average_hash(img) == (hi, lo)
+    assert average_hash(img + 55) == (hi, lo)  # 199+55 < 256: no wrap
+    with _pytest.raises(ValueError):
+        average_hash(np.zeros((15, 24, 3), dtype=np.int64))
+
+
+def test_image_ahash_residue_classes_share_fingerprints(spark):
+    """The synthetic pixel program depends on doc_id only through
+    doc_id*31 mod 256, so doc_ids in one residue class mod 256 carry
+    IDENTICAL images: their fingerprints must collide and their
+    cluster must contain the whole class."""
+    from collections import defaultdict
+
+    from map_reduce_subnet_spark.operators.llm import (
+        multimodal_image_ahash,
+    )
+
+    rows = multimodal_image_ahash(spark, "/root/testdata/sf0.001").collect()
+    by_residue = defaultdict(list)
+    for r in rows:
+        by_residue[r["doc_id"] % 256].append(r)
+    multi = [v for v in by_residue.values() if len(v) > 1]
+    assert multi, "fixture too small to exercise residue classes"
+    for cls in multi:
+        fps = {(r["ahash_hi"], r["ahash_lo"]) for r in cls}
+        assert len(fps) == 1, "identical images hashed differently"
+        assert all(r["cluster_size"] >= len(cls) for r in cls)
+        canon = {r["canonical_id"] for r in cls}
+        assert len(canon) == 1
