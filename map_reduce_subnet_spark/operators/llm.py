@@ -4546,6 +4546,117 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RESERVOIR_K = 100
+
+# The A-ES exponential key: -ln(u)/w with u = (h+1)/2^60, i.e.
+# (60·ln2 − ln(h+1))/w. Spelled once, textually identical in both
+# engines (the only dialect split lives inside portable_ln_stages).
+_ES_KEY_EXPR = (
+    "(((CAST(60 AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE)) - e_ln)"
+    " / CAST(w_bytes AS DOUBLE))"
+)
+
+
+def _weighted_reservoir_oracle() -> str:
+    """DuckDB twin of sample_weighted_reservoir: same md5-derived
+    uniform, same portable-ln stages, same key, same bottom-k."""
+    from map_reduce_subnet_spark.functions.stable import portable_ln_stages
+
+    # DuckDB's octet_length only binds BLOB; strlen(VARCHAR) is its
+    # UTF-8 byte count, matching Spark's octet_length.
+    ctes = [
+        f"""hashed AS (
+    SELECT doc_id, source,
+           CAST(strlen(text) + 1 AS BIGINT) AS w_bytes,
+           ({tx.sql_portable_hash60("CAST(doc_id AS VARCHAR)")})
+               + CAST(1 AS BIGINT) AS hp
+    FROM documents
+)"""
+    ]
+    prev = "hashed"
+    for i, (cn, ce) in enumerate(portable_ln_stages("hp", "e_", "duckdb")):
+        name = f"pe{i}"
+        ctes.append(f"{name} AS (SELECT *, {ce} AS {cn} FROM {prev})")
+        prev = name
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain}
+SELECT doc_id, source, w_bytes, {_ES_KEY_EXPR} AS es_key
+FROM {prev}
+ORDER BY es_key ASC, doc_id ASC
+LIMIT {SAMPLE_RESERVOIR_K}
+"""
+
+
+@query("sample_weighted_reservoir", oracle=_weighted_reservoir_oracle())
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, IPL 2006): pick k=100 documents with inclusion probability
+    proportional to document weight (here byte length + 1 — "sample
+    long documents more", the data-mixing knob that complements
+    sample_temperature's per-source allocation). Each row draws an
+    exponential key -ln(u)/w and the k SMALLEST keys win — the
+    one-pass reservoir formulation of weighted sampling, which is
+    what makes it distributable.
+
+    Determinism across engines: u = (portable_hash60(doc_id)+1)/2^60
+    (functions/text.py — the md5 uniform both engines reproduce
+    bit-for-bit), so -ln(u) = 60·ln2 − ln(h+1) with the PORTABLE ln
+    (functions/stable.py) — every float op is an identical expression
+    tree on identical operands, hence the keys and the picked set
+    hash exactly. Ties (impossible at double precision here) break on
+    doc_id in both engines.
+
+    Scale shape — the reason A-ES beats rejection/rank sampling at
+    100 TB: bottom-k by key compiles to TakeOrderedAndProject (plan-
+    linted in-query, along with ZERO shuffle exchanges): each of the
+    1000 executors keeps a k-row bounded heap over its partitions
+    (the keys are scan-local arithmetic), and the driver merges
+    1000×k candidate rows — no corpus sort, no shuffle, one pass.
+    Grounding: weighted miner selection by stake, reference
+    neurons/miner.py:127-137 (priority = caller stake) fused with the
+    validator's bounded sampling of miners (validator.py:120-127).
+    """
+    from map_reduce_subnet_spark.functions.stable import portable_ln_stages
+    from map_reduce_subnet_spark.plans.inspect import (
+        count_exchanges,
+        count_operator,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        (F.octet_length("text") + F.lit(1)).cast("long").alias("w_bytes"),
+    ).withColumn(
+        "hp",
+        tx.portable_hash60(F.col("doc_id").cast("string"))
+        + F.lit(1).cast("long"),
+    )
+    for name, expr in portable_ln_stages("hp", "e_", "spark"):
+        base = base.withColumn(name, F.expr(expr))
+    picked = (
+        base.withColumn("es_key", F.expr(_ES_KEY_EXPR))
+        .select("doc_id", "source", "w_bytes", "es_key")
+        .orderBy(F.col("es_key").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_RESERVOIR_K)
+    )
+    # Scale lint: the bottom-k must be the bounded-heap operator, not
+    # a global sort, and the corpus must not shuffle to get there.
+    if count_operator(picked, "TakeOrderedAndProject") != 1:
+        raise AssertionError(
+            "sample_weighted_reservoir: bottom-k did not compile to "
+            "TakeOrderedAndProject"
+        )
+    n_ex = count_exchanges(picked)
+    if n_ex != 0:
+        raise AssertionError(
+            f"sample_weighted_reservoir: expected 0 shuffle exchanges "
+            f"(scan-local keys + bounded heap), plan has {n_ex}"
+        )
+    return picked
+
+
 BPE_N_MERGES = 5
 
 

@@ -1145,3 +1145,37 @@ def test_image_ahash_residue_classes_share_fingerprints(spark):
         assert all(r["cluster_size"] >= len(cls) for r in cls)
         canon = {r["canonical_id"] for r in cls}
         assert len(canon) == 1
+
+
+def test_weighted_reservoir_matches_python_reference(spark):
+    """sample_weighted_reservoir == a pure-python A-ES recomputation
+    (md5 uniform + portable ln + bottom-k), and the picked set is
+    length-biased (that IS the weighting working: P(pick) ∝ bytes)."""
+    import hashlib
+
+    from map_reduce_subnet_spark.functions.stable import portable_ln_py
+    from map_reduce_subnet_spark.operators.llm import (
+        SAMPLE_RESERVOIR_K,
+        sample_weighted_reservoir,
+    )
+
+    out = sample_weighted_reservoir(spark, SF_DIR).collect()
+    assert len(out) == SAMPLE_RESERVOIR_K
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    ln2_60 = 60.0 * 0.6931471805599453
+    keys = []
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        w = float(len(r.text.encode("utf-8")) + 1)
+        keys.append(((ln2_60 - portable_ln_py(h + 1)) / w, r.doc_id, w))
+    keys.sort()
+    expect = {(d, k) for k, d, _ in keys[:SAMPLE_RESERVOIR_K]}
+    got = {(r.doc_id, r.es_key) for r in out}
+    assert got == expect  # bit-exact keys, identical picked set
+    mean_all = sum(w for _, _, w in keys) / len(keys)
+    mean_picked = sum(float(r.w_bytes) for r in out) / len(out)
+    assert mean_picked > mean_all
