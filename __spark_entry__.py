@@ -63,6 +63,7 @@ _SWEEP_PRIORITY = [
     "text_bpe_encode",
     "multimodal_image_ahash",
     "sample_weighted_reservoir",
+    "dedup_substring_spans",
     # (2) changed in round 8: text_lm_unigram_score promoted to the
     # portable-ln full oracle; sink_compaction grew the fixture
     # precondition; scan_binaryfile_media moved to localCheckpoint;
@@ -94,18 +95,17 @@ _SWEEP_PRIORITY = [
     "text_quality",
     "text_term_freq",
     "text_token_count",
-    # (4) ... plus as many of the 28 r4 rows as the cap allows (3 —
-    # the r8 additions squeezed this backfill tier; text_tfidf_topk
-    # and the remaining 24 r4 rows defer to r9's rotation: map_funcs,
-    # limit_topk, str_split_explode, str_hash, date_parts, date_arith,
-    # math_funcs, array_funcs, array_hof, json_funcs,
-    # scan_prune_columns, setop_dedup/except/intersect/union_all,
-    # sort_multi_key, str_regex, udf_scalar, udaf_grouped_agg,
-    # window_lag_delta/moving_avg/percent_rank/running_sum/
-    # topk_per_group)
+    # (4) ... plus as many of the 28 r4 rows as the cap allows (2 —
+    # the r8 additions squeezed this backfill tier; scan_full,
+    # text_tfidf_topk and the remaining 24 r4 rows defer to r9's
+    # rotation: map_funcs, limit_topk, str_split_explode, str_hash,
+    # date_parts, date_arith, math_funcs, array_funcs, array_hof,
+    # json_funcs, scan_prune_columns, setop_dedup/except/intersect/
+    # union_all, sort_multi_key, str_regex, udf_scalar,
+    # udaf_grouped_agg, window_lag_delta/moving_avg/percent_rank/
+    # running_sum/topk_per_group)
     "agg_reduce_sum",
     "agg_salted_hotkey",
-    "scan_full",
 ]
 
 

@@ -5263,3 +5263,179 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): exact duplicate W-token SPANS across
+# documents, not whole-document or chunk duplicates. The paper's
+# finding is that most training-set duplication is partial — a
+# boilerplate paragraph inside otherwise-unique pages — which
+# doc-level (dedup_exact) and chunk-level (dedup_chunk_level) passes
+# under-count. Output is per-doc span accounting plus the PRECISE
+# duplicated-token coverage via interval union.
+# ---------------------------------------------------------------------------
+
+SPAN_W = 10  # tokens per span (the paper uses 50; fixture docs are ~50 tokens)
+SPAN_STOP_CAP = 64  # spans in more docs are boilerplate stop-spans: dropped
+
+
+def _substring_spans_oracle() -> str:
+    w = SPAN_W
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), base AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(GREATEST(len(t) - {w - 1}, 0) AS BIGINT) AS n_spans, t
+    FROM toks
+), exp0 AS (
+    SELECT doc_id, t,
+           unnest(range(1, len(t) - {w - 2})) AS pos
+    FROM base WHERE len(t) >= {w}
+), ex AS (
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           {tx.sql_portable_hash60(
+               f"array_to_string(list_slice(t, pos, pos + {w - 1}), ' ')"
+           )} AS h
+    FROM exp0
+), dup_h AS (
+    SELECT h FROM ex GROUP BY h
+    HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_STOP_CAP}
+), occ AS (
+    SELECT e.doc_id, e.pos, e.pos + {w - 1} AS e_end
+    FROM ex e JOIN dup_h USING (h)
+), isl AS (
+    SELECT *, CASE WHEN pos > COALESCE(MAX(e_end) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS new_isl
+    FROM occ
+), isl2 AS (
+    SELECT *, SUM(new_isl) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+    FROM isl
+), cov AS (
+    SELECT doc_id, isl_id,
+           MAX(e_end) - MIN(pos) + 1 AS covered,
+           COUNT(*) AS n_occ
+    FROM isl2 GROUP BY doc_id, isl_id
+), per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(covered) AS BIGINT) AS covered_tokens,
+           CAST(SUM(n_occ) AS BIGINT) AS n_dup_spans
+    FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_spans,
+       COALESCE(p.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       COALESCE(p.covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens,
+       (CAST(COALESCE(p.covered_tokens, CAST(0 AS BIGINT)) AS DOUBLE)
+           / CAST(b.n_tokens AS DOUBLE)) AS dup_token_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("dedup_substring_spans", oracle=_substring_spans_oracle())
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-LEVEL exact dedup (Lee et al. 2022): every W=10-token
+    span is fingerprinted; spans occurring in 2..64 distinct docs are
+    cross-document duplicates (>64 docs = boilerplate STOP-SPANS,
+    dropped — the stop-shingle discipline, so one viral footer cannot
+    flood the pipeline); per doc the query emits span counts and the
+    EXACT number of duplicated tokens via interval UNION (overlapping
+    span hits merged with the island trick, so coverage never
+    double-counts), plus the duplicated-token fraction — the actionable
+    span-removal statistic the paper's ExactSubstr dedup acts on.
+
+    Determinism: span fingerprints are portable_hash60 over the
+    reconstructed span text (functions/text.py), island/coverage
+    arithmetic is all BIGINT — the whole result hash-matches DuckDB.
+
+    Scale shape: span strings + hashes are built SCAN-LOCAL inside one
+    higher-order transform (the W-gram text never persists); what
+    shuffles is (doc_id, pos, h) at 24 bytes/row — once on h for the
+    frequency count (map-side partial agg) and once rejoining dup
+    hashes (plain equi-join; the dup-span set is NOT forced broadcast
+    because at 100 TB it is itself corpus-sized — AQE picks the
+    strategy), then once on doc_id for the island window, whose
+    partitioning the two coverage roll-ups REUSE (no further
+    exchange). Grounding: dedup map/reduce `README.md:18-22`; the
+    cap mirrors reference blacklist filtering `neurons/miner.py:107-123`.
+    """
+    w = SPAN_W
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.greatest(F.size("t") - F.lit(w - 1), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+        "t",
+    )
+    ex = (
+        base.where(F.size("t") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {w - 1}), i -> "
+                    f"named_struct('pos', CAST(i AS BIGINT), 'h', "
+                    f"CAST(conv(substr(md5(concat_ws(' ', "
+                    f"slice(t, i, {w}))), 1, 15), 16, 10) AS BIGINT)))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    dup_h = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd").between(2, SPAN_STOP_CAP))
+        .select("h")
+    )
+    occ = ex.join(dup_h, "h").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(w - 1)).alias("e_end")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("e_end").over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = occ.withColumn(
+        "new_isl",
+        F.when(
+            F.col("pos") > F.coalesce(prev_max, F.lit(-1).cast("long")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "isl_id",
+        F.sum("new_isl").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_doc = (
+        isl.groupBy("doc_id", "isl_id")
+        .agg(
+            (F.max("e_end") - F.min("pos") + F.lit(1)).alias("covered"),
+            F.count("*").alias("n_occ"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("covered").cast("long").alias("covered_tokens"),
+            F.sum("n_occ").cast("long").alias("n_dup_spans"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return base.drop("t").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+        F.coalesce("covered_tokens", zero).alias("covered_tokens"),
+        (
+            F.coalesce("covered_tokens", zero).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+    )

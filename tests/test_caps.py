@@ -101,3 +101,53 @@ def test_shingle_df_cap_bites_on_hot_shingle(spark, tmp_path):
     assert [(r["a_id"], r["b_id"], r["jaccard"]) for r in got] == [
         (100, 101, 1.0)
     ]
+
+
+def test_substring_span_interval_union_and_stop_cap(spark, tmp_path):
+    """dedup_substring_spans: (a) overlapping span hits merge via
+    interval union (a shared 14-token region = 5 overlapping spans but
+    exactly 14 covered tokens), (b) two disjoint shared regions sum as
+    separate islands, (c) a span shared by 70 > SPAN_STOP_CAP docs is
+    a boilerplate stop-span and contributes NOTHING."""
+    shared_a = [f"s{i}" for i in range(14)]  # 5 overlapping 10-spans
+    shared_b = [f"t{i}" for i in range(10)]  # 1 exact 10-span
+    boiler = [f"b{i}" for i in range(10)]  # hot: in 70 docs
+
+    def uniq(d, n, tag):
+        return [f"u{d}{tag}{j}" for j in range(n)]
+
+    rows = [
+        (
+            d,
+            " ".join(
+                uniq(d, 10, "a")
+                + shared_a
+                + uniq(d, 3, "g")
+                + shared_b
+                + uniq(d, 5, "z")
+            ),
+        )
+        for d in (1, 2)
+    ]
+    rows += [
+        (
+            100 + d,
+            " ".join(uniq(100 + d, 5, "a") + boiler + uniq(100 + d, 5, "z")),
+        )
+        for d in range(70)
+    ]
+    _write_documents(tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 42
+        assert out[d]["n_spans"] == 33
+        assert out[d]["n_dup_spans"] == 6  # 5 overlapping + 1 exact
+        assert out[d]["covered_tokens"] == 24  # 14 + 10, unioned
+    for d in range(70):  # the hot span was dropped, not counted
+        assert out[100 + d]["n_dup_spans"] == 0
+        assert out[100 + d]["covered_tokens"] == 0
