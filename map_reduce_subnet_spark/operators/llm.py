@@ -5439,3 +5439,150 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("dup_token_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier INFERENCE at scan time — the fasttext-style
+# filtering stage of the published LLM-data recipes (GPT-3's LR filter
+# over WebText features, CCNet/RedPajama's fasttext quality buckets):
+# a trained linear model's weights are frozen LITERALS baked into the
+# scan expression (the text_bpe_encode model-distribution pattern), so
+# classifying 100 TB is a map-only pass — no join, no broadcast, no
+# Python. The 64 weights here stand in for the trained artifact; the
+# plumbing (hashing featurizer -> normalized counts -> w.x + b) is the
+# production shape.
+# ---------------------------------------------------------------------------
+
+CLF_DIMS = 64
+CLF_BIAS = "0.065"
+# Deterministic placeholder weights: a Weyl sequence mapped to
+# [-0.5, 0.5), 6dp literals (both engines parse each to the same
+# nearest double). Generated once; FROZEN — these are "the model".
+CLF_WEIGHTS = [
+    str(round((((d + 1) * 2654435761) % 4096) / 4096.0 - 0.5, 6))
+    for d in range(CLF_DIMS)
+]
+
+
+def _clf_logit_expr(dialect: str) -> str:
+    """The whole classifier as ONE scalar expression over `text`:
+    tokens -> 64-dim hashed term frequencies -> dim-ORDERED fold of
+    w_d * tf_d starting from the bias. The fold order is pinned by
+    construction (dims 0..63), so the float sum is the same tree on
+    both engines and the logit is bit-exact."""
+    if dialect == "spark":
+        toks = "filter(split(text, ' '), w -> w <> '')"
+        dims = (
+            f"transform({toks}, t -> CAST(conv(substr(md5(t), 1, 15),"
+            f" 16, 10) AS BIGINT) % {CLF_DIMS})"
+        )
+        cnt = "CAST(size(filter(dims, x -> x = {d})) AS DOUBLE)"
+        terms = ", ".join(
+            f"(CAST({w} AS DOUBLE) * ({cnt.format(d=d)} / nt))"
+            for d, w in enumerate(CLF_WEIGHTS)
+        )
+        return (
+            f"aggregate(array({terms}), CAST({CLF_BIAS} AS DOUBLE), "
+            f"(acc, x) -> acc + x)"
+        )
+    toks = "list_filter(string_split(text, ' '), w -> w <> '')"
+    dims = (
+        f"list_transform({toks}, t -> (('0x' || substr(md5(t), 1, 15))"
+        f"::BIGINT) % {CLF_DIMS})"
+    )
+    cnt = "CAST(len(list_filter(dims, x -> x = {d})) AS DOUBLE)"
+    terms = ", ".join(
+        f"(CAST({w} AS DOUBLE) * ({cnt.format(d=d)} / nt))"
+        for d, w in enumerate(CLF_WEIGHTS)
+    )
+    return (
+        f"list_reduce(list_prepend(CAST({CLF_BIAS} AS DOUBLE), "
+        f"[{terms}]), (acc, x) -> acc + x)"
+    )
+
+
+def _clf_dims_expr(dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            "transform(filter(split(text, ' '), w -> w <> ''), "
+            "t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) "
+            f"% {CLF_DIMS})"
+        )
+    return (
+        "list_transform(list_filter(string_split(text, ' '), "
+        "w -> w <> ''), t -> (('0x' || substr(md5(t), 1, 15))::BIGINT) "
+        f"% {CLF_DIMS})"
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    return f"""
+WITH featured AS (
+    SELECT doc_id, source,
+           {_clf_dims_expr("duckdb")} AS dims,
+           CAST(GREATEST(len(list_filter(string_split(text, ' '),
+                w -> w <> '')), 1) AS DOUBLE) AS nt
+    FROM documents
+), scored AS (
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+           ({_clf_logit_expr("duckdb")}) AS logit
+    FROM featured
+)
+SELECT doc_id, source, n_tokens, logit, logit > CAST(0 AS DOUBLE) AS keep
+FROM scored
+"""
+
+
+@query("text_quality_classifier", oracle=_quality_classifier_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR quality-classifier inference over the corpus — the
+    fasttext/LR filtering stage of the GPT-3 / CCNet / RedPajama
+    recipes, in its 100 TB-correct deployment shape: the trained
+    model's 64 weights + bias are FROZEN LITERALS inside the scan
+    expression (no join, no broadcast, no Python worker — the same
+    model-distribution pattern as text_bpe_encode's learned rules),
+    features are the portable 64-dim hashing vectorizer
+    (text_hashing_vectorizer's hash, normalized to term frequencies),
+    and the logit is a dim-ORDERED fold seeded with the bias so the
+    float sum is one identical expression tree on both engines —
+    bit-exact, hash-enforced. Emits per doc the logit and the
+    keep/drop decision (logit > 0).
+
+    Scale shape: map-only — ZERO shuffles (plan-linted); predicate-
+    ready (a `WHERE keep` pushes into the scan). O(dims x tokens)
+    arithmetic per doc stays inside whole-stage codegen. Grounding:
+    quality scoring `README.md:22`, blacklist filter
+    `neurons/miner.py:107-123`."""
+    from map_reduce_subnet_spark.plans.inspect import count_exchanges
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        "source",
+        F.expr(_clf_dims_expr("spark")).alias("dims"),
+        F.greatest(
+            F.size(F.expr("filter(split(text, ' '), w -> w <> '')")),
+            F.lit(1),
+        )
+        .cast("double")
+        .alias("nt"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.expr(_clf_logit_expr("spark")).alias("logit"),
+    )
+    out = out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "logit",
+        (F.col("logit") > F.lit(0).cast("double")).alias("keep"),
+    )
+    n_ex = count_exchanges(out)
+    if n_ex != 0:
+        raise AssertionError(
+            f"text_quality_classifier: model inference must be map-only, "
+            f"plan has {n_ex} exchanges"
+        )
+    return out
