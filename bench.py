@@ -128,6 +128,20 @@ def main() -> None:
     only = {
         n for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if n
     }
+    unknown = sorted(only - QUERIES.keys())
+    if unknown:
+        # Skip-with-warning rather than KeyError mid-loop (ADVICE r8):
+        # a typo in SPARK_GRAFT_ONLY must not abort the whole bench.
+        print(
+            f"bench: SPARK_GRAFT_ONLY names not in QUERIES, skipping: "
+            f"{','.join(unknown)}",
+            file=sys.stderr,
+        )
+        only -= set(unknown)
+        if not only:
+            raise SystemExit(
+                "bench: SPARK_GRAFT_ONLY matched no known queries"
+            )
     times: dict[str, float] = {}
     n_runs: dict[str, int] = {}
     loads: dict[str, float] = {}

@@ -1062,7 +1062,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     prev_edges = None
-    for _ in range(KCORE_MAX_ROUNDS):
+    # KCORE_MAX_ROUNDS + 1 iterations: fixpoint DETECTION costs one
+    # extra confirming no-op round beyond the last productive peel,
+    # so a graph whose peel needs exactly KCORE_MAX_ROUNDS productive
+    # rounds (which the oracle's unroll still matches — past-fixpoint
+    # CTE rounds are no-ops) must not spuriously raise (ADVICE r8).
+    for _ in range(KCORE_MAX_ROUNDS + 1):
         alive = (
             edges.groupBy("src")
             .agg(F.count("*").alias("deg"))

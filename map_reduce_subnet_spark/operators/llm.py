@@ -4758,7 +4758,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_RULES_MEMO: dict[str, list[tuple[int, str, str, str, int]]] = {}
+_BPE_RULES_MEMO: dict[
+    tuple[str, int], list[tuple[int, str, str, str, int]]
+] = {}
 
 
 def _bpe_learned_rules(
@@ -4772,7 +4774,14 @@ def _bpe_learned_rules(
     applies the model without re-training it."""
     from map_reduce_subnet_spark.functions.cache import fixture_cache_dir
 
-    memo_key = fixture_cache_dir(sf_dir, "documents", "bperules")
+    # BPE_N_MERGES is part of the model identity (ADVICE r8): an
+    # in-process change to the merge count (test monkeypatch) must
+    # miss the memo, mirroring how SHINGLE_DF_CAP is baked into the
+    # shingle cache tag.
+    memo_key = (
+        fixture_cache_dir(sf_dir, "documents", "bperules"),
+        BPE_N_MERGES,
+    )
     if memo_key in _BPE_RULES_MEMO:
         return _BPE_RULES_MEMO[memo_key]
     d = load_table(spark, sf_dir, "documents")

@@ -1003,7 +1003,13 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey long, o_custkey long, o_totalprice double"
         ).option("mode", "FAILFAST").csv(root).collect()
         failfast_raises = False
-    except Exception:
+    except Exception as ex:
+        # Only the intended malformed-record abort counts as a pass;
+        # an unrelated failure (missing path, analysis error) must
+        # surface, not masquerade as the pinned contract (ADVICE r8).
+        msg = str(ex)
+        if not ("Malformed" in msg or "MALFORMED" in msg or "FAILFAST" in msg):
+            raise
         failfast_raises = True
     out = agg.select(
         "n_total",

@@ -695,9 +695,16 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         table = _build_latest_state_versions(spark, sf_dir, root)
         versions_before = len(table.versions())
-        # crashed writer: data landed, log append never happened
+        # crashed writer: data landed, log append never happened —
+        # aged past the orphan grace window (the crash was long ago;
+        # a FRESH unreferenced dir would be presumed in-flight and
+        # kept, which tests/test_layout.py pins separately)
         orphan = os.path.join(root, f"v000099-{_uuid.uuid4().hex[:12]}")
         table.read(spark).limit(1).write.parquet(orphan)
+        import time as _time
+
+        aged = _time.time() - 3600.0
+        os.utime(orphan, (aged, aged))
         stats = table.vacuum(retain_last=2)
         try:
             table.read(spark, 1)

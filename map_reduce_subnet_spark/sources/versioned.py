@@ -145,7 +145,18 @@ class VersionedTable:
             os.close(dfd)
         return version
 
-    def vacuum(self, retain_last: int | None = None) -> dict[str, int]:
+    #: Unreferenced directories younger than this are presumed to be
+    #: an in-flight writer's data (parquet written, log create still
+    #: pending) and are left alone — Delta's retention-window analog
+    #: for VACUUM vs uncommitted writes, shrunk to the gap between a
+    #: parquet write finishing and its O_EXCL log create.
+    ORPHAN_GRACE_SECONDS: float = 600.0
+
+    def vacuum(
+        self,
+        retain_last: int | None = None,
+        orphan_grace_seconds: float | None = None,
+    ) -> dict[str, int]:
         """Garbage-collect the table directory; returns counts.
 
         Two kinds of debris accumulate by design (commit() never
@@ -154,13 +165,19 @@ class VersionedTable:
 
         - **Orphan data directories**: debris of crashed or
           OCC-losing writers — directories no log entry references.
-          Always removed; by the atomicity argument in commit(), an
-          unreferenced directory can never become visible later, so
-          this is safe under concurrent readers AND writers (a
-          writer's in-flight directory is only at risk if it loses
-          its race anyway; same retention caveat as Delta's VACUUM
-          vs uncommitted writes — callers coordinate vacuum with
-          active writers, not readers).
+          Removed once OLDER than ``orphan_grace_seconds`` (default
+          :attr:`ORPHAN_GRACE_SECONDS`; pass ``0`` to collect
+          immediately): an IN-FLIGHT writer's directory — parquet
+          written, ``O_EXCL`` log create not yet issued — is
+          indistinguishable from debris by reference alone, so age
+          is the guard (Delta's retention window, scaled to the
+          write-to-commit gap). Paths are compared via
+          ``os.path.realpath`` on both sides, so a handle built with
+          a non-canonical spelling of the same root (relative path,
+          symlinked tmp) can never misclassify committed data as an
+          orphan. Safe under concurrent readers always; safe under
+          concurrent writers whenever a commit attempt completes
+          within the grace window.
         - **Expired versions**: with ``retain_last=N``, every
           version except the newest N is dropped (log file first,
           then data — a reader that resolved its snapshot before the
@@ -172,16 +189,28 @@ class VersionedTable:
         raises :class:`ValueError` outside it — expiry is a stated
         contract, not data loss.
         """
+        import time as _time
+
+        if orphan_grace_seconds is None:
+            orphan_grace_seconds = self.ORPHAN_GRACE_SECONDS
         entries = self._entries()
-        referenced = {e["path"] for e in entries}
+        referenced = {os.path.realpath(e["path"]) for e in entries}
+        now = _time.time()
         orphans_removed = 0
         for name in sorted(os.listdir(self.root)):
             p = os.path.join(self.root, name)
             if name == "_log" or not os.path.isdir(p):
                 continue
-            if p not in referenced:
-                _rmtree(p)
-                orphans_removed += 1
+            if os.path.realpath(p) in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue  # raced with another vacuum's rmtree
+            if age < orphan_grace_seconds:
+                continue  # possible in-flight commit — not debris yet
+            _rmtree(p)
+            orphans_removed += 1
         versions_expired = 0
         if retain_last is not None and len(entries) > retain_last:
             for e in entries[: len(entries) - retain_last]:

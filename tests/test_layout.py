@@ -260,8 +260,13 @@ def test_versioned_table_vacuum(spark, tmp_path):
     t = VersionedTable(root)
     for v in range(1, 4):
         t.commit(spark.range(v * 10).withColumnRenamed("id", "k"))
-    # crashed-writer debris: data dir without a log line
-    spark.range(3).write.parquet(os.path.join(root, "v000099-orphan"))
+    # crashed-writer debris: data dir without a log line, aged past
+    # the in-flight grace window (a fresh dir would be kept)
+    import time
+
+    orphan = os.path.join(root, "v000099-orphan")
+    spark.range(3).write.parquet(orphan)
+    os.utime(orphan, (time.time() - 3600, time.time() - 3600))
     before_v3 = sorted(r.k for r in t.read(spark, 3).collect())
 
     stats = t.vacuum(retain_last=2)
@@ -312,3 +317,59 @@ def test_versioned_table_vacuum_after_occ_loss(spark, tmp_path):
     assert stats["versions_expired"] == 0
     assert stats["versions_retained"] == 2
     assert len(a.read(spark, 2).collect()) == 6
+
+
+def test_versioned_table_vacuum_vs_inflight_commit(spark, tmp_path):
+    """VERDICT r8 #5: vacuum racing an in-flight commit. A writer's
+    data directory exists the moment the parquet write finishes but
+    BEFORE its O_EXCL log create — by reference alone it is
+    indistinguishable from crashed-writer debris. The mtime grace
+    window must keep it alive, so the commit that follows the race
+    lands on intact data; only AGED unreferenced dirs are debris."""
+    import os
+    import time
+
+    from map_reduce_subnet_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "vt_race")
+    t = VersionedTable(root)
+    t.commit(spark.range(5).withColumnRenamed("id", "k"))
+
+    # Simulate the in-flight window by hand: do exactly what
+    # commit() does up to (but not including) the log create.
+    import uuid
+
+    inflight = os.path.join(root, f"v000002-{uuid.uuid4().hex[:12]}")
+    spark.range(9).withColumnRenamed("id", "k").write.parquet(inflight)
+
+    # Default-grace vacuum during the window: the dir must survive.
+    stats = t.vacuum()
+    assert stats["orphans_removed"] == 0
+    assert os.path.isdir(inflight)
+
+    # Writer finishes its commit: log line binds the dir to v2.
+    import json
+
+    log_file = os.path.join(root, "_log", f"{2:020d}.json")
+    fd = os.open(log_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, json.dumps({"version": 2, "path": inflight}).encode())
+    os.close(fd)
+    assert len(t.read(spark, 2).collect()) == 9
+
+    # Referenced dirs survive vacuum regardless of age or spelling:
+    # even a handle opened via a NON-CANONICAL root (symlink) must
+    # not misclassify committed data (realpath on both sides).
+    aged = time.time() - 3600
+    os.utime(inflight, (aged, aged))
+    link = str(tmp_path / "vt_race_link")
+    os.symlink(root, link)
+    stats = VersionedTable(link).vacuum(orphan_grace_seconds=0.0)
+    assert stats["orphans_removed"] == 0
+    assert len(t.read(spark, 2).collect()) == 9
+
+    # A genuinely aged UNreferenced dir is still collected.
+    debris = os.path.join(root, "v000099-debris")
+    spark.range(2).write.parquet(debris)
+    os.utime(debris, (aged, aged))
+    assert t.vacuum()["orphans_removed"] == 1
+    assert not os.path.exists(debris)
