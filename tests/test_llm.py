@@ -1179,3 +1179,24 @@ def test_weighted_reservoir_matches_python_reference(spark):
     mean_all = sum(w for _, _, w in keys) / len(keys)
     mean_picked = sum(float(r.w_bytes) for r in out) / len(out)
     assert mean_picked > mean_all
+
+
+def test_split_leakage_safe_no_cluster_straddles(spark):
+    """VERDICT r8 #3 property: every near-dup cluster lands WHOLLY on
+    one side of the train/val/test split (leakage-safety), every doc
+    is assigned exactly once, and the proportions are hash-driven
+    (all three splits non-empty at this SF)."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["split_leakage_safe"](spark, SF_DIR)
+    n_docs = out.count()
+    assert n_docs == out.select("doc_id").distinct().count()
+    straddlers = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .where(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "val", "test"}
