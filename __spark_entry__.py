@@ -37,75 +37,84 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # (1) NEW in round 8 — need their first driver row
-    "graph_triangle_count",
+    # --- FRESHNESS SCHEDULE (VERDICT r8 #2), r9 edition ---
+    # With a 207+ key registry and a 50-slot cap, the backlog of
+    # aging hash-green rows clears on a two-round schedule:
+    #   r9  = new/changed keys + the ENTIRE 26-key r4 cohort
+    #         + the first 15 of the 38-key r5 cohort (alphabetical);
+    #   r10 = new/changed keys + the REMAINING 23 r5-cohort keys
+    #         (scan_csv_roundtrip, scan_jsonl_roundtrip,
+    #         scan_partition_prune, setop_except_all,
+    #         setop_intersect_all, str_fuzzy_levenshtein, stream_dedup,
+    #         stream_dedup_true, stream_session, stream_session_true,
+    #         stream_sliding, stream_sliding_true,
+    #         stream_static_join_true, stream_tumbling,
+    #         text_collocations_pmi, text_quality_c4,
+    #         timeseries_gapfill, udtf_cogrouped_map, udtf_grouped_map,
+    #         window_ntile_cume, window_range_frame, window_rank_stake,
+    #         window_row_number) + r6-cohort backfill in spare slots.
+    # Invariant after r9: no key's latest row predates r5; after r10:
+    # none predates r6.
+    #
+    # (1) never driver-checked — first rows (VERDICT r8 #1 puts
+    # text_quality_classifier at slot 1)
+    "text_quality_classifier",
+    "split_leakage_safe",
+    "stream_mv_refresh_true",
+    # (2) changed in round 9: table_vacuum grew the orphan grace
+    # window + aged-debris fixture; graph_kcore's fixpoint loop bound;
+    # scan_csv_malformed's FAILFAST probe narrowed; the BPE pair's
+    # rules memo keyed by merge count; mv_incremental_refresh's oracle
+    # extracted to the shared constant stream_mv_refresh_true reuses
     "table_vacuum",
-    "sample_temperature",
-    "window_rolling_quantiles",
-    "agg_skew_kurtosis",
-    "scan_schema_evolution",
-    "text_bpe_merges",
-    "text_hashing_vectorizer",
-    "scan_csv_malformed",
-    "join_point_in_time",
-    "pipeline_curation_e2e",
-    "text_lm_bigram_score",
-    "agg_mutual_information",
-    "stream_pit_join_true",
-    "table_changefeed",
-    "multimodal_decode_jpeg",
-    "mv_incremental_refresh",
-    "text_entropy_unigram",
-    "text_zipf_slope",
-    "dedup_containment",
-    "sink_zorder_cluster",
     "graph_kcore",
+    "scan_csv_malformed",
+    "text_bpe_merges",
     "text_bpe_encode",
-    "multimodal_image_ahash",
-    "sample_weighted_reservoir",
-    "dedup_substring_spans",
-    # (2) changed in round 8: text_lm_unigram_score promoted to the
-    # portable-ln full oracle; sink_compaction grew the fixture
-    # precondition; scan_binaryfile_media moved to localCheckpoint;
-    # table_timetravel commits through the new OCC path;
-    # multimodal_decode_gif's truncation handling changed; the
-    # streaming footer probe learned directory layouts (one
-    # representative streaming key — also the oldest stream row, r5)
-    "text_lm_unigram_score",
-    "sink_compaction",
-    "scan_binaryfile_media",
-    "table_timetravel",
-    "multimodal_decode_gif",
-    "stream_tumbling_true",
-    # (3) VERDICT r7 #3 backlog: the entire r3 cohort (oldest rows in
-    # the registry) ...
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having",
-    "dedup_ngram_jaccard",
-    "filter_membership",
-    "multimodal_join",
-    "project_cast",
-    "project_conditional",
-    "sample_systematic",
-    "sim_cosine_topk",
-    "str_basics",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_term_freq",
-    "text_token_count",
-    # (4) ... plus as many of the 28 r4 rows as the cap allows (2 —
-    # the r8 additions squeezed this backfill tier; scan_full,
-    # text_tfidf_topk and the remaining 24 r4 rows defer to r9's
-    # rotation: map_funcs, limit_topk, str_split_explode, str_hash,
-    # date_parts, date_arith, math_funcs, array_funcs, array_hof,
-    # json_funcs, scan_prune_columns, setop_dedup/except/intersect/
-    # union_all, sort_multi_key, str_regex, udf_scalar,
-    # udaf_grouped_agg, window_lag_delta/moving_avg/percent_rank/
-    # running_sum/topk_per_group)
-    "agg_reduce_sum",
-    "agg_salted_hotkey",
+    "mv_incremental_refresh",
+    # (3) the entire r4 cohort (oldest rows in the registry)
+    "array_funcs",
+    "array_hof",
+    "date_arith",
+    "date_parts",
+    "json_funcs",
+    "limit_topk",
+    "map_funcs",
+    "math_funcs",
+    "scan_full",
+    "scan_prune_columns",
+    "setop_dedup",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "sort_multi_key",
+    "str_hash",
+    "str_regex",
+    "str_split_explode",
+    "text_tfidf_topk",
+    "udaf_grouped_agg",
+    "udf_scalar",
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_percent_rank",
+    "window_running_sum",
+    "window_topk_per_group",
+    # (4) r5-cohort prefix (first 15 alphabetically; the rest in r10)
+    "agg_mode_deterministic",
+    "filter_compound",
+    "filter_null_semantics",
+    "join_asof",
+    "join_asof_binned",
+    "join_broadcast",
+    "join_full_outer",
+    "join_left_outer",
+    "join_multiway_star",
+    "join_semi",
+    "join_shuffle_equi",
+    "join_theta_range",
+    "project_arith",
+    "quality_dedup_rates",
+    "sample_stratified_rebalance",
 ]
 
 
