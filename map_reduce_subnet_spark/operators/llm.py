@@ -3750,12 +3750,13 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lm_unigram_oracle() -> str:
-    """DuckDB oracle for text_lm_unigram_score: the SAME portable-ln
-    stage expressions (functions/stable.py::portable_ln_stages,
-    duckdb dialect) as a CTE chain — by construction the expression
-    tree matches the Spark plan op-for-op, so the scores hash
-    exactly."""
+def _lm_unigram_scores_ctes() -> str:
+    """Shared DuckDB CTE chain ending in ``doc_scores(doc_id,
+    n_tokens, avg_logprob)``: the SAME portable-ln stage expressions
+    (functions/stable.py::portable_ln_stages, duckdb dialect) as the
+    Spark plan, op-for-op, so the scores hash exactly. Used by
+    text_lm_unigram_score (bottom-20 tail) and
+    text_ccnet_perplexity_bucket (per-lang terciles)."""
     from map_reduce_subnet_spark.functions.stable import portable_ln_stages
 
     stages = list(
@@ -3773,8 +3774,7 @@ def _lm_unigram_oracle() -> str:
         )
         prev = name
     chain = ",\n".join(ctes)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ), counts AS (
     SELECT word, COUNT(*) AS c FROM toks GROUP BY word
@@ -3783,12 +3783,23 @@ WITH toks AS (
 ), base AS (
     SELECT doc_id, c, t FROM toks JOIN counts USING (word) CROSS JOIN total
 ),
-{chain}
-SELECT doc_id, COUNT(*) AS n_tokens,
-       CAST(SUM(CAST((c_ln - t_ln) AS DECIMAL(27,6))) AS DOUBLE)
-           / COUNT(*) AS avg_logprob
-FROM {prev}
-GROUP BY doc_id
+{chain},
+doc_scores AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CAST((c_ln - t_ln) AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*) AS avg_logprob
+    FROM {prev}
+    GROUP BY doc_id
+)"""
+
+
+def _lm_unigram_oracle() -> str:
+    """DuckDB oracle for text_lm_unigram_score (see
+    _lm_unigram_scores_ctes)."""
+    return f"""
+WITH {_lm_unigram_scores_ctes()}
+SELECT doc_id, n_tokens, avg_logprob
+FROM doc_scores
 ORDER BY avg_logprob ASC, doc_id ASC
 LIMIT 20
 """
@@ -3823,6 +3834,18 @@ def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent ⇒ deterministic at any parallelism. The ln
     itself is ~30 codegen'd float ops per token instead of one libm
     call — noise next to the token join either way."""
+    return (
+        _lm_unigram_doc_scores(spark, sf_dir)
+        .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _lm_unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, n_tokens, avg_logprob) frame of the portable
+    unigram LM — the scoring pipeline text_lm_unigram_score's
+    docstring documents, factored out so the CCNet perplexity
+    bucketing reuses the identical (hash-proven) score expression."""
     from map_reduce_subnet_spark.functions.stable import (
         SUM_DECIMAL,
         portable_ln_stages,
@@ -3840,17 +3863,12 @@ def text_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.select(
         "doc_id", (F.col("c_ln") - F.col("t_ln")).alias("lnp")
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            (
-                F.sum(F.col("lnp").cast(SUM_DECIMAL)).cast("double")
-                / F.count("*")
-            ).alias("avg_logprob"),
-        )
-        .orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
-        .limit(20)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (
+            F.sum(F.col("lnp").cast(SUM_DECIMAL)).cast("double")
+            / F.count("*")
+        ).alias("avg_logprob"),
     )
 
 
@@ -5673,4 +5691,198 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b == 8, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+@query(
+    "text_ccnet_perplexity_bucket",
+    oracle=f"""
+WITH {{SCORES}},
+bucketed AS (
+    SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+           NTILE(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY s.avg_logprob DESC, s.doc_id
+           ) AS tercile
+    FROM doc_scores s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_tokens, avg_logprob,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM bucketed
+""".replace("{SCORES}", _lm_unigram_scores_ctes()),
+)
+def text_ccnet_perplexity_bucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail PERPLEXITY BUCKETING (Wenzek et al.
+    2020 §4.3 — the corpus-partitioning step of the CCNet pipeline
+    that LLaMA's CommonCrawl recipe consumes): every document is
+    scored by the corpus-trained unigram LM (the identical
+    hash-proven portable-ln pipeline as text_lm_unigram_score,
+    shared via _lm_unigram_doc_scores) and assigned to a PER-LANGUAGE
+    tercile — 'head' = most probable third (cleanest text), 'tail' =
+    least probable (the third CCNet drops or downweights).
+    Per-language partitioning is the point: absolute LM scores are
+    not comparable across languages, so bucketing globally would put
+    whole low-resource languages in the tail.
+
+    Determinism: the scores are bit-exact across engines (portable
+    ln + 6dp-quantized order-independent sum), and the tercile order
+    (avg_logprob DESC, doc_id) is total, so NTILE is deterministic —
+    full hash-enforced oracle, no tolerance.
+
+    Scale shape: scoring is the one tokenize shuffle + vocabulary
+    join text_lm_unigram_score documents; bucketing adds one
+    lang-partitioned window (languages are a natural partition key;
+    skew across languages is real at 100 TB — a deployment splits
+    the window's ORDER BY into a two-pass quantile-threshold
+    computation per language, which changes the cut computation, not
+    the assignment semantics; at this fixture the window is exact
+    and portable). Grounding: oracle scoring + normalize-then-rank
+    (reference neurons/validator.py:134-149)."""
+    scores = _lm_unigram_doc_scores(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    return (
+        scores.join(d, "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "avg_logprob",
+            F.when(F.col("tercile") == 1, F.lit("head"))
+            .when(F.col("tercile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+@query(
+    "text_repetition_ngram",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sized AS (
+    SELECT doc_id, w, len(w) AS n_words FROM base
+), grams AS (
+    SELECT doc_id, w, n_words,
+           list_transform(range(1, n_words),
+                          i -> w[i] || ' ' || w[i + 1]) AS g2,
+           list_transform(range(1, n_words - 1),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+               AS g3
+    FROM sized
+), counted AS (
+    SELECT doc_id, n_words,
+           len(list_distinct(w)) AS d1,
+           len(g2) AS n2, len(list_distinct(g2)) AS d2,
+           len(g3) AS n3, len(list_distinct(g3)) AS d3,
+           list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))) AS top_word_count
+    FROM grams
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_words - d1 AS BIGINT) AS dup_words,
+       CAST(n_words - d1 AS DOUBLE) / n_words AS dup_word_frac,
+       CAST(n2 - d2 AS DOUBLE) / CASE WHEN n2 > 0 THEN n2 ELSE 1 END
+           AS dup_2gram_frac,
+       CAST(n3 - d3 AS DOUBLE) / CASE WHEN n3 > 0 THEN n3 ELSE 1 END
+           AS dup_3gram_frac,
+       CAST(top_word_count AS BIGINT) AS top_word_count,
+       CAST(top_word_count AS DOUBLE) / n_words AS top_word_frac,
+       (CAST(n2 - d2 AS DOUBLE) / CASE WHEN n2 > 0 THEN n2 ELSE 1 END
+            <= CAST(0.2 AS DOUBLE)
+        AND CAST(n3 - d3 AS DOUBLE) / CASE WHEN n3 > 0 THEN n3 ELSE 1 END
+            <= CAST(0.18 AS DOUBLE)
+        AND CAST(top_word_count AS DOUBLE) / n_words
+            <= CAST(0.3 AS DOUBLE)) AS keep_repetition
+FROM counted
+""",
+)
+def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOCUMENT REPETITION filter — the Gopher repetition rule
+    family (Rae et al. 2021 §A1.1: duplicate n-gram and top-n-gram
+    fractions), the signal that catches boilerplate/spam documents
+    whose individual tokens look fine but whose content loops. This
+    is the complement of text_quality_gopher's length/symbol rules
+    (which deliberately excluded repetition) and the WITHIN-doc dual
+    of the cross-doc dedup family. Count-based adaptation (duplicate
+    token fraction, duplicate 2/3-gram fraction, top-word fraction)
+    of the paper's char-coverage variants — same decision signal,
+    integer-exact arithmetic. Composite keep uses the published-ish
+    thresholds (dup-2gram <= 0.2, dup-3gram <= 0.18, top-word <=
+    0.3).
+
+    Scale shape: every signal is per-document array arithmetic —
+    scan-local, ZERO shuffles, whole-stage codegen; the n-gram
+    arrays are built and discarded inside the row expression (never
+    materialized corpus-wide, unlike the dedup shingle tables). The
+    top-word scan is O(distinct x n_words) per doc — bounded by doc
+    length, the same per-row envelope as the BPE encode loop.
+    Grounding: quality scoring `README.md:22`, blacklist filter
+    `neurons/miner.py:107-123`."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tx.words("text").alias("w")).select(
+        "doc_id", "w", F.size("w").alias("n_words")
+    )
+    grams = base.select(
+        "doc_id",
+        "w",
+        "n_words",
+        F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"
+            " ELSE array() END"
+        ).alias("g2"),
+        F.expr(
+            "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w)-2),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i+1), ' ',"
+            " element_at(w, i+2))) ELSE array() END"
+        ).alias("g3"),
+    )
+    counted = grams.select(
+        "doc_id",
+        "n_words",
+        F.size(F.array_distinct("w")).alias("d1"),
+        F.size("g2").alias("n2"),
+        F.size(F.array_distinct("g2")).alias("d2"),
+        F.size("g3").alias("n3"),
+        F.size(F.array_distinct("g3")).alias("d3"),
+        F.array_max(
+            F.expr(
+                "transform(array_distinct(w),"
+                " x -> size(filter(w, y -> y = x)))"
+            )
+        ).alias("top_word_count"),
+    )
+    nw = F.col("n_words").cast("double")
+    f2 = (F.col("n2") - F.col("d2")).cast("double") / F.greatest(
+        F.col("n2"), F.lit(1)
+    )
+    f3 = (F.col("n3") - F.col("d3")).cast("double") / F.greatest(
+        F.col("n3"), F.lit(1)
+    )
+    ftop = F.col("top_word_count").cast("double") / nw
+    return counted.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("n_words") - F.col("d1")).cast("long").alias("dup_words"),
+        ((F.col("n_words") - F.col("d1")).cast("double") / nw).alias(
+            "dup_word_frac"
+        ),
+        f2.alias("dup_2gram_frac"),
+        f3.alias("dup_3gram_frac"),
+        F.col("top_word_count").cast("long").alias("top_word_count"),
+        ftop.alias("top_word_frac"),
+        (
+            (f2 <= F.lit(0.2).cast("double"))
+            & (f3 <= F.lit(0.18).cast("double"))
+            & (ftop <= F.lit(0.3).cast("double"))
+        ).alias("keep_repetition"),
     )
