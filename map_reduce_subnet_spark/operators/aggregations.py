@@ -865,3 +865,91 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     )
+
+
+DECAY_MAX_SHIFT = 62  # 1<<n stays in int64; weights below 2^-62 round to 0
+
+
+@query(
+    "agg_time_decay",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, value, event_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+    FROM events
+), anchored AS (
+    SELECT user_id, value, day,
+           LEAST(MAX(day) OVER (PARTITION BY user_id) - day,
+                 {DECAY_MAX_SHIFT}) AS delta
+    FROM daily
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(day) AS last_day,
+       {sql_dsum('value / CAST((CAST(1 AS BIGINT) << delta) AS DOUBLE)')}
+           AS decay_sum
+FROM anchored
+GROUP BY user_id
+""",
+)
+def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL TIME-DECAY aggregate per user (half-life = 1 day):
+    each event contributes value x 0.5^(days before the user's most
+    recent event) — the recency-weighted engagement score every
+    ranking/feature pipeline keeps (and the time-indexed
+    generalization of the reference validator's per-round EMA fold,
+    reference neurons/validator.py:109,146: EMA weights by ROUND
+    count, this weights by ELAPSED TIME, so irregular event gaps
+    decay correctly instead of counting each event as one step).
+
+    Exactness (the agg_ema discipline, without iteration): the decay
+    weight is 2^-delta with INTEGER delta, built as division by a
+    shifted int64 — a power-of-two division only changes the float's
+    exponent, so value/2^delta is IEEE-EXACT on both engines, and
+    the per-user sum goes through the decimal-stabilized dsum so it
+    is order-independent. No libm pow/exp anywhere. delta caps at
+    {DECAY_MAX_SHIFT} (shift stays in int64; a 2^-62 weight is below
+    the 6dp sum quantum anyway — the cap is the deterministic
+    version of 'too old to matter').
+
+    Scale shape: one shuffle on user_id for the per-user anchor
+    (MAX day window); the groupBy reuses the window's hash
+    partitioning (no second exchange — same-key stages co-locate),
+    partial+final agg preserved. At 100 TB this is the standard
+    window+agg pair every per-entity feature job runs."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id",
+        "value",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000))
+        .cast("long")
+        .alias("day"),
+    )
+    w = Window.partitionBy("user_id")
+    anchored = daily.select(
+        "user_id",
+        "value",
+        "day",
+        F.least(
+            F.max("day").over(w) - F.col("day"), F.lit(DECAY_MAX_SHIFT)
+        ).alias("delta"),
+    )
+    # F.shiftleft requires a literal bit count; the SQL form takes a
+    # column
+    term = F.col("value") / F.expr(
+        "cast(shiftleft(cast(1 as bigint), cast(delta as int)) as double)"
+    )
+    out = anchored.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("day").alias("last_day"),
+        dsum(term, "decay_sum"),
+    )
+    from map_reduce_subnet_spark.plans import count_exchanges
+
+    n_ex = count_exchanges(out)
+    if n_ex > 1:
+        raise AssertionError(
+            "agg_time_decay: the groupBy must reuse the window's "
+            f"user_id partitioning (1 exchange), plan has {n_ex}"
+        )
+    return out
