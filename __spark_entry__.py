@@ -64,6 +64,8 @@ _SWEEP_PRIORITY = [
     "text_ccnet_perplexity_bucket",
     "text_repetition_ngram",
     "agg_time_decay",
+    "pipeline_sequence_pack",
+    "scan_rowgroup_skip",
     # (2) changed in round 9: table_vacuum grew the orphan grace
     # window + aged-debris fixture; graph_kcore's fixpoint loop bound;
     # scan_csv_malformed's FAILFAST probe narrowed; the BPE pair's
@@ -102,9 +104,10 @@ _SWEEP_PRIORITY = [
     "window_percent_rank",
     "window_running_sum",
     "window_topk_per_group",
-    # (4) r5-cohort prefix (first 12 alphabetically; project_arith,
-    # quality_dedup_rates, sample_stratified_rebalance and the rest
-    # move to r10 — three late-r9 additions took their slots)
+    # (4) r5-cohort prefix (first 10 alphabetically; join_shuffle_equi,
+    # join_theta_range, project_arith, quality_dedup_rates,
+    # sample_stratified_rebalance and the rest move to r10 — five
+    # late-r9 additions took their slots)
     "agg_mode_deterministic",
     "filter_compound",
     "filter_null_semantics",
@@ -115,8 +118,6 @@ _SWEEP_PRIORITY = [
     "join_left_outer",
     "join_multiway_star",
     "join_semi",
-    "join_shuffle_equi",
-    "join_theta_range",
 ]
 
 

@@ -5886,3 +5886,109 @@ def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (ftop <= F.lit(0.3).cast("double"))
         ).alias("keep_repetition"),
     )
+
+
+SEQ_PACK_LEN = 2048  # tokens per training sequence
+SEQ_PACK_BUCKETS = 64  # driver-side prefix array size (bounded)
+
+
+@query(
+    "pipeline_sequence_pack",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), cum AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+           ) AS cum
+    FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {SEQ_PACK_LEN} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {SEQ_PACK_LEN} AS BIGINT) AS offset_in_seq,
+       CAST((cum - 1) // {SEQ_PACK_LEN}
+            - (cum - n_tokens) // {SEQ_PACK_LEN} + 1 AS BIGINT)
+           AS n_seqs_spanned
+FROM cum
+""",
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — the concat-and-chunk step every LLM
+    training pipeline ends with (GPT-3 §B / Llama data loading):
+    documents are laid end-to-end in deterministic doc_id order and
+    cut into fixed {SEQ_PACK_LEN}-token training sequences; each doc
+    gets its global token offset, owning sequence id, offset within
+    that sequence, and how many sequences it straddles (the
+    cross-boundary fraction is what packing-efficiency audits track).
+
+    The 100 TB shape is the POINT of this implementation: the naive
+    plan is one GLOBAL cumulative-sum window — a single-partition
+    scale-killer. Instead, the classic two-phase distributed prefix
+    sum: (1) docs bucket by contiguous doc_id range; per-bucket token
+    totals come back to the driver (≤{SEQ_PACK_BUCKETS} rows — the
+    bounded-collect discipline), (2) the driver prefix-sums the
+    bucket totals into per-bucket base offsets (a {SEQ_PACK_BUCKETS}-
+    element scan) which broadcast-join back, and the cumulative sum
+    runs as a PARTITIONED window within each bucket. Same two-phase
+    pattern a real cluster uses for any global ordering statistic.
+    The SQL oracle is the naive global window — a hash match proves
+    the distributed decomposition exact.
+
+    Grounding: chunk map/reduce over an ordered payload stream
+    (reference README.md:18-22)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(tx.words("text")).cast("long").alias("n_tokens")
+    )
+    # contiguous-range bucketing preserves doc_id order across buckets
+    max_id = toks.agg(F.max("doc_id")).collect()[0][0]  # 1 scalar
+    width = (int(max_id) // SEQ_PACK_BUCKETS) + 1
+    bucketed = toks.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(width)).cast("long")
+    )
+    # <= SEQ_PACK_BUCKETS rows by construction — bounded driver sync
+    totals = {
+        r["bucket"]: r["t"]
+        for r in bucketed.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    base, acc = [], 0
+    for b in sorted(totals):
+        base.append((b, acc))
+        acc += int(totals[b])
+    offsets = F.broadcast(
+        spark.createDataFrame(base, "bucket long, bucket_base long")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bucketed.join(offsets, "bucket")
+        .withColumn(
+            "cum", F.col("bucket_base") + F.sum("n_tokens").over(w)
+        )
+        .withColumn("start_offset", F.col("cum") - F.col("n_tokens"))
+    )
+    L = F.lit(SEQ_PACK_LEN)
+    out = cum.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / L).cast("long").alias("seq_id"),
+        (F.col("start_offset") % L).alias("offset_in_seq"),
+        (
+            F.floor((F.col("cum") - 1) / L)
+            - F.floor(F.col("start_offset") / L)
+            + 1
+        )
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )
+    return out

@@ -1019,3 +1019,98 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(failfast_raises).alias("failfast_raises"),
     )
     return _materialize_and_clean(spark, out, root)
+
+
+@query(
+    "scan_rowgroup_skip",
+    oracle=f"""
+SELECT COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value,
+       TRUE AS multi_rowgroup,
+       TRUE AS stats_ordered,
+       TRUE AS skippable_exists
+FROM events
+WHERE user_id < 8
+""",
+)
+def scan_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET ROW-GROUP STATISTICS SKIPPING — the data-skipping tier
+    between partition pruning (scan_partition_prune: whole
+    directories) and Z-order clustering (sink_zorder_cluster:
+    multi-column locality): events are rewritten SORTED by user_id
+    into a single file with deliberately small row groups, so each
+    row group's min/max user_id footer statistics cover a narrow
+    disjoint range and a selective predicate can skip most groups
+    without reading their pages — at 100 TB, sort-on-write plus
+    footer stats is the difference between scanning a partition and
+    scanning a fraction of it.
+
+    The skipping is made OBSERVABLE, not assumed (the bound-checked
+    oracle pattern): the writer's footer is re-read via pyarrow
+    (driver-side metadata, O(row groups)) and the oracle pins three
+    booleans TRUE — the file really has >1 row group, the per-group
+    [min,max] user_id ranges are non-overlapping ascending (the sort
+    actually reached the footer stats), and at least one group lies
+    wholly outside the predicate (skippable). The aggregate over the
+    filtered read-back hash-matches the direct scan, proving
+    skipping loses nothing. The predicate itself reaches the scan as
+    a PushedFilter (linted in-query, the scan_filter_pushdown
+    discipline).
+
+    Scale shape: the rewrite is one range-sort shuffle (the same
+    sort a real ingest pays once at write time to make every later
+    read cheap); the probe read is a pruned single-file scan."""
+    import pyarrow.parquet as _pq
+
+    from map_reduce_subnet_spark.plans import formatted_plan
+
+    ev = load_table(spark, sf_dir, "events")
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_rgskip_{uuid.uuid4().hex[:12]}"
+    )
+    (
+        ev.select("event_id", "user_id", "value")
+        .repartition(1)
+        .sortWithinPartitions("user_id", "event_id")
+        # tiny block size so even the sf0.001 fixture (~500 rows)
+        # splits into multiple row groups — the knob a deployment
+        # sets to ~128MB; the skipping mechanics are identical
+        .write.option("parquet.block.size", 4096)
+        .parquet(root)
+    )
+    part = next(
+        os.path.join(root, n)
+        for n in sorted(os.listdir(root))
+        if n.endswith(".parquet")
+    )
+    md = _pq.ParquetFile(part).metadata
+    uid_idx = md.schema.names.index("user_id")
+    ranges = [
+        (
+            md.row_group(g).column(uid_idx).statistics.min,
+            md.row_group(g).column(uid_idx).statistics.max,
+        )
+        for g in range(md.num_row_groups)
+    ]
+    multi = len(ranges) > 1
+    ordered = all(
+        ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1)
+    )
+    skippable = any(lo > 7 for lo, _ in ranges)
+    probe = spark.read.parquet(root).where(F.col("user_id") < 8)
+    plan = formatted_plan(probe)
+    if "PushedFilters" not in plan or "LessThan(user_id,8)" not in plan:
+        raise AssertionError(
+            "scan_rowgroup_skip: the range predicate must reach the "
+            f"parquet scan as a PushedFilter; plan:\n{plan}"
+        )
+    agg = probe.agg(
+        F.count("*").alias("n_events"), dsum("value", "sum_value")
+    ).select(
+        "n_events",
+        "sum_value",
+        F.lit(multi).alias("multi_rowgroup"),
+        F.lit(ordered).alias("stats_ordered"),
+        F.lit(skippable).alias("skippable_exists"),
+    )
+    return _materialize_and_clean(spark, agg, root)
