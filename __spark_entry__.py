@@ -41,15 +41,17 @@ _SWEEP_PRIORITY = [
     # With a 207+ key registry and a 50-slot cap, the backlog of
     # aging hash-green rows clears on a two-round schedule:
     #   r9  = new/changed keys + the ENTIRE 26-key r4 cohort
-    #         + the first 15 of the 38-key r5 cohort (alphabetical);
-    #   r10 = new/changed keys + the REMAINING 23 r5-cohort keys
-    #         (scan_csv_roundtrip, scan_jsonl_roundtrip,
-    #         scan_partition_prune, setop_except_all,
-    #         setop_intersect_all, str_fuzzy_levenshtein, stream_dedup,
-    #         stream_dedup_true, stream_session, stream_session_true,
-    #         stream_sliding, stream_sliding_true,
-    #         stream_static_join_true, stream_tumbling,
-    #         text_collocations_pmi, text_quality_c4,
+    #         + the first 9 of the 38-key r5 cohort (alphabetical);
+    #   r10 = new/changed keys + the REMAINING 29 r5-cohort keys
+    #         (join_semi, join_shuffle_equi, join_theta_range,
+    #         project_arith, quality_dedup_rates,
+    #         sample_stratified_rebalance, scan_csv_roundtrip,
+    #         scan_jsonl_roundtrip, scan_partition_prune,
+    #         setop_except_all, setop_intersect_all,
+    #         str_fuzzy_levenshtein, stream_dedup, stream_dedup_true,
+    #         stream_session, stream_session_true, stream_sliding,
+    #         stream_sliding_true, stream_static_join_true,
+    #         stream_tumbling, text_collocations_pmi, text_quality_c4,
     #         timeseries_gapfill, udtf_cogrouped_map, udtf_grouped_map,
     #         window_ntile_cume, window_range_frame, window_rank_stake,
     #         window_row_number) + r6-cohort backfill in spare slots.
@@ -66,6 +68,7 @@ _SWEEP_PRIORITY = [
     "agg_time_decay",
     "pipeline_sequence_pack",
     "scan_rowgroup_skip",
+    "sim_mmr_diversify",
     # (2) changed in round 9: table_vacuum grew the orphan grace
     # window + aged-debris fixture; graph_kcore's fixpoint loop bound;
     # scan_csv_malformed's FAILFAST probe narrowed; the BPE pair's
@@ -104,10 +107,10 @@ _SWEEP_PRIORITY = [
     "window_percent_rank",
     "window_running_sum",
     "window_topk_per_group",
-    # (4) r5-cohort prefix (first 10 alphabetically; join_shuffle_equi,
-    # join_theta_range, project_arith, quality_dedup_rates,
-    # sample_stratified_rebalance and the rest move to r10 — five
-    # late-r9 additions took their slots)
+    # (4) r5-cohort prefix (first 9 alphabetically; join_semi,
+    # join_shuffle_equi, join_theta_range, project_arith,
+    # quality_dedup_rates, sample_stratified_rebalance and the rest
+    # move to r10 — six late-r9 additions took their slots)
     "agg_mode_deterministic",
     "filter_compound",
     "filter_null_semantics",
@@ -117,7 +120,6 @@ _SWEEP_PRIORITY = [
     "join_full_outer",
     "join_left_outer",
     "join_multiway_star",
-    "join_semi",
 ]
 
 

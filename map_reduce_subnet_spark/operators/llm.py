@@ -5992,3 +5992,160 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_seqs_spanned"),
     )
     return out
+
+
+MMR_POOL = 20  # candidate pool (top-C by relevance)
+MMR_K = 5  # diversified picks
+MMR_LAMBDA = "0.7"  # relevance weight (spelled once, cast in both dialects)
+
+
+def _mmr_oracle() -> str:
+    """DuckDB twin of sim_mmr_diversify: candidate pool + pairwise
+    cosine CTEs, then MMR_K unrolled greedy argmax rounds — each
+    round's CTE excludes the union of earlier picks and penalizes by
+    the max pairwise similarity to them (round 1's penalty term is 0
+    over the empty set, spelled literally so the score formula is one
+    expression in every round)."""
+    lam = f"CAST({MMR_LAMBDA} AS DOUBLE)"
+    ctes = [
+        f"""cand AS MATERIALIZED (
+    SELECT e.vec_id, e.embedding,
+           {_pair_cos('e.embedding', 'probe.p')} AS rel
+    FROM embeddings e,
+         (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) probe
+    WHERE e.vec_id <> 0
+      AND {_pair_cos('e.embedding', 'probe.p')} IS NOT NULL
+      AND NOT isnan({_pair_cos('e.embedding', 'probe.p')})
+    ORDER BY rel DESC, e.vec_id
+    LIMIT {MMR_POOL}
+)""",
+        f"""pairs AS MATERIALIZED (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {_pair_cos('a.embedding', 'b.embedding')} AS s
+    FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+)""",
+        f"""sel1 AS MATERIALIZED (
+    SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+           {lam} * rel - (CAST(1 AS DOUBLE) - {lam}) * CAST(0 AS DOUBLE)
+               AS mmr_score
+    FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+)""",
+    ]
+    prev_union = "SELECT vec_id FROM sel1"
+    for r in range(2, MMR_K + 1):
+        ctes.append(f"""sel{r} AS MATERIALIZED (
+    SELECT CAST({r} AS BIGINT) AS rank, c.vec_id, c.rel,
+           {lam} * c.rel
+               - (CAST(1 AS DOUBLE) - {lam}) * MAX(p.s) AS mmr_score
+    FROM cand c
+    JOIN pairs p ON p.a_id = c.vec_id
+                AND p.b_id IN ({prev_union})
+    WHERE c.vec_id NOT IN ({prev_union})
+    GROUP BY c.vec_id, c.rel
+    ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+)""")
+        prev_union += f" UNION ALL SELECT vec_id FROM sel{r}"
+    body = ",\n".join(ctes)
+    picks = "\nUNION ALL\n".join(
+        f"SELECT rank, vec_id, rel AS cos_sim, mmr_score FROM sel{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return f"WITH {body}\n{picks}"
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE diversified top-k (Carbonell &
+    Goldstein 1998 — the de-dup-at-retrieval-time step of RAG /
+    hard-negative-mining pipelines): from the probe's top-{MMR_POOL}
+    relevance pool, greedily pick {MMR_K} results maximizing
+    λ·rel − (1−λ)·max-similarity-to-already-picked, so near-duplicate
+    results (which a duplicate-heavy corpus guarantees) don't crowd
+    the slate. Completes the similarity family: exact top-k
+    (sim_cosine_topk) ranks, ANN accelerates, MMR DIVERSIFIES.
+
+    Execution discipline = the BPE learner's: candidate-pool
+    selection is the one corpus-wide leg (broadcast probe, scan-local
+    cosine, TakeOrdered {MMR_POOL}); the pool and its {MMR_POOL}²
+    pairwise-cosine frame are checkpointed TINY frames, and each of
+    the {MMR_K} greedy rounds reads back exactly ONE row (the argmax
+    pick — the selected slate is the artifact, like the learned merge
+    rules). The oracle unrolls the greedy recursion into {MMR_K}
+    materialized CTE rounds over the identical promoted-double
+    cosine, so the whole pool→pairwise→greedy chain is hash-exact.
+
+    Scale shape: corpus cost = one scan (the exact-baseline leg; a
+    deployment swaps in the ANN candidate generator); everything
+    after is O(pool²) on {MMR_POOL} rows — driver reads {MMR_K}
+    single-row argmaxes, never the pool."""
+    lam = F.lit(float(MMR_LAMBDA)).cast("double")
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("probe")
+        )
+    )
+    cand = stable_checkpoint(
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select(
+            "vec_id",
+            "embedding",
+            sim.cosine(F.col("embedding"), F.col("probe")).alias("rel"),
+        )
+        .where(F.col("rel").isNotNull() & ~F.isnan("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    )
+    pairs = stable_checkpoint(
+        a.crossJoin(b)  # MMR_POOL^2 rows — bounded tiny frame
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            sim.cosine(F.col("ea"), F.col("eb")).alias("s"),
+        )
+    )
+    picks: list[tuple[int, int, float, float]] = []
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()[0]
+    )  # 1 row per round — the argmax pick
+    picks.append(
+        (
+            1,
+            first["vec_id"],
+            first["rel"],
+            float(MMR_LAMBDA) * first["rel"]
+            - (1.0 - float(MMR_LAMBDA)) * 0.0,
+        )
+    )
+    for r in range(2, MMR_K + 1):
+        sel_ids = [p[1] for p in picks]
+        row = (
+            cand.where(~F.col("vec_id").isin(sel_ids))
+            .join(
+                pairs.where(F.col("b_id").isin(sel_ids)),
+                F.col("a_id") == F.col("vec_id"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("s").alias("ms"))
+            .select(
+                "vec_id",
+                "rel",
+                (lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("ms")
+                 ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )  # 1 row per round
+        picks.append((r, row["vec_id"], row["rel"], row["mmr_score"]))
+    return spark.createDataFrame(
+        picks, "rank long, vec_id long, cos_sim double, mmr_score double"
+    )
