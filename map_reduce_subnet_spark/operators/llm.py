@@ -5946,7 +5946,8 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # contiguous-range bucketing preserves doc_id order across buckets
     max_id = toks.agg(F.max("doc_id")).collect()[0][0]  # 1 scalar
-    width = (int(max_id) // SEQ_PACK_BUCKETS) + 1
+    # empty corpus: no rows, any positive width works
+    width = (int(max_id) // SEQ_PACK_BUCKETS) + 1 if max_id is not None else 1
     bucketed = toks.withColumn(
         "bucket", (F.col("doc_id") / F.lit(width)).cast("long")
     )
@@ -6112,10 +6113,12 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.cosine(F.col("ea"), F.col("eb")).alias("s"),
         )
     )
+    out_schema = "rank long, vec_id long, cos_sim double, mmr_score double"
     picks: list[tuple[int, int, float, float]] = []
-    first = (
-        cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()[0]
-    )  # 1 row per round — the argmax pick
+    head = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1).collect()
+    if not head:  # empty corpus/pool: empty slate, stable schema
+        return spark.createDataFrame([], out_schema)
+    first = head[0]  # 1 row per round — the argmax pick
     picks.append(
         (
             1,
@@ -6143,9 +6146,11 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )  # 1 row per round
-        picks.append((r, row["vec_id"], row["rel"], row["mmr_score"]))
-    return spark.createDataFrame(
-        picks, "rank long, vec_id long, cos_sim double, mmr_score double"
-    )
+        if not row:  # pool smaller than MMR_K: slate ends early
+            break
+        picks.append(
+            (r, row[0]["vec_id"], row[0]["rel"], row[0]["mmr_score"])
+        )
+    return spark.createDataFrame(picks, out_schema)

@@ -275,6 +275,15 @@ _EMPTY_SWEEP_KEYS = (
     "agg_cms_heavy_hitters",   # empty sketch, zero heavy hitters
     "join_bloom_runtime",
     "agg_approx_percentile",   # empty rank window
+    # round-9 additions:
+    "pipeline_sequence_pack",  # empty corpus: max(doc_id) is NULL
+    "sim_mmr_diversify",       # empty pool: empty slate, stable schema
+    "split_leakage_safe",
+    "agg_time_decay",
+    "text_repetition_ngram",
+    "text_ccnet_perplexity_bucket",
+    "scan_rowgroup_skip",      # zero row groups: booleans degrade
+    "stream_mv_refresh_true",  # empty feeds: MV stays the v1 build
 )
 
 
