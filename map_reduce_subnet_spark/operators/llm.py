@@ -6154,3 +6154,127 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r, row[0]["vec_id"], row[0]["rel"], row[0]["mmr_score"])
         )
     return spark.createDataFrame(picks, out_schema)
+
+
+def _kappa_oracle() -> str:
+    """Composed oracle: both published rule-set oracles verbatim as
+    CTEs (the pipeline_curation_e2e composition discipline — one
+    hash certifies the whole chain including both rule stacks), then
+    the 2x2 agreement table and Cohen's kappa from integer counts in
+    one fixed expression tree."""
+    from map_reduce_subnet_spark.operators.registry import ORACLES
+
+    c4 = ORACLES["text_quality_c4"].strip().rstrip(";")
+    go = ORACLES["text_quality_gopher"].strip().rstrip(";")
+    return f"""
+WITH c4 AS ({c4}),
+go AS ({go}),
+j AS (
+    SELECT c4.kept AS k1, go.kept AS k2
+    FROM c4 JOIN go USING (doc_id)
+), t AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(SUM(CASE WHEN k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c4_only,
+           CAST(SUM(CASE WHEN NOT k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gopher_only,
+           CAST(SUM(CASE WHEN NOT k1 AND NOT k2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_neither
+    FROM j
+)
+SELECT n, n_both, n_c4_only, n_gopher_only, n_neither,
+       CAST(n_both + n_neither AS DOUBLE) / CAST(n AS DOUBLE)
+           AS observed_agreement,
+       (CAST(n_both + n_c4_only AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n_both + n_gopher_only AS DOUBLE) / CAST(n AS DOUBLE))
+       + (CAST(1 AS DOUBLE)
+              - CAST(n_both + n_c4_only AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(1 AS DOUBLE)
+              - CAST(n_both + n_gopher_only AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS expected_agreement,
+       (CAST(n_both + n_neither AS DOUBLE) / CAST(n AS DOUBLE)
+        - ((CAST(n_both + n_c4_only AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n_both + n_gopher_only AS DOUBLE) / CAST(n AS DOUBLE))
+           + (CAST(1 AS DOUBLE)
+                  - CAST(n_both + n_c4_only AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+             * (CAST(1 AS DOUBLE)
+                  - CAST(n_both + n_gopher_only AS DOUBLE)
+                      / CAST(n AS DOUBLE))))
+       / (CAST(1 AS DOUBLE)
+          - ((CAST(n_both + n_c4_only AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_both + n_gopher_only AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+             + (CAST(1 AS DOUBLE)
+                    - CAST(n_both + n_c4_only AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+               * (CAST(1 AS DOUBLE)
+                    - CAST(n_both + n_gopher_only AS DOUBLE)
+                        / CAST(n AS DOUBLE)))) AS cohen_kappa
+FROM t
+"""
+
+
+@query("quality_filter_agreement", oracle=_kappa_oracle())
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-FILTER AGREEMENT audit — Cohen's kappa between the two
+    published quality rule sets (C4, Raffel et al. 2020 vs Gopher,
+    Rae et al. 2021): the 2x2 keep/drop contingency table, observed
+    agreement, chance-expected agreement, and kappa. This is the
+    audit text_quality_gopher's docstring promises ("a real pipeline
+    runs BOTH published filter sets and audits their disagreement"):
+    low kappa on a new corpus slice is the canonical drift alarm that
+    the rule sets disagree systematically there, and the
+    n_c4_only / n_gopher_only cells are exactly the review queues.
+
+    Determinism: every output is integer counts or a fixed expression
+    tree of double divisions of those counts — bit-exact across
+    engines (the oracle composes BOTH rule-set oracles verbatim, so
+    one hash certifies both rule stacks AND the agreement algebra).
+
+    Scale shape: both rule sets are scan-local per-doc arithmetic;
+    the join is doc_id-keyed (broadcast-eligible output side at this
+    SF; key-partitioned at 100 TB); the contingency table is one
+    partial+final COUNT aggregate — 5 integers cross the final
+    exchange. Grounding: oracle scoring + blacklist filtering
+    (reference neurons/validator.py:134-141, miner.py:107-123)."""
+    c4 = text_quality_c4(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("k1")
+    )
+    go = text_quality_gopher(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("k2")
+    )
+    t = (
+        c4.join(go, "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("k1") & F.col("k2")).cast("long")).alias("n_both"),
+            F.sum((F.col("k1") & ~F.col("k2")).cast("long")).alias(
+                "n_c4_only"
+            ),
+            F.sum((~F.col("k1") & F.col("k2")).cast("long")).alias(
+                "n_gopher_only"
+            ),
+            F.sum((~F.col("k1") & ~F.col("k2")).cast("long")).alias(
+                "n_neither"
+            ),
+        )
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")).cast("double") / nd
+    p1 = (F.col("n_both") + F.col("n_c4_only")).cast("double") / nd
+    p2 = (F.col("n_both") + F.col("n_gopher_only")).cast("double") / nd
+    one = F.lit(1).cast("double")
+    pe = p1 * p2 + (one - p1) * (one - p2)
+    return t.select(
+        "n",
+        "n_both",
+        "n_c4_only",
+        "n_gopher_only",
+        "n_neither",
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
+        ((po - pe) / (one - pe)).alias("cohen_kappa"),
+    )
