@@ -1092,3 +1092,140 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").alias("node_id")).agg(
         F.count("*").alias("core_deg")
     )
+
+
+@query(
+    "diag_skew_report",
+    oracle="""
+WITH counts AS (
+    SELECT o_custkey AS key, COUNT(*) AS cnt
+    FROM orders GROUP BY o_custkey
+), hist AS (
+    SELECT cnt, COUNT(*) AS n_keys_at FROM counts GROUP BY cnt
+), cum AS (
+    SELECT cnt, n_keys_at,
+           SUM(n_keys_at) OVER (
+               ORDER BY cnt ROWS UNBOUNDED PRECEDING
+           ) AS cum_keys
+    FROM hist
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt
+    FROM counts
+), qs AS (
+    SELECT
+        (SELECT MIN(cnt) FROM cum, tot
+         WHERE cum_keys * 2 >= n_keys) AS p50_cnt,
+        (SELECT MIN(cnt) FROM cum, tot
+         WHERE cum_keys * 10 >= n_keys * 9) AS p90_cnt,
+        (SELECT MIN(cnt) FROM cum, tot
+         WHERE cum_keys * 100 >= n_keys * 99) AS p99_cnt
+), hot AS (
+    SELECT MIN(key) AS hottest_key FROM counts, tot WHERE cnt = max_cnt
+)
+SELECT n_keys, total_rows, max_cnt, hottest_key,
+       CAST(p50_cnt AS BIGINT) AS p50_cnt,
+       CAST(p90_cnt AS BIGINT) AS p90_cnt,
+       CAST(p99_cnt AS BIGINT) AS p99_cnt,
+       CAST(max_cnt AS DOUBLE)
+           / (CAST(total_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+           AS skew_factor,
+       CAST(CEIL(CAST(max_cnt AS DOUBLE)
+                 / CAST(GREATEST(p90_cnt, 1) AS DOUBLE)) AS BIGINT)
+           AS recommended_salts
+FROM tot, qs, hot
+""",
+)
+def diag_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW DIAGNOSTICS report over a join/agg key (o_custkey) —
+    the profiling pass an operator runs BEFORE tuning a 100 TB
+    shuffle: distinct-key count, exact p50/p90/p99 of the per-key row
+    counts, the hottest key and its count, the skew factor
+    (max / mean), and a recommended salt fan-out (hot-key count over
+    the p90 bulk count — the factor agg_salted_hotkey's n_salts wants
+    and AQE's skew-join split approximates at runtime). Pairs the
+    REMEDIES already in the registry (agg_salted_hotkey, join_skew_aqe)
+    with the MEASUREMENT that decides when to apply them.
+
+    Exactness: quantiles are index-based over the count-of-counts
+    histogram with integer cross-multiplication (cum*k >= n*q — no
+    float interpolation, no percentile() divergence across engines);
+    the only doubles are two final ratios with a fixed expression
+    tree.
+
+    Scale shape (the point of the histogram form): one shuffle builds
+    per-key counts; the count-of-counts HISTOGRAM is tiny (distinct
+    frequency VALUES, not keys), so the quantile window runs over a
+    bounded frame — never a global sort of the key population (the
+    naive exact-quantile plan). Hot-key argmin is one more pass over
+    the counts frame with a broadcast 1-row max. Grounding: stake
+    concentration over hotkeys (reference neurons/miner.py:127-137,
+    validator.py:149-151)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    counts = counts.localCheckpoint(eager=False)
+    tot = F.broadcast(
+        counts.agg(
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
+    hist = counts.groupBy("cnt").agg(F.count("*").alias("n_keys_at"))
+    w = (
+        Window.orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the window is global but runs over the COUNT-OF-COUNTS
+    # histogram — bounded by distinct frequency values, not keys
+    cum = hist.withColumn("cum_keys", F.sum("n_keys_at").over(w))
+    qcols = []
+    for name, num, den in (
+        ("p50_cnt", 1, 2),
+        ("p90_cnt", 9, 10),
+        ("p99_cnt", 99, 100),
+    ):
+        qcols.append(
+            F.min(
+                F.when(
+                    F.col("cum_keys") * den >= F.col("n_keys") * num,
+                    F.col("cnt"),
+                )
+            ).alias(name)
+        )
+    qs = cum.crossJoin(tot).agg(*qcols)
+    hot = (
+        counts.crossJoin(tot)
+        .where(F.col("cnt") == F.col("max_cnt"))
+        .agg(F.min("key").alias("hottest_key"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(hot))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "hottest_key",
+            "p50_cnt",
+            "p90_cnt",
+            "p99_cnt",
+            (
+                F.col("max_cnt").cast("double")
+                / (
+                    F.col("total_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                )
+            ).alias("skew_factor"),
+            F.ceil(
+                F.col("max_cnt").cast("double")
+                / F.greatest(F.col("p90_cnt"), F.lit(1)).cast("double")
+            )
+            .cast("long")
+            .alias("recommended_salts"),
+        )
+    )
+    return out
