@@ -6278,3 +6278,112 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("expected_agreement"),
         ((po - pe) / (one - pe)).alias("cohen_kappa"),
     )
+
+
+SCENE_CUT_FRAME_BYTES = 16
+SCENE_CUT_THRESH = 64
+
+
+@query(
+    "multimodal_scene_cut",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, text,
+           CAST(length(text) // {SCENE_CUT_FRAME_BYTES} AS BIGINT)
+               AS n_frames
+    FROM documents
+    WHERE length(text) >= {SCENE_CUT_FRAME_BYTES}
+), sigged AS (
+    SELECT doc_id, n_frames,
+           list_transform(range(0, n_frames), i ->
+               list_sum(list_transform(
+                   range(1, {SCENE_CUT_FRAME_BYTES} + 1),
+                   j -> ascii(substr(text,
+                       CAST(i * {SCENE_CUT_FRAME_BYTES} + j AS INTEGER),
+                       1))))) AS sigs
+    FROM base
+), cutted AS (
+    SELECT doc_id, n_frames,
+           list_filter(range(1, n_frames), i ->
+               abs(sigs[i + 1] - sigs[i]) > {SCENE_CUT_THRESH}) AS cuts
+    FROM sigged
+)
+SELECT doc_id, n_frames,
+       CAST(len(cuts) AS BIGINT) AS n_cuts,
+       CAST(list_min(cuts) AS BIGINT) AS first_cut_idx,
+       CAST(n_frames AS DOUBLE) / CAST(len(cuts) + 1 AS DOUBLE)
+           AS mean_shot_frames
+FROM cutted
+""",
+)
+def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CUT detection over an opaque media payload — the
+    shot-boundary pass of a video curation pipeline (sample frames →
+    signature per frame → cut where consecutive signatures jump):
+    the binary column is read as fixed {SCENE_CUT_FRAME_BYTES}-byte
+    frames, each frame's signature is its byte sum, and a cut is an
+    absolute signature jump > {SCENE_CUT_THRESH}; per doc the frame
+    count, cut count, first cut index and mean shot length come back
+    — what a pipeline uses to pick one keyframe per shot instead of
+    every-kth frame (multimodal_frame_sample's stride). The real
+    codec decode stays the documented stub
+    (functions/multimodal.py::decode_media); the frame arithmetic,
+    Arrow batch iteration and nullable-output schema are the real
+    Spark-side contract, exactly the multimodal_frame_sample
+    discipline — and like it, the oracle REGENERATES the signatures
+    char-wise (byte == codepoint on the all-ASCII fixture, the
+    pinned precondition).
+
+    Scale shape: ONE mapInPandas pass, constant memory per Arrow
+    batch, output one row per doc — the payload never crosses a
+    shuffle; signatures are per-doc locals, never materialized
+    corpus-wide."""
+
+    def detect(batches):
+        import pandas as pd  # worker-local import
+
+        fb, thresh = SCENE_CUT_FRAME_BYTES, SCENE_CUT_THRESH
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                nf = len(b) // fb
+                if nf < 1:
+                    continue
+                sigs = [
+                    sum(b[i * fb : (i + 1) * fb]) for i in range(nf)
+                ]
+                cuts = [
+                    i
+                    for i in range(1, nf)
+                    if abs(sigs[i] - sigs[i - 1]) > thresh
+                ]
+                rows.append(
+                    (
+                        int(doc_id),
+                        nf,
+                        len(cuts),
+                        cuts[0] if cuts else None,
+                        nf / (len(cuts) + 1),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_cuts",
+                    "first_cut_idx",
+                    "mean_shot_frames",
+                ],
+            )
+            out["first_cut_idx"] = out["first_cut_idx"].astype("Int64")
+            yield out
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return blobs.mapInPandas(
+        detect,
+        schema="doc_id long, n_frames long, n_cuts long, "
+        "first_cut_idx long, mean_shot_frames double",
+    )
