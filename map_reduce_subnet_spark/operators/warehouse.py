@@ -746,3 +746,100 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "table_constraint_audit",
+    oracle="""
+SELECT 'orders_custkey_fk' AS constraint_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+           AS n_violations
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders)
+UNION ALL
+SELECT 'events_value_not_null',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE value IS NULL)
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE NOT (o_totalprice > 0))
+""",
+)
+def table_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY CONSTRAINT AUDIT — the dbt-test / Delta
+    CHECK-constraint layer a warehouse runs on every load: two
+    referential-integrity checks (orders→customer, lineitem→orders,
+    as LEFT ANTI joins), a primary-key uniqueness check
+    (count vs count-distinct), a NOT NULL check, and a CHECK
+    predicate (o_totalprice > 0, spelled NOT(pred) — a NULL price
+    passes, exactly SQL CHECK-constraint semantics, which is why the
+    NOT NULL check is its own constraint). One row per
+    constraint with checked/violation counts — the report a pipeline
+    gates a publish on, and the validation layer the reference's
+    blacklist/header checks perform per-request
+    (reference neurons/miner.py:107-123), applied table-wide.
+
+    Scale shape: each FK check is one anti-join that BROADCASTS the
+    key side when it is dim-sized (customer here; at 100 TB a
+    fact-fact FK hashes on the key); uniqueness and NULL/CHECK scans
+    are single partial+final aggregates — 5 constraint rows total
+    cross the driver, never row-level violation lists (a deployment
+    writes those to a quarantine sink instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def row(name, n_checked_df, viol_df):
+        n = n_checked_df.count()
+        v = viol_df.count()
+        return (name, n, v)
+
+    rows = [
+        row(
+            "orders_custkey_fk",
+            o,
+            o.join(
+                F.broadcast(c.select("c_custkey")),
+                o["o_custkey"] == c["c_custkey"],
+                "left_anti",
+            ),
+        ),
+        row(
+            "lineitem_orderkey_fk",
+            li,
+            li.join(
+                o.select("o_orderkey"),
+                li["l_orderkey"] == o["o_orderkey"],
+                "left_anti",
+            ),
+        ),
+        (
+            "orders_orderkey_unique",
+            o.count(),
+            o.count() - o.select("o_orderkey").distinct().count(),
+        ),
+        row("events_value_not_null", ev, ev.where(F.col("value").isNull())),
+        row(
+            "orders_totalprice_positive",
+            o,
+            o.where(~(F.col("o_totalprice") > 0)),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "constraint_name string, n_checked long, n_violations long"
+    )
