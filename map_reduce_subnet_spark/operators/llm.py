@@ -6387,3 +6387,206 @@ def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, n_cuts long, "
         "first_cut_idx long, mean_shot_frames double",
     )
+
+
+def _jsd_oracle() -> str:
+    """DuckDB twin of text_source_drift_jsd: the identical integer
+    ratio algebra and portable-ln chains (see the query docstring) as
+    CTE stages, scaled-decimal order-independent summation, and the
+    same closed-form absent-mass correction."""
+    from map_reduce_subnet_spark.functions.stable import (
+        LN2_LITERAL,
+        portable_ln_stages,
+    )
+
+    stages = list(
+        zip(
+            portable_ln_stages("ia", "a_", "duckdb"),
+            portable_ln_stages("ib", "b_", "duckdb"),
+            portable_ln_stages("idd", "d_", "duckdb"),
+        )
+    )
+    ctes, prev = [], "ints"
+    for i, ((an, ae), (bn, be), (dn, de)) in enumerate(stages):
+        name = f"p{i}"
+        ctes.append(
+            f"{name} AS (SELECT *, {ae} AS {an}, {be} AS {bn}, "
+            f"{de} AS {dn} FROM {prev})"
+        )
+        prev = name
+    chain = ",\n".join(ctes)
+    half = "CAST(0.5 AS DOUBLE)"
+    one = "CAST(1 AS DOUBLE)"
+    mega = "CAST(1000000 AS DOUBLE)"
+    pterm = (
+        f"{half} * (CAST(c_sw AS DOUBLE) / CAST(t_s AS DOUBLE))"
+        f" * (a_ln - b_ln)"
+    )
+    qterm = (
+        f"{half} * (CAST(c_rw AS DOUBLE) / CAST(t_r AS DOUBLE))"
+        f" * (d_ln - b_ln)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), sw AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_sw
+    FROM toks GROUP BY source, word
+), wt AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w FROM toks GROUP BY word
+), st AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s
+    FROM toks GROUP BY source
+), tt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks
+), ints AS (
+    SELECT sw.source, sw.c_sw, wt.c_w - sw.c_sw AS c_rw,
+           st.t_s, tt.t - st.t_s AS t_r,
+           2 * sw.c_sw * (tt.t - st.t_s) AS ia,
+           sw.c_sw * (tt.t - st.t_s)
+               + (wt.c_w - sw.c_sw) * st.t_s AS ib,
+           2 * (wt.c_w - sw.c_sw) * st.t_s AS idd
+    FROM sw JOIN wt USING (word)
+    JOIN st ON sw.source = st.source
+    CROSS JOIN tt
+),
+{chain},
+terms AS (
+    SELECT source, t_s, t_r, c_rw,
+           (CASE WHEN c_rw > 0 THEN ({pterm}) + ({qterm})
+                 ELSE ({pterm}) END) AS term
+    FROM {prev}
+), agg AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           MAX(t_s) AS n_tokens,
+           MAX(t_r) AS t_r,
+           CAST(SUM(c_rw) AS BIGINT) AS present_crw,
+           CAST(SUM(CAST(term * {mega} AS DECIMAL(27,6))) AS DOUBLE)
+               / {mega} AS jsd_present
+    FROM terms GROUP BY source
+)
+SELECT source, n_terms, n_tokens,
+       jsd_present
+       + {half} * CAST({LN2_LITERAL} AS DOUBLE)
+         * ({one} - CAST(present_crw AS DOUBLE) / CAST(t_r AS DOUBLE))
+           AS jsd_vs_rest
+FROM agg
+"""
+
+
+@query("text_source_drift_jsd", oracle=_jsd_oracle())
+def text_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE DISTRIBUTION DRIFT — Jensen-Shannon divergence of
+    each source's unigram distribution against the REST of the corpus:
+    the monitoring stage that catches a crawl slice whose language
+    shifted (spam influx, template change, encoding rot) before it
+    trains; JSD is the symmetric, bounded ([0, ln 2]) drift score
+    data-quality dashboards track per ingest slice.
+
+    The whole computation is ENGINE-PORTABLE information theory (the
+    portable-ln discipline, one step further than the LM scores):
+    every log argument is an INTEGER — with p=c_s/t_s, q=c_r/t_r,
+    m=(p+q)/2, the ratios reduce to
+    ln(p/m) = ln(2·c_s·t_r) − ln(c_s·t_r + c_r·t_s) and symmetrically
+    for q — so both engines run identical portable-ln chains on
+    int64s (products stay under 2^63 at fixture scale; a 100 TB
+    deployment decomposes the products as ln-sums to avoid overflow).
+    Per-term contributions are summed order-independently via
+    scaled-decimal quantization (x1e6 before the DECIMAL(27,6) cast —
+    12 effective decimal places for the tiny per-term values). Words
+    ABSENT from a source contribute q_w·ln2 each without being
+    enumerated: their total mass is 1 − Σ_present q_w, a per-source
+    scalar — the vocab × sources expansion never materializes.
+
+    Scale shape: one tokenize pass; (source, word) counts shuffle on
+    the word key to meet the global dictionary (one row per vocab
+    word — hot words multiply nothing); per-source totals broadcast;
+    the final agg is partial+final on the source key. Grounding:
+    per-peer score distributions compared against the population
+    (reference neurons/validator.py:134-151)."""
+    from map_reduce_subnet_spark.functions.stable import (
+        LN2_LITERAL,
+        SUM_DECIMAL,
+        portable_ln_stages,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tx.words("text")).alias("word")
+    )
+    sw = toks.groupBy("source", "word").agg(
+        F.count("*").alias("c_sw")
+    )
+    wt = toks.groupBy("word").agg(F.count("*").alias("c_w"))
+    st = toks.groupBy("source").agg(F.count("*").alias("t_s"))
+    tt = toks.agg(F.count("*").alias("t"))
+    frame = (
+        sw.join(wt, "word")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "c_sw",
+            (F.col("c_w") - F.col("c_sw")).alias("c_rw"),
+            "t_s",
+            (F.col("t") - F.col("t_s")).alias("t_r"),
+        )
+        .withColumn("ia", F.expr("2 * c_sw * t_r"))
+        .withColumn("ib", F.expr("c_sw * t_r + c_rw * t_s"))
+        .withColumn("idd", F.expr("2 * c_rw * t_s"))
+    )
+    for (an, ae), (bn, be), (dn, de) in zip(
+        portable_ln_stages("ia", "a_", "spark"),
+        portable_ln_stages("ib", "b_", "spark"),
+        portable_ln_stages("idd", "d_", "spark"),
+    ):
+        frame = (
+            frame.withColumn(an, F.expr(ae))
+            .withColumn(bn, F.expr(be))
+            .withColumn(dn, F.expr(de))
+        )
+    half = "CAST(0.5 AS DOUBLE)"
+    pterm = (
+        f"{half} * (CAST(c_sw AS DOUBLE) / CAST(t_s AS DOUBLE))"
+        f" * (a_ln - b_ln)"
+    )
+    qterm = (
+        f"{half} * (CAST(c_rw AS DOUBLE) / CAST(t_r AS DOUBLE))"
+        f" * (d_ln - b_ln)"
+    )
+    terms = frame.withColumn(
+        "term",
+        F.expr(
+            f"CASE WHEN c_rw > 0 THEN ({pterm}) + ({qterm})"
+            f" ELSE ({pterm}) END"
+        ),
+    )
+    mega = F.lit(1000000).cast("double")
+    agg = terms.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.max("t_s").alias("n_tokens"),
+        F.max("t_r").alias("t_r"),
+        F.sum("c_rw").alias("present_crw"),
+        (
+            F.sum((F.col("term") * mega).cast(SUM_DECIMAL)).cast("double")
+            / mega
+        ).alias("jsd_present"),
+    )
+    one = F.lit(1).cast("double")
+    ln2 = F.expr(f"CAST({LN2_LITERAL} AS DOUBLE)")
+    return agg.select(
+        "source",
+        "n_terms",
+        "n_tokens",
+        (
+            F.col("jsd_present")
+            + F.lit(0.5).cast("double")
+            * ln2
+            * (
+                one
+                - F.col("present_crw").cast("double")
+                / F.col("t_r").cast("double")
+            )
+        ).alias("jsd_vs_rest"),
+    )
