@@ -284,6 +284,11 @@ _EMPTY_SWEEP_KEYS = (
     "text_ccnet_perplexity_bucket",
     "scan_rowgroup_skip",      # zero row groups: booleans degrade
     "stream_mv_refresh_true",  # empty feeds: MV stays the v1 build
+    "quality_filter_agreement",
+    "diag_skew_report",
+    "multimodal_scene_cut",
+    "table_constraint_audit",
+    "text_source_drift_jsd",
 )
 
 

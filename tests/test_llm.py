@@ -1200,3 +1200,186 @@ def test_split_leakage_safe_no_cluster_straddles(spark):
     assert straddlers == 0
     sides = {r["split"] for r in out.select("split").distinct().collect()}
     assert sides == {"train", "val", "test"}
+
+
+def test_sequence_pack_matches_numpy_cumsum(spark):
+    """pipeline_sequence_pack's two-phase distributed prefix sum vs an
+    independent numpy recompute (a bug mirrored into both the Spark
+    plan and the SQL oracle would pass the hash — this catches it)."""
+    import numpy as np
+
+    from map_reduce_subnet_spark.operators.llm import SEQ_PACK_LEN
+
+    got = (
+        QUERIES["pipeline_sequence_pack"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[
+        ["doc_id", "text"]
+    ].sort_values("doc_id")
+    n_tokens = docs["text"].str.split(" ").str.len().to_numpy()
+    cum = np.cumsum(n_tokens)
+    start = cum - n_tokens
+    assert (got["n_tokens"].to_numpy() == n_tokens).all()
+    assert (got["start_offset"].to_numpy() == start).all()
+    assert (got["seq_id"].to_numpy() == start // SEQ_PACK_LEN).all()
+    assert (
+        got["n_seqs_spanned"].to_numpy()
+        == (cum - 1) // SEQ_PACK_LEN - start // SEQ_PACK_LEN + 1
+    ).all()
+
+
+def test_time_decay_matches_pandas(spark):
+    """agg_time_decay vs a pandas groupby recompute (exact: weights
+    are powers of two, the decimal sum only quantizes at 6dp)."""
+    got = (
+        QUERIES["agg_time_decay"](spark, SF_DIR)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = _events()
+    day = (
+        ev["ts"].astype("datetime64[us]").astype("int64")
+        // (86400 * 10**6)
+    )  # us epoch -> day (fixture stores TIMESTAMP micros)
+    df = pd.DataFrame(
+        {"user_id": ev["user_id"], "value": ev["value"], "day": day}
+    )
+    df["delta"] = (
+        df.groupby("user_id")["day"].transform("max") - df["day"]
+    ).clip(upper=62)
+    df["term"] = df["value"] / (2.0 ** df["delta"])
+    want = df.groupby("user_id").agg(
+        n_events=("term", "size"), last_day=("day", "max")
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (got["last_day"] == want["last_day"]).all()
+    # decimal quantization at 6dp: compare within 1e-5 * n_events
+    decay = df.groupby("user_id")["term"].sum()
+    assert (
+        (got["decay_sum"] - decay).abs()
+        <= 1e-5 * want["n_events"] + 1e-9
+    ).all()
+
+
+def test_mmr_matches_bruteforce(spark):
+    """sim_mmr_diversify vs an independent numpy greedy MMR over the
+    same pool semantics."""
+    import numpy as np
+
+    from map_reduce_subnet_spark.operators.llm import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+    )
+
+    got = (
+        QUERIES["sim_mmr_diversify"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    probe = vecs[0]
+
+    def cos(a, b):
+        return float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    rel = sorted(
+        (
+            (-cos(v, probe), vid)
+            for vid, v in vecs.items()
+            if vid != 0 and np.isfinite(cos(v, probe))
+        ),
+    )[:MMR_POOL]
+    pool = [(vid, -negc) for negc, vid in rel]
+    lam = float(MMR_LAMBDA)
+    picked = [max(pool, key=lambda x: (x[1], -x[0]))]
+    pool2 = [p for p in pool if p[0] != picked[0][0]]
+    while pool2 and len(picked) < MMR_K:
+        best = None
+        for vid, r in pool2:
+            pen = max(cos(vecs[vid], vecs[pid]) for pid, _ in picked)
+            score = lam * r - (1 - lam) * pen
+            key = (score, -vid)
+            if best is None or key > best[0]:
+                best = (key, vid, r)
+        picked.append((best[1], best[2]))
+        pool2 = [p for p in pool2 if p[0] != best[1]]
+    assert got["vec_id"].tolist() == [vid for vid, _ in picked]
+
+
+def test_scene_cut_matches_python(spark):
+    """multimodal_scene_cut vs a direct python recompute over the
+    utf-8 payloads."""
+    from map_reduce_subnet_spark.operators.llm import (
+        SCENE_CUT_FRAME_BYTES,
+        SCENE_CUT_THRESH,
+    )
+
+    got = (
+        QUERIES["multimodal_scene_cut"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    fb, th = SCENE_CUT_FRAME_BYTES, SCENE_CUT_THRESH
+    n_checked = 0
+    for r in docs.itertuples():
+        b = r.text.encode("utf-8")
+        nf = len(b) // fb
+        if nf < 1:
+            assert r.doc_id not in got.index
+            continue
+        sigs = [sum(b[i * fb : (i + 1) * fb]) for i in range(nf)]
+        cuts = [
+            i for i in range(1, nf) if abs(sigs[i] - sigs[i - 1]) > th
+        ]
+        row = got.loc[r.doc_id]
+        assert row["n_frames"] == nf and row["n_cuts"] == len(cuts)
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_source_drift_jsd_matches_numpy(spark):
+    """text_source_drift_jsd vs a numpy JSD with true logs: the
+    portable ln is within ~1e-8 per term, sums quantize at 12dp —
+    agreement to 1e-6 absolute is the expected envelope."""
+    import numpy as np
+
+    got = (
+        QUERIES["text_source_drift_jsd"](spark, SF_DIR)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.assign(word=docs["text"].str.split(" ")).explode("word")
+    total = len(toks)
+    gc = toks.groupby("word").size()
+    for source, grp in toks.groupby("source"):
+        sc = grp.groupby("word").size()
+        t_s, t_r = len(grp), total - len(grp)
+        p = np.zeros(len(gc))
+        q = np.zeros(len(gc))
+        for i, (w, cw) in enumerate(gc.items()):
+            cs = int(sc.get(w, 0))
+            p[i] = cs / t_s
+            q[i] = (cw - cs) / t_r
+        m = (p + q) / 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            kl_p = np.where(p > 0, p * np.log(p / m), 0.0).sum()
+            kl_q = np.where(q > 0, q * np.log(q / m), 0.0).sum()
+        want = 0.5 * kl_p + 0.5 * kl_q
+        assert abs(got.loc[source, "jsd_vs_rest"] - want) < 1e-6
+        assert 0.0 <= got.loc[source, "jsd_vs_rest"] <= 0.6931472
