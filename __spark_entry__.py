@@ -41,10 +41,10 @@ _SWEEP_PRIORITY = [
     # With a 207+ key registry and a 50-slot cap, the backlog of
     # aging hash-green rows clears on a two-round schedule:
     #   r9  = new/changed keys + the ENTIRE 26-key r4 cohort
-    #         + the first 4 of the 38-key r5 cohort (alphabetical);
-    #   r10 = new/changed keys + the REMAINING 34 r5-cohort keys
-    #         (join_asof_binned, join_broadcast, join_full_outer,
-    #         join_left_outer, join_multiway_star,
+    #         + the first 3 of the 38-key r5 cohort (alphabetical);
+    #   r10 = new/changed keys + the REMAINING 35 r5-cohort keys
+    #         (join_asof, join_asof_binned, join_broadcast,
+    #         join_full_outer, join_left_outer, join_multiway_star,
     #         join_semi, join_shuffle_equi, join_theta_range,
     #         project_arith, quality_dedup_rates,
     #         sample_stratified_rebalance, scan_csv_roundtrip,
@@ -76,6 +76,7 @@ _SWEEP_PRIORITY = [
     "multimodal_scene_cut",
     "table_constraint_audit",
     "text_source_drift_jsd",
+    "agg_trend_ols",
     # (2) changed in round 9: table_vacuum grew the orphan grace
     # window + aged-debris fixture; graph_kcore's fixpoint loop bound;
     # scan_csv_malformed's FAILFAST probe narrowed; the BPE pair's
@@ -114,13 +115,12 @@ _SWEEP_PRIORITY = [
     "window_percent_rank",
     "window_running_sum",
     "window_topk_per_group",
-    # (4) r5-cohort prefix (first 4 alphabetically; the rest — see
-    # the r10 list above — move to r10; eleven late-r9 additions took
+    # (4) r5-cohort prefix (first 3 alphabetically; the rest — see
+    # the r10 list above — move to r10; twelve late-r9 additions took
     # their slots)
     "agg_mode_deterministic",
     "filter_compound",
     "filter_null_semantics",
-    "join_asof",
 ]
 
 

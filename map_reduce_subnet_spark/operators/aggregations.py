@@ -953,3 +953,89 @@ def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"user_id partitioning (1 exchange), plan has {n_ex}"
         )
     return out
+
+
+@query(
+    "agg_trend_ols",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           value
+    FROM events
+), sums AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(day) AS BIGINT) AS sx,
+           CAST(SUM(day * day) AS BIGINT) AS sxx,
+           {sql_dsum('value')} AS sy,
+           {sql_dsum('CAST(day AS DOUBLE) * value')} AS sxy,
+           {sql_dsum('value * value')} AS syy
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r_squared
+FROM sums
+""",
+)
+def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP OLS TREND — closed-form least-squares of value
+    against event day per event_type: slope (the drift-per-day a
+    monitoring dashboard alerts on — the time-axis complement of
+    text_source_drift_jsd's distribution-axis drift), intercept, and
+    r² (how linear the drift actually is). The same
+    exact-power-sums-then-closed-form discipline as text_zipf_slope
+    and agg_skew_kurtosis, generalized to a two-variable regression.
+
+    Exactness: x = integer day (exact int64 sums for Σx, Σx²); the
+    value-side sums (Σy, Σxy, Σy²) go through the decimal-stabilized
+    dsum so they are order-independent; slope/intercept/r² are one
+    fixed expression tree of those sums — bit-exact across engines,
+    no iterative fitting anywhere.
+
+    Scale shape: ONE partial+final aggregate — six running sums with
+    map-side combine, a handful of rows to the final stage; this is
+    the textbook 'regression as an aggregate' plan that costs the
+    same as a COUNT at 100 TB. Grounding: per-round moving score
+    statistics (reference neurons/validator.py:134-151)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000))
+        .cast("long")
+        .alias("day"),
+        "value",
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+        dsum("value", "sy"),
+        dsum(F.col("day").cast("double") * F.col("value"), "sxy"),
+        dsum(F.col("value") * F.col("value"), "syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = n * sxx - sx * sx
+    slope = num / den
+    return sums.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * sx) / n).alias("intercept"),
+        ((num * num) / (den * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
+        .alias("r_squared"),
+    )
