@@ -289,6 +289,8 @@ _EMPTY_SWEEP_KEYS = (
     "multimodal_scene_cut",
     "table_constraint_audit",
     "text_source_drift_jsd",
+    "agg_trend_ols",
+    "sample_contrastive_pairs",  # empty corpus: zero-doc rank frame
 )
 
 
