@@ -40,10 +40,10 @@ _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE (VERDICT r8 #2), r9 edition ---
     # With a 207+ key registry and a 50-slot cap, the backlog of
     # aging hash-green rows clears on a two-round schedule:
-    #   r9  = new/changed keys + the ENTIRE 26-key r4 cohort
-    #         + the first 2 of the 38-key r5 cohort (alphabetical);
-    #   r10 = new/changed keys + the REMAINING 36 r5-cohort keys
-    #         (filter_null_semantics, join_asof, join_asof_binned,
+    #   r9  = new/changed keys + the ENTIRE 26-key r4 cohort;
+    #   r10 = new/changed keys + the FULL 38-key r5 cohort
+    #         (agg_mode_deterministic, filter_compound,
+    #         filter_null_semantics, join_asof, join_asof_binned,
     #         join_broadcast,
     #         join_full_outer, join_left_outer, join_multiway_star,
     #         join_semi, join_shuffle_equi, join_theta_range,
@@ -79,6 +79,8 @@ _SWEEP_PRIORITY = [
     "text_source_drift_jsd",
     "agg_trend_ols",
     "sample_contrastive_pairs",
+    "privacy_k_anonymize",
+    "privacy_dp_count_laplace",
     # (2) changed in round 9: table_vacuum grew the orphan grace
     # window + aged-debris fixture; graph_kcore's fixpoint loop bound;
     # scan_csv_malformed's FAILFAST probe narrowed; the BPE pair's
@@ -117,11 +119,9 @@ _SWEEP_PRIORITY = [
     "window_percent_rank",
     "window_running_sum",
     "window_topk_per_group",
-    # (4) r5-cohort prefix (first 2 alphabetically; the rest — see
-    # the r10 list above — move to r10; thirteen late-r9 additions
-    # took their slots)
-    "agg_mode_deterministic",
-    "filter_compound",
+    # (4) r5-cohort backfill: fully displaced by the fifteen r9
+    # additions — the whole 38-key r5 cohort moves to r10 (list
+    # above), which still fits: 38 + r9's changed keys < the cap.
 ]
 
 

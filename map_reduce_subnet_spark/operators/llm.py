@@ -6727,3 +6727,197 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_cross_cluster"),
         )
     )
+
+
+KANON_K = 5
+
+
+@query(
+    "privacy_k_anonymize",
+    oracle=f"""
+WITH gen AS (
+    SELECT event_type,
+           CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
+           CAST((epoch_us(ts) // 86400000000) // 7 AS BIGINT) AS week
+    FROM events
+), grouped AS (
+    SELECT event_type, value_bucket, week,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM gen GROUP BY event_type, value_bucket, week
+)
+SELECT event_type, value_bucket, week, n_rows, TRUE AS retained
+FROM grouped WHERE n_rows >= {KANON_K}
+UNION ALL
+SELECT NULL, NULL, NULL,
+       CAST(COALESCE(SUM(n_rows), 0) AS BIGINT), FALSE
+FROM grouped WHERE n_rows < {KANON_K}
+""",
+)
+def privacy_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY generalize-and-suppress (Sweeney 2002 — the
+    release gate a dataset passes before leaving a privacy boundary):
+    quasi-identifiers are GENERALIZED (value → width-50 bucket,
+    timestamp → week) and every equivalence class smaller than
+    k={KANON_K} is SUPPRESSED, so each released row is
+    indistinguishable from at least k-1 others on its
+    quasi-identifiers. Output = the retained generalized classes with
+    their sizes plus ONE all-NULL accounting row carrying the total
+    suppressed row count (auditors need the suppression rate; the
+    suppressed CLASSES never appear — that is the point). Completes
+    the privacy family next to text_pii_scrub (content redaction) —
+    this is STRUCTURAL anonymity over quasi-identifiers.
+
+    Scale shape: generalization is scan-local arithmetic; one
+    partial+final count per equivalence class; the suppression
+    summary is a second aggregate over the (already tiny) class
+    frame. No row-level data crosses the driver. Grounding: the
+    blacklist gate deciding which requests may be served at all
+    (reference neurons/miner.py:107-123), applied as a release
+    policy."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("long").alias("value_bucket"),
+            F.floor(
+                F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000))
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week"),
+        )
+        .groupBy("event_type", "value_bucket", "week")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    retained = grouped.where(F.col("n_rows") >= KANON_K).select(
+        "event_type",
+        "value_bucket",
+        "week",
+        "n_rows",
+        F.lit(True).alias("retained"),
+    )
+    suppressed = (
+        grouped.where(F.col("n_rows") < KANON_K)
+        .agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+            .cast("long")
+            .alias("n_rows")
+        )
+        .select(
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("long").alias("value_bucket"),
+            F.lit(None).cast("long").alias("week"),
+            "n_rows",
+            F.lit(False).alias("retained"),
+        )
+    )
+    return retained.unionByName(suppressed)
+
+
+DP_EPSILON_INV = 1  # Laplace scale b = 1/epsilon, epsilon = 1
+
+
+def _dp_oracle() -> str:
+    """DuckDB twin of privacy_dp_count_laplace: identical integer
+    seed algebra + portable-ln chain (see the query docstring)."""
+    from map_reduce_subnet_spark.functions.stable import (
+        LN2_LITERAL,
+        portable_ln_stages,
+    )
+
+    h = "(('0x' || substr(md5(event_type), 1, 15))::BIGINT)"
+    stages = portable_ln_stages("iw", "w_", "duckdb")
+    chain = ",\n".join(
+        f"p{i} AS (SELECT *, {e} AS {n} FROM p{i - 1})"
+        if i
+        else f"p0 AS (SELECT *, {e} AS {n} FROM seeded)"
+        for i, (n, e) in enumerate(stages)
+    )
+    last = f"p{len(stages) - 1}"
+    return f"""
+WITH counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM events GROUP BY event_type
+), seeded AS (
+    SELECT event_type, n_true,
+           2 * {h} + 1 AS v,
+           CASE WHEN 2 * {h} + 1 >= 1152921504606846976
+                THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn,
+           1152921504606846976
+               - abs(2 * {h} + 1 - 1152921504606846976) AS iw
+    FROM counts
+),
+{chain}
+SELECT event_type, n_true,
+       (CAST(0 AS DOUBLE) - CAST({DP_EPSILON_INV} AS DOUBLE)) * sgn
+           * (w_ln - CAST(60 AS DOUBLE) * CAST({LN2_LITERAL} AS DOUBLE))
+           AS noise,
+       CAST(n_true AS DOUBLE)
+       + (CAST(0 AS DOUBLE) - CAST({DP_EPSILON_INV} AS DOUBLE)) * sgn
+           * (w_ln - CAST(60 AS DOUBLE) * CAST({LN2_LITERAL} AS DOUBLE))
+           AS noisy_count
+FROM {last}
+"""
+
+
+@query("privacy_dp_count_laplace", oracle=_dp_oracle())
+def privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAPLACE-MECHANISM differentially-private counts (Dwork et al.
+    2006), with DETERMINISTIC SEEDED noise — the TEST harness shape:
+    a real release draws the noise from a CSPRNG (swap one column),
+    but a pipeline's unit/integration tests pin the seeded variant so
+    the whole mechanism — sensitivity-1 count, inverse-CDF transform,
+    scale b=1/ε — is regression-checked bit-exactly, which a random
+    draw can never be. (Seeded noise is NOT private; the docstring is
+    the warning label.)
+
+    The inverse CDF runs entirely in the portable-ln algebra:
+    u = v/2^61 with v = 2·hash60(key)+1 (odd → never exactly ½, no
+    ln(0)); Laplace = −b·sign(u−½)·ln(1−2|u−½|), and
+    1−2|u−½| = (2^60 − |v−2^60|)/2^60 — an INTEGER over 2^60, so
+    ln(·) = portable_ln(integer) − 60·ln2 and both engines evaluate
+    the identical expression tree. The same integer-ratio trick as
+    text_source_drift_jsd, applied to noise generation.
+
+    Scale shape: one partial+final count per group, then scan-local
+    noise arithmetic on the (tiny) group frame — DP release costs the
+    same as the count itself. Grounding: the validator publishing
+    aggregate weights rather than raw per-request data (reference
+    neurons/validator.py:149-163)."""
+    from map_reduce_subnet_spark.functions.stable import (
+        LN2_LITERAL,
+        portable_ln_stages,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_true")
+    )
+    half_dom = 1 << 60  # 1152921504606846976
+    v = 2 * tx.portable_hash60("event_type") + 1
+    seeded = counts.select(
+        "event_type",
+        "n_true",
+        v.alias("v"),
+        F.when(v >= F.lit(half_dom), F.lit(1.0).cast("double"))
+        .otherwise(F.lit(-1.0).cast("double"))
+        .alias("sgn"),
+        (F.lit(half_dom) - F.abs(v - F.lit(half_dom))).alias("iw"),
+    )
+    for name, expr in portable_ln_stages("iw", "w_", "spark"):
+        seeded = seeded.withColumn(name, F.expr(expr))
+    noise = (
+        (F.lit(0).cast("double") - F.lit(DP_EPSILON_INV).cast("double"))
+        * F.col("sgn")
+        * (
+            F.col("w_ln")
+            - F.lit(60).cast("double")
+            * F.expr(f"CAST({LN2_LITERAL} AS DOUBLE)")
+        )
+    )
+    return seeded.select(
+        "event_type",
+        "n_true",
+        noise.alias("noise"),
+        (F.col("n_true").cast("double") + noise).alias("noisy_count"),
+    )
