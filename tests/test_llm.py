@@ -1383,3 +1383,124 @@ def test_source_drift_jsd_matches_numpy(spark):
         want = 0.5 * kl_p + 0.5 * kl_q
         assert abs(got.loc[source, "jsd_vs_rest"] - want) < 1e-6
         assert 0.0 <= got.loc[source, "jsd_vs_rest"] <= 0.6931472
+
+
+def test_filter_agreement_matches_direct_kappa(spark):
+    """quality_filter_agreement vs a direct pandas recompute of
+    Cohen's kappa from the two rule queries' outputs."""
+    got = QUERIES["quality_filter_agreement"](spark, SF_DIR).toPandas()
+    c4 = (
+        QUERIES["text_quality_c4"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")["kept"]
+    )
+    go = (
+        QUERIES["text_quality_gopher"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")["kept"]
+    )
+    j = pd.DataFrame({"k1": c4, "k2": go}).dropna()
+    n = len(j)
+    n11 = int((j.k1 & j.k2).sum())
+    n10 = int((j.k1 & ~j.k2).sum())
+    n01 = int((~j.k1 & j.k2).sum())
+    n00 = int((~j.k1 & ~j.k2).sum())
+    row = got.iloc[0]
+    assert (row.n, row.n_both, row.n_c4_only, row.n_gopher_only,
+            row.n_neither) == (n, n11, n10, n01, n00)
+    po = (n11 + n00) / n
+    p1, p2 = (n11 + n10) / n, (n11 + n01) / n
+    pe = p1 * p2 + (1 - p1) * (1 - p2)
+    assert abs(row.cohen_kappa - (po - pe) / (1 - pe)) < 1e-12
+
+
+def test_diag_skew_report_matches_numpy(spark):
+    """diag_skew_report vs a numpy recompute of the index-based
+    quantiles and skew ratios."""
+    import numpy as np
+
+    got = QUERIES["diag_skew_report"](spark, SF_DIR).toPandas().iloc[0]
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    counts = orders.groupby("o_custkey").size().sort_index()
+    n_keys = len(counts)
+    arr = np.sort(counts.to_numpy())
+
+    def q(num, den):
+        # min cnt whose cumulative key count crosses num/den
+        idx = int(np.ceil(n_keys * num / den)) - 1
+        return int(arr[max(idx, 0)])
+
+    assert got["n_keys"] == n_keys
+    assert got["total_rows"] == len(orders)
+    assert got["max_cnt"] == int(arr[-1])
+    assert got["p50_cnt"] == q(1, 2)
+    assert got["p90_cnt"] == q(9, 10)
+    assert got["p99_cnt"] == q(99, 100)
+    maxc = counts.max()
+    assert got["hottest_key"] == int(counts[counts == maxc].index.min())
+    assert abs(
+        got["skew_factor"] - maxc / (len(orders) / n_keys)
+    ) < 1e-9
+
+
+def test_contrastive_pairs_properties(spark):
+    """sample_contrastive_pairs invariants: every anchor/positive pair
+    shares a cluster, positive is the id-successor, negatives are
+    corpus docs distinct from the anchor, and each anchor appears
+    once."""
+    got = QUERIES["sample_contrastive_pairs"](spark, SF_DIR).toPandas()
+    labels = (
+        QUERIES["dedup_cluster"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    docs = set(
+        pd.read_parquet(f"{SF_DIR}/documents.parquet")["doc_id"]
+    )
+    assert got["anchor_id"].is_unique
+    for r in got.itertuples():
+        assert labels[r.anchor_id] == labels[r.positive_id]
+        assert r.positive_id > r.anchor_id
+        assert r.negative_id in docs and r.negative_id != r.anchor_id
+        want_cross = (
+            labels.get(r.negative_id, r.negative_id)
+            != labels[r.anchor_id]
+        )
+        assert r.is_cross_cluster == want_cross
+
+
+def test_privacy_k_anonymize_invariants(spark):
+    """Every released class has >= k rows; the accounting row carries
+    exactly the residual mass (total events = retained + suppressed)."""
+    from map_reduce_subnet_spark.operators.llm import KANON_K
+
+    got = QUERIES["privacy_k_anonymize"](spark, SF_DIR).toPandas()
+    ret = got[got["retained"]]
+    sup = got[~got["retained"]]
+    assert (ret["n_rows"] >= KANON_K).all()
+    assert len(sup) == 1 and sup.iloc[0]["event_type"] is None
+    total = len(pd.read_parquet(f"{SF_DIR}/events.parquet"))
+    assert int(ret["n_rows"].sum() + sup.iloc[0]["n_rows"]) == total
+
+
+def test_privacy_dp_noise_matches_numpy_laplace(spark):
+    """The seeded noise equals the true inverse-CDF Laplace transform
+    of the hash-uniform (portable ln within 1e-8), and noise is
+    non-degenerate across groups."""
+    import hashlib
+
+    import numpy as np
+
+    got = (
+        QUERIES["privacy_dp_count_laplace"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, row in got.iterrows():
+        h = int(hashlib.md5(et.encode()).hexdigest()[:15], 16)
+        v = 2 * h + 1
+        u = v / (1 << 61)
+        want = -1.0 * np.sign(u - 0.5) * np.log(1 - 2 * abs(u - 0.5))
+        assert abs(row["noise"] - want) < 1e-7
+        assert abs(row["noisy_count"] - (row["n_true"] + row["noise"])) < 1e-9
+    assert got["noise"].nunique() == len(got)
