@@ -107,6 +107,27 @@ QUERY_SET = [
     "split_leakage_safe",
     "stream_mv_refresh_true",
     "text_quality_classifier",
+    # r9 late batch. 10x questions: sequence packing's two-phase
+    # prefix sum must keep the driver sync at its fixed bucket count
+    # while the token stream grows x10; contrastive mining's cluster
+    # positives ride the ~x45 pair growth and the hash-rank negative
+    # join must stay one bucketed shuffle; the JSD drift score's
+    # (word x source) aggregate is distinct-vocab-bound
+    # (scale-invariant here) with a x10 count pass in front;
+    # scene-cut decodes x10 binary frame payloads scan-locally;
+    # the skew report's count-of-counts histogram collapses x10 keys
+    # into the same tiny histogram; the constraint audit's two FK
+    # anti-joins re-scan x10 fact rows against dim-sized key sides;
+    # OLS trend and the DP counts are single partial+final
+    # aggregates that must price like a COUNT.
+    "pipeline_sequence_pack",
+    "sample_contrastive_pairs",
+    "text_source_drift_jsd",
+    "multimodal_scene_cut",
+    "diag_skew_report",
+    "table_constraint_audit",
+    "agg_trend_ols",
+    "privacy_dp_count_laplace",
 ]
 
 COPY_TABLES = [
