@@ -373,3 +373,97 @@ def test_versioned_table_vacuum_vs_inflight_commit(spark, tmp_path):
     os.utime(debris, (aged, aged))
     assert t.vacuum()["orphans_removed"] == 1
     assert not os.path.exists(debris)
+
+
+def test_constraint_audit_counts_injected_violations(spark, tmp_path):
+    """table_constraint_audit against a corrupted copy of the fixture:
+    the driver oracle only ever sees the clean corpus (zero violations
+    everywhere), so this is the test that the audit actually COUNTS —
+    dangling FKs on both fact tables, duplicated primary keys, NULL
+    values, a failed CHECK predicate, and the SQL CHECK subtlety that
+    a NULL price PASSES the positivity constraint (NOT(NULL) is not
+    TRUE) while the NOT NULL constraint is its own row."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    src = {
+        name: pq.read_table(f"{SF_DIR}/{name}.parquet").to_pandas()
+        for name in ("orders", "lineitem", "customer", "events")
+    }
+    orders, lineitem, events = src["orders"], src["lineitem"], src["events"]
+    next_key = int(orders["o_orderkey"].max()) + 1
+
+    fk_bad = orders.head(3).copy()  # 3 dangling custkeys, fresh orderkeys
+    fk_bad["o_orderkey"] = range(next_key, next_key + 3)
+    fk_bad["o_custkey"] = -7
+    dup = orders.head(2).copy()  # 2 duplicated primary keys
+    neg = orders.head(1).copy()  # 1 CHECK violation (price <= 0)
+    neg["o_orderkey"] = next_key + 3
+    neg["o_totalprice"] = -1.0
+    nul = orders.head(1).copy()  # NULL price: passes CHECK semantics
+    nul["o_orderkey"] = next_key + 4
+    nul["o_totalprice"] = None
+    orders2 = pd.concat([orders, fk_bad, dup, neg, nul], ignore_index=True)
+
+    li_bad = lineitem.head(2).copy()  # 2 dangling orderkeys
+    li_bad["l_orderkey"] = -1
+    lineitem2 = pd.concat([lineitem, li_bad], ignore_index=True)
+
+    ev_bad = events.head(2).copy()  # 2 NULL values
+    ev_bad["event_id"] = [
+        int(events["event_id"].max()) + 1,
+        int(events["event_id"].max()) + 2,
+    ]
+    ev_bad["value"] = None
+    events2 = pd.concat([events, ev_bad], ignore_index=True)
+    events2["ts"] = events2["ts"].astype("datetime64[us]")
+
+    orders2.to_parquet(tmp_path / "orders.parquet")
+    lineitem2.to_parquet(tmp_path / "lineitem.parquet")
+    events2.to_parquet(tmp_path / "events.parquet")
+    src["customer"].to_parquet(tmp_path / "customer.parquet")
+
+    got = {
+        r["constraint_name"]: (r["n_checked"], r["n_violations"])
+        for r in QUERIES["table_constraint_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # expectations computed RELATIVE to the clean fixture, so they stay
+    # valid if the driver ever regenerates testdata with violations
+    custs = set(src["customer"]["c_custkey"])
+    base_fk_o = int((~orders["o_custkey"].isin(custs)).sum())
+    base_fk_l = int(
+        (~lineitem["l_orderkey"].isin(set(orders["o_orderkey"]))).sum()
+    )
+    base_dup = len(orders) - orders["o_orderkey"].nunique()
+    base_null = int(events["value"].isna().sum())
+    base_neg = int((orders["o_totalprice"] <= 0).sum())
+
+    assert got["orders_custkey_fk"] == (len(orders2), base_fk_o + 3)
+    assert got["lineitem_orderkey_fk"] == (len(lineitem2), base_fk_l + 2)
+    assert got["orders_orderkey_unique"] == (len(orders2), base_dup + 2)
+    assert got["events_value_not_null"] == (len(events2), base_null + 2)
+    # the NULL-price row must NOT count — only the genuinely negative one
+    assert got["orders_totalprice_positive"] == (len(orders2), base_neg + 1)
+
+
+def test_rowgroup_skip_aggregate_matches_direct_scan(spark):
+    """scan_rowgroup_skip's read-back aggregate vs a direct pandas scan
+    of the same predicate, plus the three footer booleans the oracle
+    pins — independent of DuckDB entirely."""
+    import pyarrow.parquet as pq
+
+    got = (
+        QUERIES["scan_rowgroup_skip"](spark, SF_DIR).toPandas().iloc[0]
+    )
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    sel = ev[ev["user_id"] < 8]
+    assert int(got["n_events"]) == len(sel)
+    # dsum quantizes each summand at 6dp: n * 5e-7 is the envelope
+    assert abs(got["sum_value"] - sel["value"].sum()) <= 5e-7 * max(
+        len(sel), 1
+    )
+    assert bool(got["multi_rowgroup"])
+    assert bool(got["stats_ordered"])
+    assert bool(got["skippable_exists"])

@@ -1504,3 +1504,128 @@ def test_privacy_dp_noise_matches_numpy_laplace(spark):
         assert abs(row["noise"] - want) < 1e-7
         assert abs(row["noisy_count"] - (row["n_true"] + row["noise"])) < 1e-9
     assert got["noise"].nunique() == len(got)
+
+
+def test_repetition_ngram_matches_python_on_crafted_docs(spark, tmp_path):
+    """text_repetition_ngram vs a pure-python reference over CRAFTED
+    documents that actually trip each rule (the fixture corpus is
+    mostly clean, so the driver oracle never exercises the drop
+    branches): pure word-spam, alternating bigram spam, a clean
+    sentence, a single-token doc, and a two-token doc. Fractions are
+    small-integer divisions — the identical IEEE op on both sides, so
+    the comparison is exact."""
+    docs = [
+        (0, "spam " * 9 + "spam"),           # 10x one word
+        (1, "the quick brown fox jumps over lazy dog"),
+        (2, "a b a b a b a b a b"),           # alternating bigrams
+        (3, "word"),                           # no 2-grams at all
+        (4, "x y"),                            # no 3-grams at all
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": "en",
+            "source": "crafted",
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        QUERIES["text_repetition_ngram"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        w = [t for t in text.split(" ") if t]
+        g2 = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        g3 = [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+        top = max(w.count(x) for x in set(w))
+        f2 = (len(g2) - len(set(g2))) / max(len(g2), 1)
+        f3 = (len(g3) - len(set(g3))) / max(len(g3), 1)
+        ftop = top / len(w)
+        row = got.loc[doc_id]
+        assert row["n_words"] == len(w)
+        assert row["dup_words"] == len(w) - len(set(w))
+        assert row["dup_word_frac"] == (len(w) - len(set(w))) / len(w)
+        assert row["dup_2gram_frac"] == f2
+        assert row["dup_3gram_frac"] == f3
+        assert row["top_word_count"] == top
+        assert row["top_word_frac"] == ftop
+        assert row["keep_repetition"] == (
+            f2 <= 0.2 and f3 <= 0.18 and ftop <= 0.3
+        )
+    # the crafted corpus actually exercises both branches
+    assert bool(got.loc[1, "keep_repetition"])
+    assert not got.loc[[0, 2, 3], "keep_repetition"].any()
+
+
+def test_ccnet_terciles_partition_each_language(spark):
+    """text_ccnet_perplexity_bucket structural invariants, independent
+    of the LM scores themselves: every corpus doc lands in exactly one
+    bucket; per language the three terciles are NTILE-balanced (sizes
+    differ by at most one, earlier tiles take the extras); and the
+    score ordering is honored — no middle doc outscores a head doc
+    within its language."""
+    got = QUERIES["text_ccnet_perplexity_bucket"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert got["doc_id"].is_unique
+    assert set(got["doc_id"]) == set(docs["doc_id"])
+    for lang, g in got.groupby("lang"):
+        sizes = g["bucket"].value_counts()
+        h = int(sizes.get("head", 0))
+        m = int(sizes.get("middle", 0))
+        t = int(sizes.get("tail", 0))
+        assert h >= m >= t >= h - 1, (lang, h, m, t)
+        if h and m:
+            assert (
+                g.loc[g["bucket"] == "head", "avg_logprob"].min()
+                >= g.loc[g["bucket"] == "middle", "avg_logprob"].max()
+            )
+        if m and t:
+            assert (
+                g.loc[g["bucket"] == "middle", "avg_logprob"].min()
+                >= g.loc[g["bucket"] == "tail", "avg_logprob"].max()
+            )
+
+
+def test_quality_classifier_matches_python_logit(spark):
+    """text_quality_classifier vs a pure-python re-evaluation of the
+    frozen linear model: md5-hashed 64-dim term frequencies and the
+    dim-ordered left fold seeded with the bias — the same IEEE double
+    expression tree, so agreement is effectively bit-exact."""
+    import hashlib
+
+    from map_reduce_subnet_spark.operators.llm import (
+        CLF_BIAS,
+        CLF_DIMS,
+        CLF_WEIGHTS,
+    )
+
+    got = (
+        QUERIES["text_quality_classifier"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    weights = [float(x) for x in CLF_WEIGHTS]
+    checked = 0
+    for r in docs.head(200).itertuples():
+        toks = [t for t in r.text.split(" ") if t]
+        counts = [0] * CLF_DIMS
+        for t in toks:
+            d = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % CLF_DIMS
+            counts[d] += 1
+        nt = float(max(len(toks), 1))
+        acc = float(CLF_BIAS)
+        for d in range(CLF_DIMS):
+            acc += weights[d] * (counts[d] / nt)
+        row = got.loc[r.doc_id]
+        assert row["n_tokens"] == max(len(toks), 1)
+        assert abs(row["logit"] - acc) < 1e-12, (r.doc_id, row["logit"], acc)
+        assert bool(row["keep"]) == (row["logit"] > 0)
+        checked += 1
+    assert checked > 0
+    # the model is a real discriminator on the fixture, not a constant
+    assert 0 < int(got["keep"].sum()) < len(got)

@@ -486,3 +486,39 @@ def test_kcore_matches_python_peel(spark):
                 changed = True
     want = {n: len(neigh) for n, neigh in adj.items()}
     assert got == want
+
+
+def test_trend_ols_matches_numpy_polyfit(spark):
+    """agg_trend_ols vs numpy's least-squares fit per event_type: the
+    engine computes closed-form slope/intercept/r2 from decimal-exact
+    power sums; numpy solves the same normal equations via lstsq on
+    centered data, so agreement is limited only by the conditioning of
+    the uncentered day values (~2e4) — 1e-6 relative is the envelope."""
+    import pyarrow.parquet as pq
+
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    got = (
+        QUERIES["agg_trend_ols"](spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    ev["day"] = ev["ts"].astype("datetime64[us]").astype("int64") // 86400000000
+    assert set(got.index) == set(ev["event_type"].unique())
+    for et, g in ev.groupby("event_type"):
+        if g["day"].nunique() < 2:
+            continue  # degenerate fit: slope undefined either way
+        x = g["day"].to_numpy(dtype=np.float64)
+        y = g["value"].to_numpy(dtype=np.float64)
+        slope, intercept = np.polyfit(x - x.mean(), y, 1)
+        intercept -= slope * x.mean()
+        r = np.corrcoef(x, y)[0, 1]
+        row = got.loc[et]
+        assert row["n"] == len(g)
+        assert abs(row["slope"] - slope) <= 1e-6 * max(1.0, abs(slope))
+        assert abs(row["intercept"] - intercept) <= 1e-6 * max(
+            1.0, abs(intercept)
+        )
+        assert abs(row["r_squared"] - r * r) <= 1e-6
