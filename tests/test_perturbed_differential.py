@@ -1,0 +1,172 @@
+"""Perturbed-corpus differential sweep: the driver's correctness gate
+only ever exercises the Spark↔DuckDB oracle contract on the exact
+testdata fixtures, so a query/oracle pair could in principle agree
+there by coincidence (both tuned against the same rows). This module
+re-runs a broad cross-family subset of registered queries against
+their oracles on a SEEDED PERTURBATION of the fixture — rows
+subsampled per table, near-duplicate documents injected with fresh
+ids, event values rescaled — data the implementations were never
+tuned on, with schemas and documented preconditions (ASCII text,
+unique event_ids, untouched timestamps) preserved by construction.
+
+Excluded by design: the streaming *_true keys (their oracles assume
+fixture timestamp properties AND they dominate runtime) and the
+scratch-layout keys whose per-dir caches would rebuild expensively
+for one assertion each (join_bucketed, scan_partition_prune,
+versioned-table family). Everything else that reads documents /
+events / embeddings / tpch rows is fair game — one parametrized
+assert per key, same comparator as the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import SF_DIR, assert_frames_match
+
+SEED = 20260815
+
+
+@pytest.fixture(scope="module")
+def perturbed_dir(tmp_path_factory) -> str:
+    rng = np.random.RandomState(SEED)
+    dst = tmp_path_factory.mktemp("perturbed_fixture")
+
+    def load(name: str) -> pd.DataFrame:
+        return pq.read_table(f"{SF_DIR}/{name}.parquet").to_pandas()
+
+    # tiny dims stay whole (joins against them must still hit)
+    for name in ("region", "nation"):
+        load(name).to_parquet(dst / f"{name}.parquet")
+    for name in ("customer", "supplier", "part", "orders", "lineitem"):
+        df = load(name)
+        df[rng.rand(len(df)) < 0.7].to_parquet(dst / f"{name}.parquet")
+
+    ev = load("events")
+    ev = ev[rng.rand(len(ev)) < 0.65].copy()
+    # rescale values (both engines read the same doubles back); keep
+    # ts and event_id untouched — unique ids and the no-boundary-exact
+    # window precondition survive subsetting by construction
+    ev["value"] = (ev["value"] * 1.37).round(3)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(dst / "events.parquet")
+
+    docs = load("documents")
+    docs = docs[rng.rand(len(docs)) < 0.6].copy()
+    # inject fresh near-duplicates: last word dropped, new doc_ids —
+    # real fodder for the dedup/minhash family, still pure ASCII
+    dup_src = docs.sample(frac=0.12, random_state=SEED).copy()
+    dup_src["doc_id"] = (
+        int(docs["doc_id"].max()) + 1 + np.arange(len(dup_src))
+    )
+    dup_src["text"] = dup_src["text"].map(
+        lambda t: " ".join(t.split(" ")[:-1]) if " " in t else t
+    )
+    dup_src["n_chars"] = dup_src["text"].str.len()
+    docs = pd.concat([docs, dup_src], ignore_index=True)
+    assert docs["text"].map(lambda t: t.isascii()).all()
+    docs.to_parquet(dst / "documents.parquet")
+
+    emb = load("embeddings")
+    # keep the low-id probe vectors every sim_* query anchors on,
+    # subsample the rest
+    keep = (emb["vec_id"] <= 60) | (rng.rand(len(emb)) < 0.6)
+    emb[keep].to_parquet(dst / "embeddings.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def pddb(perturbed_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{perturbed_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+# Cross-family subset: every round-9 key that runs on plain tables,
+# plus representatives of each older family. Keys are grouped by the
+# per-fixture cache they share so the expensive subtrees (shingle /
+# candidate-pair materialization) build once and amortize.
+PERTURBED_KEYS = [
+    # round-9 additions (all sweep-fresh; highest fix priority)
+    "text_quality_classifier",
+    "split_leakage_safe",
+    "text_ccnet_perplexity_bucket",
+    "text_repetition_ngram",
+    "agg_time_decay",
+    "pipeline_sequence_pack",
+    "scan_rowgroup_skip",
+    "sim_mmr_diversify",
+    "quality_filter_agreement",
+    "diag_skew_report",
+    "multimodal_scene_cut",
+    "table_constraint_audit",
+    "text_source_drift_jsd",
+    "agg_trend_ols",
+    "sample_contrastive_pairs",
+    "privacy_k_anonymize",
+    "privacy_dp_count_laplace",
+    # dedup / similarity family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_near_minhash",
+    "dedup_cluster",
+    "dedup_survivors",
+    "sim_cosine_topk",
+    # text family
+    "text_stats",
+    "text_term_freq",
+    "text_tfidf_topk",
+    "text_hashing_vectorizer",
+    "text_entropy_unigram",
+    "text_zipf_slope",
+    "text_quality_c4",
+    # sampling
+    "sample_systematic",
+    "sample_temperature",
+    "sample_weighted_reservoir",
+    # relational core
+    "project_arith",
+    "filter_compound",
+    "join_broadcast",
+    "join_shuffle_equi",
+    "join_left_outer",
+    "agg_reduce_sum",
+    "agg_having",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_zscore_anomaly",
+    "sort_multi_key",
+    "setop_except_all",
+    "str_split_explode",
+    "date_arith",
+    "array_hof",
+    "json_funcs",
+    # analytics / graph
+    "funnel_conversion",
+    "retention_cohort",
+    "agg_mutual_information",
+    "graph_triangle_count",
+]
+
+
+@pytest.mark.parametrize("key", PERTURBED_KEYS)
+def test_perturbed_corpus_differential(spark, perturbed_dir, pddb, key):
+    got = QUERIES[key](spark, perturbed_dir).toPandas()
+    want = pddb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"perturbed:{key}")
