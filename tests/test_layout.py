@@ -467,3 +467,93 @@ def test_rowgroup_skip_aggregate_matches_direct_scan(spark):
     assert bool(got["multi_rowgroup"])
     assert bool(got["stats_ordered"])
     assert bool(got["skippable_exists"])
+
+
+def test_changefeed_composes_across_versions(spark, tmp_path):
+    """CDC composability — the property stream_mv_refresh_true's
+    docstring leans on: consuming changes(1,2) then changes(2,3) must
+    land on exactly the same state as consuming the single combined
+    feed changes(1,3), and both must equal the v3 snapshot. Checked
+    two ways: (a) per-key state replay (insert/update set, delete
+    remove) is EXACT, and (b) the per-bucket aggregate-MV delta
+    algebra (the foreachBatch consumer's arithmetic) lands on the v3
+    recompute under both cadences."""
+    import pandas as pd
+
+    from map_reduce_subnet_spark.operators.warehouse import (
+        _build_latest_state_versions,
+    )
+
+    table = _build_latest_state_versions(
+        spark, SF_DIR, str(tmp_path / "cdc_compose")
+    )
+
+    def feed(vf: int, vt: int) -> pd.DataFrame:
+        return table.changes(
+            spark, ["user_id"], vf, vt, include_preimage=True
+        ).toPandas()
+
+    def replay(state: dict, ch: pd.DataFrame) -> dict:
+        state = dict(state)
+        # iterrows, not itertuples: pandas mangles the leading
+        # underscore of _change_type into a positional name
+        for _, r in ch.iterrows():
+            if r["_change_type"] == "delete":
+                state.pop(r["user_id"])
+            else:
+                state[r["user_id"]] = (
+                    r["value"], r["ts_us"], r["event_id"],
+                )
+        return state
+
+    v1 = {
+        r.user_id: (r.value, r.ts_us, r.event_id)
+        for r in table.read(spark, 1).toPandas().itertuples()
+    }
+    v3 = {
+        r.user_id: (r.value, r.ts_us, r.event_id)
+        for r in table.read(spark, 3).toPandas().itertuples()
+    }
+    stepped = replay(replay(v1, feed(1, 2)), feed(2, 3))
+    combined = replay(v1, feed(1, 3))
+    assert stepped == v3
+    assert combined == v3
+
+    def mv(state: dict) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"user_id": list(state), "value": [v[0] for v in state.values()]}
+        )
+        df["bucket"] = df["user_id"] % 16
+        return df.groupby("bucket").agg(
+            n_users=("user_id", "size"), s=("value", "sum")
+        )
+
+    def apply_delta(base: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
+        ct = ch["_change_type"]
+        d = pd.DataFrame(
+            {
+                "bucket": ch["user_id"] % 16,
+                "dn": ct.map({"insert": 1, "delete": -1, "update": 0}),
+                "ds": ch["value"].where(ct != "delete", 0.0).fillna(0.0)
+                - ch["value_prev"].where(ct != "insert", 0.0).fillna(0.0),
+            }
+        ).groupby("bucket").sum()
+        out = base.join(d, how="outer").fillna(0.0)
+        return pd.DataFrame(
+            {
+                "n_users": out["n_users"] + out["dn"],
+                "s": out["s"] + out["ds"],
+            }
+        )
+
+    base = mv(v1)
+    want = mv(v3)
+    for rolled in (
+        apply_delta(apply_delta(base, feed(1, 2)), feed(2, 3)),
+        apply_delta(base, feed(1, 3)),
+    ):
+        rolled = rolled[rolled["n_users"] > 0]
+        assert sorted(rolled.index) == sorted(want.index)
+        for b in want.index:
+            assert rolled.loc[b, "n_users"] == want.loc[b, "n_users"]
+            assert abs(rolled.loc[b, "s"] - want.loc[b, "s"]) < 1e-6

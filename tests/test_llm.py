@@ -1629,3 +1629,47 @@ def test_quality_classifier_matches_python_logit(spark):
     assert checked > 0
     # the model is a real discriminator on the fixture, not a constant
     assert 0 < int(got["keep"].sum()) < len(got)
+
+
+def test_sequence_pack_handles_sparse_clustered_doc_ids(spark, tmp_path):
+    """pipeline_sequence_pack's two-phase prefix sum buckets by
+    contiguous doc_id RANGE (doc_id // width), so a corpus whose ids
+    cluster into a few ranges leaves most buckets empty and piles the
+    rest into one — the decomposition must still equal the naive
+    global cumsum. The fixture's dense 0..N ids never exercise this."""
+    from map_reduce_subnet_spark.operators.llm import SEQ_PACK_LEN
+
+    ids = (
+        list(range(10))
+        + [5_000_000 + 3 * i for i in range(10)]
+        + [9_999_999]
+    )
+    n_toks = [(i * 37) % 700 + 1 for i in range(len(ids))]
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [("w " * n).strip() for n in n_toks],
+            "lang": "en",
+            "source": "sparse",
+            "n_chars": [2 * n - 1 for n in n_toks],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        QUERIES["pipeline_sequence_pack"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(got) == len(ids)
+    cum = 0
+    for doc_id, n in sorted(zip(ids, n_toks)):
+        row = got.loc[doc_id]
+        assert row["n_tokens"] == n
+        assert row["start_offset"] == cum
+        assert row["seq_id"] == cum // SEQ_PACK_LEN
+        assert row["offset_in_seq"] == cum % SEQ_PACK_LEN
+        assert row["n_seqs_spanned"] == (
+            (cum + n - 1) // SEQ_PACK_LEN - cum // SEQ_PACK_LEN + 1
+        )
+        cum += n
+    # the corpus really crosses sequence boundaries
+    assert int(got["n_seqs_spanned"].max()) >= 1 and cum > SEQ_PACK_LEN
