@@ -1,0 +1,220 @@
+"""Adversarial micro-corpus differential: the same query↔oracle
+agreement as the driver gate and the perturbed sweep, but on a
+HANDCRAFTED ~400-row fixture stuffed with the edge content the real
+fixtures never contain — empty documents, one-word documents,
+double-space tokens (empty-token semantics), exact and near
+duplicates, a pathologically repetitive document, a NULL event value,
+a zero embedding vector. Any Spark/DuckDB divergence on this corpus
+is a real semantics bug in whichever side handled the edge
+differently; both engines read the identical parquet bytes.
+
+The key list is shared with the perturbed sweep (one definition of
+"the differential subset"). Keys whose oracles pin fixture-SCALE
+facts (scan_rowgroup_skip's multi-rowgroup booleans) get the corpus
+sized to keep the precondition true (~400 events > one 4KB row
+group).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import assert_frames_match
+from tests.test_perturbed_differential import PERTURBED_KEYS
+
+WORDS = (
+    "the fast key order sort table scan merge part window small hash "
+    "join batch stream spark shuffle broadcast filter reduce"
+).split()
+
+
+def _micro_tables() -> dict[str, pd.DataFrame]:
+    rng = np.random.RandomState(7)
+
+    def sentence(n: int, salt: int) -> str:
+        return " ".join(
+            WORDS[(salt + 3 * i) % len(WORDS)] for i in range(n)
+        )
+
+    texts = [
+        "",                                   # empty text
+        "word",                               # single token
+        sentence(40, 1),                      # exact-dup pair ...
+        sentence(40, 1),                      # ... same text
+        sentence(40, 1) + " changed",         # near-dup of the pair
+        ("spam " * 99).strip(),               # pathological repetition
+        "a  b   c",                           # double spaces: empty tokens
+        sentence(25, 2),
+        sentence(60, 3),
+        sentence(15, 4),
+        sentence(80, 5),
+        sentence(33, 6),
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": [
+                ["en", "de", "fr", "es", "zh"][i % 5]
+                for i in range(len(texts))
+            ],
+            "source": [f"src{i % 4}" for i in range(len(texts))],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+    n_ev = 400
+    users = rng.randint(1, 13, n_ev).astype(np.int64)
+    types = np.array(
+        ["view", "click", "purchase", "signup", "error"]
+    )[rng.randint(0, 5, n_ev)]
+    base = pd.Timestamp("2024-01-01")
+    ts = base + pd.to_timedelta(
+        np.sort(rng.randint(0, 30 * 86400, n_ev)), unit="s"
+    )
+    value = np.round(rng.rand(n_ev) * 300 + 0.01, 2)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": users,
+            "event_type": types,
+            "value": value,
+            "props": [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, n_ev)],
+        }
+    )
+    events.loc[5, "value"] = None  # NULL value: SUM/COUNT divergence bait
+    # one user with a guaranteed view -> click -> purchase chain
+    events.loc[10, ["user_id", "event_type"]] = [99, "view"]
+    events.loc[11, ["user_id", "event_type"]] = [99, "click"]
+    events.loc[12, ["user_id", "event_type"]] = [99, "purchase"]
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(10, dtype=np.int64),
+            "embedding": [
+                np.zeros(64, dtype=np.float32)  # zero vector: NaN cosine
+                if i == 9
+                else rng.randn(64).astype(np.float32)
+                for i in range(10)
+            ],
+            "label": np.arange(10, dtype=np.int32) % 3,
+        }
+    )
+
+    region = pd.DataFrame(
+        {"r_regionkey": np.arange(2, dtype=np.int32), "r_name": ["RA", "RB"]}
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(3, dtype=np.int32),
+            "n_name": ["NA", "NB", "NC"],
+            "n_regionkey": np.array([0, 0, 1], dtype=np.int32),
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.arange(1, 7, dtype=np.int64),
+            "c_name": [f"Customer#{i}" for i in range(1, 7)],
+            "c_nationkey": np.array([0, 1, 2, 0, 1, 2], dtype=np.int32),
+            "c_acctbal": np.round(rng.rand(6) * 1000 - 100, 2),
+            "c_mktsegment": ["BUILDING", "AUTO", "AUTO", "MACHINERY",
+                             "BUILDING", "FURNITURE"],
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.arange(1, 4, dtype=np.int64),
+            "s_name": [f"Supplier#{i}" for i in range(1, 4)],
+            "s_nationkey": np.array([0, 1, 2], dtype=np.int32),
+            "s_acctbal": np.round(rng.rand(3) * 1000, 2),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(1, 5, dtype=np.int64),
+            "p_name": ["green widget", "red gear", "blue gear", "red cog"],
+            "p_brand": ["Brand#1", "Brand#2", "Brand#1", "Brand#3"],
+            "p_type": ["STANDARD", "ECONOMY", "STANDARD", "PROMO"],
+            "p_size": np.array([5, 10, 15, 20], dtype=np.int32),
+            "p_retailprice": [901.0, 902.5, 903.0, 1500.25],
+        }
+    )
+    n_o = 14
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, n_o + 1, dtype=np.int64),
+            # custkey 1 is a deliberate hot key for the skew report
+            "o_custkey": np.array(
+                [1] * 7 + [2, 2, 3, 4, 5, 6, 6], dtype=np.int64
+            ),
+            "o_orderstatus": [["O", "F", "P"][i % 3] for i in range(n_o)],
+            "o_totalprice": np.round(rng.rand(n_o) * 100000, 2),
+            "o_orderdate": (
+                base + pd.to_timedelta(rng.randint(0, 365, n_o), unit="D")
+            ).astype("datetime64[us]"),
+            "o_orderpriority": [
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                 "5-LOW"][i % 5]
+                for i in range(n_o)
+            ],
+        }
+    )
+    n_l = 30
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": rng.randint(1, n_o + 1, n_l).astype(np.int64),
+            "l_partkey": rng.randint(1, 5, n_l).astype(np.int64),
+            "l_suppkey": rng.randint(1, 4, n_l).astype(np.int64),
+            "l_linenumber": (rng.randint(1, 5, n_l)).astype(np.int32),
+            "l_quantity": rng.randint(1, 50, n_l).astype(np.float64),
+            "l_extendedprice": np.round(rng.rand(n_l) * 50000, 2),
+            "l_discount": np.round(rng.rand(n_l) * 0.1, 2),
+            "l_tax": np.round(rng.rand(n_l) * 0.08, 2),
+            "l_returnflag": [["N", "A", "R"][i % 3] for i in range(n_l)],
+            "l_linestatus": [["O", "F"][i % 2] for i in range(n_l)],
+            "l_shipdate": (
+                base + pd.to_timedelta(rng.randint(0, 365, n_l), unit="D")
+            ).astype("datetime64[us]"),
+        }
+    )
+    return {
+        "region": region, "nation": nation, "customer": customer,
+        "supplier": supplier, "part": part, "orders": orders,
+        "lineitem": lineitem, "events": events, "documents": docs,
+        "embeddings": emb,
+    }
+
+
+@pytest.fixture(scope="module")
+def micro_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("micro_fixture")
+    for name, df in _micro_tables().items():
+        df.to_parquet(dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def mddb(micro_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in _micro_tables():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{micro_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", PERTURBED_KEYS)
+def test_micro_corpus_differential(spark, micro_dir, mddb, key):
+    got = QUERIES[key](spark, micro_dir).toPandas()
+    want = mddb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"micro:{key}")
