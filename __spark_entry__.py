@@ -41,7 +41,8 @@ _SWEEP_PRIORITY = [
     # With a 207+ key registry and a 50-slot cap, the backlog of
     # aging hash-green rows clears on a two-round schedule:
     #   r9  = new/changed keys + the ENTIRE 26-key r4 cohort;
-    #   r10 = new/changed keys + the FULL 38-key r5 cohort
+    #   r10 = new/changed keys + limit_topk (r4, displaced late-r9 by
+    #         the agg_ema NULL fix) + the FULL 38-key r5 cohort
     #         (agg_mode_deterministic, filter_compound,
     #         filter_null_semantics, join_asof, join_asof_binned,
     #         join_broadcast,
@@ -85,7 +86,14 @@ _SWEEP_PRIORITY = [
     # window + aged-debris fixture; graph_kcore's fixpoint loop bound;
     # scan_csv_malformed's FAILFAST probe narrowed; the BPE pair's
     # rules memo keyed by merge count; mv_incremental_refresh's oracle
-    # extracted to the shared constant stream_mv_refresh_true reuses
+    # extracted to the shared constant stream_mv_refresh_true reuses;
+    # agg_ema's NULL-value semantics pinned to skip-the-observation on
+    # both engines (the micro-corpus differential caught Spark's
+    # non-nullable fold seed materializing a poisoned bin as 0.0) —
+    # its slot displaces limit_topk from the r4 cohort to r10 (the one
+    # documented exception to the "nothing predates r5 after r9"
+    # invariant; a changed key outranks a stale-but-unchanged one)
+    "agg_ema",
     "table_vacuum",
     "graph_kcore",
     "scan_csv_malformed",
@@ -98,7 +106,6 @@ _SWEEP_PRIORITY = [
     "date_arith",
     "date_parts",
     "json_funcs",
-    "limit_topk",
     "map_funcs",
     "math_funcs",
     "scan_full",

@@ -314,10 +314,15 @@ def agg_normalize_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH per_bin AS (
   SELECT user_id, CAST(ts AS DATE) AS bin,
          list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
-                                  list(CAST(0.9 AS DOUBLE) ORDER BY ts, event_id)),
+                                  COALESCE(list(CAST(0.9 AS DOUBLE)
+                                                ORDER BY ts, event_id)
+                                           FILTER (WHERE value IS NOT NULL),
+                                           [])),
                      (acc, x) -> acc * x) AS a,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                  list(value ORDER BY ts, event_id)),
+                                  COALESCE(list(value ORDER BY ts, event_id)
+                                           FILTER (WHERE value IS NOT NULL),
+                                           [])),
                      (acc, x) -> acc * 0.9 + x * 0.1) AS t,
          COUNT(*) AS n
   FROM events
@@ -361,10 +366,24 @@ def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines execute the same float program. In exact arithmetic
     the binned fold equals the sequential one; in doubles they differ
     ~1e-15, which is why the oracle mirrors the binning instead of
-    the naive single fold."""
+    the naive single fold.
+
+    NULL semantics (pinned by the micro-corpus differential): a NULL
+    value is a SKIPPED observation — the SQL-aggregate convention
+    (SUM/AVG ignore NULLs), spelled as an explicit filter before the
+    fold on BOTH engines. The filter is mandatory on the Spark side
+    even under propagate-NULL semantics: the fold's seed struct has
+    non-nullable fields, and writing the NULL-poisoned accumulator
+    into a non-nullable field silently materializes 0.0 — zeroing
+    the whole bin's contribution rather than propagating."""
     ev = load_table(spark, sf_dir, "events")
-    pairs = F.array_sort(
-        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    pairs = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+            )
+        ),
+        lambda x: x["value"].isNotNull(),
     )
     seg = F.aggregate(
         pairs,

@@ -162,6 +162,30 @@ PERTURBED_KEYS = [
     "retention_cohort",
     "agg_mutual_information",
     "graph_triangle_count",
+    # batch streaming semantics (windows/sessions/gapfill over events)
+    "stream_tumbling",
+    "stream_session",
+    "timeseries_gapfill",
+    "sessionize_events",
+    # remaining join shapes
+    "join_asof",
+    "join_theta_range",
+    "join_anti",
+    # scalar/array/json breadth (props JSON and regexes on new rows)
+    "scan_json_props",
+    "str_regex",
+    "map_funcs",
+    "agg_normalize_l1",
+    "agg_ema",
+    # second text/dedup tranche
+    "text_langid_ngram",
+    "text_fingerprint",
+    "text_token_count",
+    "text_collocations_pmi",
+    "dedup_containment",
+    "dedup_chunk_level",
+    "sample_stratified_rebalance",
+    "agg_bitmap_distinct",
 ]
 
 
