@@ -41,8 +41,10 @@ _SWEEP_PRIORITY = [
     # With a 207+ key registry and a 50-slot cap, the backlog of
     # aging hash-green rows clears on a two-round schedule:
     #   r9  = new/changed keys + the ENTIRE 26-key r4 cohort;
-    #   r10 = new/changed keys + limit_topk (r4, displaced late-r9 by
-    #         the agg_ema NULL fix) + the FULL 38-key r5 cohort
+    #   r10 = new/changed keys + limit_topk and date_parts (r4,
+    #         displaced late-r9 by the agg_ema NULL fix and the
+    #         multimodal_features oracle guard) + the FULL 38-key
+    #         r5 cohort
     #         (agg_mode_deterministic, filter_compound,
     #         filter_null_semantics, join_asof, join_asof_binned,
     #         join_broadcast,
@@ -92,8 +94,14 @@ _SWEEP_PRIORITY = [
     # non-nullable fold seed materializing a poisoned bin as 0.0) —
     # its slot displaces limit_topk from the r4 cohort to r10 (the one
     # documented exception to the "nothing predates r5 after r9"
-    # invariant; a changed key outranks a stale-but-unchanged one)
+    # invariant; a changed key outranks a stale-but-unchanged one);
+    # multimodal_features' ORACLE grew an empty-text guard (DuckDB
+    # ord('') is -1, the engine's empty-payload byte_sum is 0 — also
+    # a micro-corpus differential catch; fixtures have no empty docs,
+    # min text length 44, so the r7 row's values are unchanged) — its
+    # slot displaces date_parts to r10, the second and last exception
     "agg_ema",
+    "multimodal_features",
     "table_vacuum",
     "graph_kcore",
     "scan_csv_malformed",
@@ -104,7 +112,6 @@ _SWEEP_PRIORITY = [
     "array_funcs",
     "array_hof",
     "date_arith",
-    "date_parts",
     "json_funcs",
     "map_funcs",
     "math_funcs",

@@ -2354,9 +2354,15 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
-       CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
-                                             c -> ord(c))), 0)
-            % 2147483648 AS BIGINT)
+       -- empty text must be guarded BEFORE the char walk: DuckDB's
+       -- string_split('', '') still surfaces one empty element and
+       -- ord('') is -1, so the unguarded sum reads -1 where the
+       -- engine's sum over zero payload bytes is 0 (caught by the
+       -- micro-corpus differential)
+       CAST(CASE WHEN strlen(text) = 0 THEN 0
+            ELSE COALESCE(list_sum(list_transform(string_split(text, ''),
+                                                  c -> ord(c))), 0)
+            END % 2147483648 AS BIGINT)
            AS byte_sum,
        lower(hex(encode(substr(text, 1, 4)))) AS head_hex
 FROM documents

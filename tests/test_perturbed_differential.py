@@ -186,6 +186,84 @@ PERTURBED_KEYS = [
     "dedup_chunk_level",
     "sample_stratified_rebalance",
     "agg_bitmap_distinct",
+    # tranche 3: the remaining cheap registry keys — windows, sorts,
+    # projections, scalars, aggregates (incl. the bound-checked
+    # sketches: their tolerance booleans must hold on ANY corpus),
+    # the rest of the text/dedup/graph/warehouse families, and the
+    # multimodal regenerating-oracle family (payloads synthesized
+    # from the corpus text, so edge documents reach the decoders)
+    "window_rank_stake",
+    "window_lag_delta",
+    "window_moving_avg",
+    "window_first_last",
+    "window_percent_rank",
+    "window_ntile_cume",
+    "window_range_frame",
+    "window_cumulative_uniques",
+    "window_rolling_quantiles",
+    "limit_topk",
+    "project_conditional",
+    "project_cast",
+    "project_try_cast",
+    "filter_membership",
+    "filter_null_semantics",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "setop_dedup",
+    "setop_intersect_all",
+    "str_basics",
+    "str_hash",
+    "str_posexplode",
+    "str_fuzzy_levenshtein",
+    "date_parts",
+    "math_funcs",
+    "array_funcs",
+    "gen_date_spine",
+    "agg_global",
+    "agg_minmax_stats",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_distinct_arg",
+    "agg_mode_deterministic",
+    "agg_skew_kurtosis",
+    "agg_robust_mad",
+    "agg_gini_concentration",
+    "agg_corr",
+    "agg_percentile",
+    "agg_approx_percentile",
+    "agg_max_by",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_string_agg",
+    "agg_salted_hotkey",
+    "text_quality_gopher",
+    "text_quality",
+    "text_langid",
+    "text_pii_scrub",
+    "text_chunking",
+    "text_decontaminate",
+    "text_lm_unigram_score",
+    "text_lm_bigram_score",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "dedup_minhash_est",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "embed_neardup_cosine",
+    "sample_ksample_per_stratum",
+    "graph_pagerank",
+    "graph_kcore",
+    "merge_upsert",
+    "join_broadcast_nested_loop",
+    "udtf_cogrouped_map",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_image_ahash",
+    "pipeline_curation_e2e",
+    "quality_dedup_rates",
 ]
 
 
