@@ -264,10 +264,59 @@ PERTURBED_KEYS = [
     "multimodal_image_ahash",
     "pipeline_curation_e2e",
     "quality_dedup_rates",
+    # tranche 4: remaining join shapes, the UDF/UDAF/UDTF surface,
+    # batch streaming leftovers, the mergeable sketches (their
+    # bound-checked booleans must hold on any corpus), SCD2, and the
+    # cheap SQL-surface keys
+    "join_multiway_star",
+    "join_semi",
+    "join_full_outer",
+    "join_cross_bipartite",
+    "join_asof_binned",
+    "join_asof_nearest",
+    "join_interval_overlap",
+    "udf_scalar",
+    "udaf_grouped_agg",
+    "udtf_grouped_map",
+    "stream_sliding",
+    "stream_watermark_late",
+    "stream_dedup",
+    "agg_hll_sketch_merge",
+    "agg_cms_heavy_hitters",
+    "merge_scd2_history",
+    "sql_pipe_syntax",
+    "scan_variant_props",
+    "scan_full",
+    "scan_prune_columns",
+    "scan_filter_pushdown",
+    "window_row_number",
+    "multimodal_join",
+    "join_point_in_time",
+    "udtf_python_lateral",
+]
+
+# Keys exercised on the PERTURBED corpus only: the multimodal decode
+# harnesses synthesize their media payloads from document text (an
+# empty adversarial doc probes the synthesizer, not the decoder), and
+# the ANN family anchors on specific probe vec_ids the micro corpus
+# does not carry. The perturbed fixture keeps both preconditions.
+PERTURBED_ONLY_KEYS = [
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "multimodal_decode_wav",
+    "multimodal_decode_jpeg",
+    "multimodal_image_resize",
+    "multimodal_audio_stats",
+    "scan_binaryfile_media",
+    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
+    "sim_ann_ivf",
+    "sim_ann_ivf_kmeans",
+    "sim_quantized_recall",
 ]
 
 
-@pytest.mark.parametrize("key", PERTURBED_KEYS)
+@pytest.mark.parametrize("key", PERTURBED_KEYS + PERTURBED_ONLY_KEYS)
 def test_perturbed_corpus_differential(spark, perturbed_dir, pddb, key):
     got = QUERIES[key](spark, perturbed_dir).toPandas()
     want = pddb.sql(ORACLES[key]).df()
