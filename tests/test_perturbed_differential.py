@@ -313,7 +313,57 @@ PERTURBED_ONLY_KEYS = [
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
     "sim_quantized_recall",
+    "sim_ann_recall",
+    # tranche 5 — the previously-excluded families, all corpus-robust
+    # here because the perturbation leaves ts/event_id untouched (the
+    # streaming oracles' unique-id and no-boundary-exact-window
+    # preconditions survive subsetting) and the scratch/catalog keys
+    # rebuild their per-dir caches once for the module:
+    # streaming-true
+    "stream_tumbling_true",
+    "stream_sliding_true",
+    "stream_session_true",
+    "stream_dedup_true",
+    "stream_dedup_within_watermark_true",
+    "stream_tumbling_distinct_true",
+    "stream_static_join_true",
+    "stream_stream_join_true",
+    "stream_stateful_ema",
+    "stream_stateful_ema_batches",
+    "stream_upsert_foreachbatch",
+    "stream_pit_join_true",
+    "stream_python_source_true",
+    "stream_python_sink_true",
+    "stream_state_inspect",
+    "stream_mv_refresh_true",
+    # versioned-table family
+    "table_timetravel",
+    "table_changefeed",
+    "table_vacuum",
+    "mv_incremental_refresh",
+    # source/sink roundtrips + layout
+    "sink_roundtrip",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    "scan_python_datasource",
+    "sink_python_datasource",
+    "sink_compaction",
+    "sink_zorder_cluster",
+    "scan_schema_evolution",
+    "scan_csv_malformed",
+    "scan_partition_prune",
+    "join_bucketed",
+    "join_partition_prune_dynamic",
+    "join_bloom_runtime",
+    "observe_metrics",
 ]
+# deliberately uncovered: join_skew_aqe — its in-query lint asserts
+# AQE's skew split actually fires, which needs fixture-scale key skew
+# a subsampled corpus does not guarantee
 
 
 @pytest.mark.parametrize("key", PERTURBED_KEYS + PERTURBED_ONLY_KEYS)
