@@ -1,0 +1,121 @@
+"""Partition-invariance differential sweep: results must not depend on
+HOW the data is laid out or how many ways Spark parallelizes it.
+
+Every other correctness layer (driver oracle, perturbed corpus, micro
+corpus) varies the DATA; none varies the EXECUTION configuration. But
+the configuration is exactly what changes between the sf0.01/local[32]
+test bed and a 1000-executor 100 TB cluster: input splits per table go
+from 1 to ~10^5, shuffle partitions from 8 to ~10^4, and within-
+partition encounter order is arbitrary. Any query whose output depends
+on input file count, row order within files, or the shuffle partition
+count passes every fixture oracle and still breaks at scale.
+
+This sweep pins the invariance directly, Spark-vs-Spark:
+
+* Tier 1 (all batch keys): run A reads the pristine single-file
+  fixture under the session default (8 shuffle partitions); run B
+  reads a RESHARDED copy — every table row-permuted with a seeded RNG
+  and round-robin split into 7 part files — under 57 shuffle
+  partitions (more partitions than many groups have rows, so empty
+  shuffle partitions are exercised too) AND a 13-record Arrow batch
+  size. The Arrow knob matters independently: at fixture scale every
+  partition fits in ONE Arrow batch, so mapInPandas code that
+  accumulates state across rows assuming "one batch = whole
+  partition" passes every data-varying sweep and still breaks on the
+  multi-batch partitions a 100 TB scan always produces. A and B must
+  canonicalize identically.
+
+* Tier 2 (streaming keys, i.e. everything registered from
+  streaming/jobs.py): event-time streaming results legitimately
+  depend on ARRIVAL ORDER (watermarks advance between micro-batches,
+  so file layout IS the contract — at scale the analogous contract is
+  Kafka partition ordering). The input layout therefore stays
+  pristine, and only the state-store partition count is varied
+  (streaming jobs inherit spark.sql.shuffle.partitions; a deployment
+  will never run with the fixture's count).
+
+Deliberately uncovered: nothing. join_skew_aqe builds its own
+isolated session (confs pinned inside the query) and round-robin
+repartitions its fact side, so it participates in tier 1 like any
+other key.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from map_reduce_subnet_spark.operators import QUERIES
+from map_reduce_subnet_spark.sources.tables import TABLES
+from tests.conftest import SF_DIR, assert_frames_match
+
+SEED = 20260816
+N_SHARDS = 7
+ALT_SHUFFLE_PARTITIONS = 57
+ALT_ARROW_BATCH = 13
+
+STREAMING_KEYS = sorted(
+    k for k, fn in QUERIES.items()
+    if fn.__module__.endswith("streaming.jobs")
+)
+BATCH_KEYS = sorted(k for k in QUERIES if k not in STREAMING_KEYS)
+
+
+@pytest.fixture(scope="module")
+def resharded_dir(tmp_path_factory) -> str:
+    rng = np.random.RandomState(SEED)
+    dst = tmp_path_factory.mktemp("resharded_fixture")
+    for name in TABLES:
+        tbl = pq.read_table(f"{SF_DIR}/{name}.parquet")
+        perm = rng.permutation(tbl.num_rows)
+        sub = dst / f"{name}.parquet"
+        sub.mkdir()
+        k = N_SHARDS if tbl.num_rows >= N_SHARDS else 1
+        for i in range(k):
+            pq.write_table(
+                tbl.take(perm[i::k]), sub / f"part-{i:02d}.parquet"
+            )
+    return str(dst)
+
+
+@contextmanager
+def alt_execution_conf(spark, arrow_batch: bool):
+    keys = {"spark.sql.shuffle.partitions": str(ALT_SHUFFLE_PARTITIONS)}
+    if arrow_batch:
+        keys["spark.sql.execution.arrow.maxRecordsPerBatch"] = str(
+            ALT_ARROW_BATCH
+        )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("key", BATCH_KEYS)
+def test_reshard_and_parallelism_invariant(spark, resharded_dir, key):
+    baseline = QUERIES[key](spark, SF_DIR).toPandas()
+    # build AND collect inside the conf window — plans are lazy
+    with alt_execution_conf(spark, arrow_batch=True):
+        resharded = QUERIES[key](spark, resharded_dir).toPandas()
+    assert_frames_match(resharded, baseline, f"reshard:{key}")
+
+
+@pytest.mark.parametrize("key", STREAMING_KEYS)
+def test_streaming_state_partition_invariant(spark, key):
+    baseline = QUERIES[key](spark, SF_DIR).toPandas()
+    # Arrow batch size stays default here: applyInPandasWithState
+    # contracts are per-group, not per-batch, and the tiny batch knob
+    # multiplies the (already slow) stream drain for no extra signal.
+    with alt_execution_conf(spark, arrow_batch=False):
+        repartitioned = QUERIES[key](spark, SF_DIR).toPandas()
+    assert_frames_match(repartitioned, baseline, f"state-parts:{key}")
