@@ -13,6 +13,17 @@ The key list is shared with the perturbed sweep (one definition of
 facts (scan_rowgroup_skip's multi-rowgroup booleans) get the corpus
 sized to keep the precondition true (~400 events > one 4KB row
 group).
+
+Late-r9 extension: the PERTURBED_ONLY families run here too — the
+corpus now carries their preconditions by construction (70 embedding
+vectors cover the ANN probe ids 0/42 and the vec_id<8 centroid
+seeds; every event ts gets a +137 ms offset so no window is
+boundary-exact and the streaming-true watermark oracles stay valid;
+event_ids are unique by construction). That puts the adversarial
+corpus under the streaming-true family (a NULL event value now flows
+through live stateful aggregation), the versioned-table family, the
+source/sink roundtrips, ANN (a zero vector now sits in the candidate
+pool: NaN-cosine ordering bait) and the binary decode family.
 """
 
 from __future__ import annotations
@@ -25,7 +36,10 @@ import pytest
 
 from map_reduce_subnet_spark.operators import ORACLES, QUERIES
 from tests.conftest import assert_frames_match
-from tests.test_perturbed_differential import PERTURBED_KEYS
+from tests.test_perturbed_differential import (
+    PERTURBED_KEYS,
+    PERTURBED_ONLY_KEYS,
+)
 
 WORDS = (
     "the fast key order sort table scan merge part window small hash "
@@ -74,8 +88,11 @@ def _micro_tables() -> dict[str, pd.DataFrame]:
         ["view", "click", "purchase", "signup", "error"]
     )[rng.randint(0, 5, n_ev)]
     base = pd.Timestamp("2024-01-01")
+    # +137 ms: no event ever lands exactly on a window boundary, so
+    # the streaming-true watermark oracles' <=/< convention cannot
+    # flip a row (NOTES invariant #9, held by construction here)
     ts = base + pd.to_timedelta(
-        np.sort(rng.randint(0, 30 * 86400, n_ev)), unit="s"
+        np.sort(rng.randint(0, 30 * 86400, n_ev)) * 1000 + 137, unit="ms"
     )
     value = np.round(rng.rand(n_ev) * 300 + 0.01, 2)
     events = pd.DataFrame(
@@ -94,16 +111,20 @@ def _micro_tables() -> dict[str, pd.DataFrame]:
     events.loc[11, ["user_id", "event_type"]] = [99, "click"]
     events.loc[12, ["user_id", "event_type"]] = [99, "purchase"]
 
+    # 70 vectors: covers the ANN probe ids (0, 42) and the vec_id<8
+    # IVF centroid seeds; the zero vector (NaN cosine bait) sits at a
+    # non-probe id
+    n_vec = 70
     emb = pd.DataFrame(
         {
-            "vec_id": np.arange(10, dtype=np.int64),
+            "vec_id": np.arange(n_vec, dtype=np.int64),
             "embedding": [
                 np.zeros(64, dtype=np.float32)  # zero vector: NaN cosine
                 if i == 9
                 else rng.randn(64).astype(np.float32)
-                for i in range(10)
+                for i in range(n_vec)
             ],
-            "label": np.arange(10, dtype=np.int32) % 3,
+            "label": np.arange(n_vec, dtype=np.int32) % 3,
         }
     )
 
@@ -218,3 +239,14 @@ def test_micro_corpus_differential(spark, micro_dir, mddb, key):
     got = QUERIES[key](spark, micro_dir).toPandas()
     want = mddb.sql(ORACLES[key]).df()
     assert_frames_match(got, want, f"micro:{key}")
+
+
+# The previously perturbed-only families, now precondition-satisfied
+# (see module docstring). join_skew_aqe stays out for the same reason
+# as everywhere: its in-query lint asserts AQE's skew split fires,
+# a property of fixture-scale key skew a 30-row lineitem cannot carry.
+@pytest.mark.parametrize("key", PERTURBED_ONLY_KEYS)
+def test_micro_corpus_differential_ext(spark, micro_dir, mddb, key):
+    got = QUERIES[key](spark, micro_dir).toPandas()
+    want = mddb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"micro-ext:{key}")
