@@ -242,9 +242,9 @@ def test_micro_corpus_differential(spark, micro_dir, mddb, key):
 
 
 # The previously perturbed-only families, now precondition-satisfied
-# (see module docstring). join_skew_aqe stays out for the same reason
-# as everywhere: its in-query lint asserts AQE's skew split fires,
-# a property of fixture-scale key skew a 30-row lineitem cannot carry.
+# (see module docstring). join_skew_aqe runs here too: the skew-split
+# plan assertion lives in tests/test_plans.py (sf0.01), not in the
+# query, so on this corpus it is a plain result differential.
 @pytest.mark.parametrize("key", PERTURBED_ONLY_KEYS)
 def test_micro_corpus_differential_ext(spark, micro_dir, mddb, key):
     got = QUERIES[key](spark, micro_dir).toPandas()

@@ -360,10 +360,13 @@ PERTURBED_ONLY_KEYS = [
     "join_partition_prune_dynamic",
     "join_bloom_runtime",
     "observe_metrics",
+    # late r9: join_skew_aqe joins the differential after all — the
+    # skew-split assertion lives in tests/test_plans.py (sf0.01), NOT
+    # in the query, so on any corpus the key is a plain result
+    # differential (the isolated-session AQE confs only change the
+    # physical strategy, never the rows). 224/224 keys covered.
+    "join_skew_aqe",
 ]
-# deliberately uncovered: join_skew_aqe — its in-query lint asserts
-# AQE's skew split actually fires, which needs fixture-scale key skew
-# a subsampled corpus does not guarantee
 
 
 @pytest.mark.parametrize("key", PERTURBED_KEYS + PERTURBED_ONLY_KEYS)
