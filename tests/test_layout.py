@@ -557,3 +557,75 @@ def test_changefeed_composes_across_versions(spark, tmp_path):
         for b in want.index:
             assert rolled.loc[b, "n_users"] == want.loc[b, "n_users"]
             assert abs(rolled.loc[b, "s"] - want.loc[b, "s"]) < 1e-6
+
+
+def test_versioned_table_occ_under_thread_contention(spark, tmp_path):
+    """The staged OCC races above fix the interleaving by hand; this
+    one lets the scheduler pick it: 4 writer threads race 3 commits
+    each against one table root, retrying on ConcurrentWriteError
+    (even threads through the expected_version validation path, odd
+    threads through blind append — both end at the O_EXCL arbiter).
+    Afterwards the history must be linear and gap-free (versions
+    1..12, each claimed by exactly one thread), every version must
+    read back exactly its winner's rows, and a zero-grace vacuum must
+    collect only the losers' orphan dirs while every committed
+    version stays readable."""
+    import threading
+
+    from map_reduce_subnet_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "vt_stress")
+    n_threads, n_commits = 4, 3
+    claimed: list[tuple[int, int]] = []  # (version, row_count)
+    lock = threading.Lock()
+    errors: list[BaseException] = []
+
+    def writer(tid: int) -> None:
+        t = VersionedTable(root)
+        try:
+            for seq in range(n_commits):
+                n_rows = 10 + tid * n_commits + seq  # distinct per commit
+                df = spark.range(n_rows).withColumnRenamed("id", "x")
+                for _ in range(200):  # bounded retry, no livelock hang
+                    try:
+                        if tid % 2 == 0:
+                            v = t.commit(
+                                df, expected_version=t.current_version()
+                            )
+                        else:
+                            v = t.commit(df)
+                        break
+                    except ConcurrentWriteError:
+                        continue
+                else:
+                    raise AssertionError(f"writer {tid} starved at seq {seq}")
+                with lock:
+                    claimed.append((v, n_rows))
+        except BaseException as e:  # surface into the main thread
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(tid,), daemon=True)
+        for tid in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, f"writer thread failed: {errors[0]!r}"
+
+    total = n_threads * n_commits
+    t = VersionedTable(root)
+    assert t.versions() == list(range(1, total + 1))
+    assert sorted(v for v, _ in claimed) == list(range(1, total + 1)), (
+        "a version was claimed by zero or two writers"
+    )
+    for v, n_rows in claimed:
+        assert t.read(spark, v).count() == n_rows, f"version {v} corrupted"
+    # losers' data dirs are orphans; collecting them disturbs nothing
+    t.vacuum(orphan_grace_seconds=0)
+    for v, n_rows in claimed:
+        assert t.read(spark, v).count() == n_rows
