@@ -429,3 +429,95 @@ def test_python_stream_source_replay_contract():
         collected += rows
         off = nxt
     assert collected == [pds.synth_event_row(i) for i in range(100)]
+
+
+def test_stateful_ema_recovers_across_restart(spark, tmp_path):
+    """Checkpoint RECOVERY, not just cross-batch carry: at 100 TB a
+    stream restarts routinely, and per-key state must come back from
+    the checkpoint, not the previous JVM's memory. The 4-file
+    time-split source is killed after draining the first two files;
+    a brand-new query (same plan, same checkpointLocation) then
+    consumes the remaining two. The union of both runs' update-mode
+    emissions must reach the same closed-form fold as the batch
+    oracle — only possible if the second query restored every user's
+    (ema, n) from the state store and skipped the already-committed
+    offsets instead of refolding from scratch."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_subnet_spark.streaming.jobs import (
+        _read_events_stream,
+        stateful_ema,
+    )
+
+    tbl = pq_mod.read_table(f"{SF_DIR}/events.parquet")
+    order = tbl.column("ts").to_pandas().sort_values(kind="mergesort").index
+    tbl = tbl.take(list(order))
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    n_files = 4
+    step = (tbl.num_rows + n_files - 1) // n_files
+    now = _time.time()
+
+    def add_file(i: int) -> None:
+        p = src / f"part{i}.parquet"
+        pq_mod.write_table(tbl.slice(i * step, step), p)
+        os.utime(p, (now + i, now + i))  # mtime order = time order
+
+    def drain_once() -> pd.DataFrame:
+        # memory sink refuses to resume from an existing checkpoint;
+        # foreachBatch is the fault-tolerant sink shape a deployment
+        # uses, and the batch fn runs driver-side so a closure list
+        # collects the update-mode emissions
+        ev = _read_events_stream(
+            spark, str(src / "part0.parquet"), str(src),
+            maxFilesPerTrigger="1",
+        )
+        got: list[pd.DataFrame] = []
+        q = (
+            stateful_ema(ev)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: got.append(bdf.toPandas())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive, "availableNow drain did not finish"
+        return pd.concat(
+            [g for g in got if len(g)], ignore_index=True
+        ) if any(len(g) for g in got) else pd.DataFrame(
+            columns=["user_id", "ema", "n_events"]
+        )
+
+    add_file(0)
+    add_file(1)
+    s1 = drain_once()  # first life: files 0-1, then the query is gone
+    assert len(s1), "first run emitted nothing"
+    add_file(2)
+    add_file(3)
+    s2 = drain_once()  # second life: recover state, read ONLY 2-3
+    assert len(s2), "restarted run emitted nothing — offsets not resumed?"
+
+    # the second life must not have refolded the first files: every
+    # user present in both runs strictly increased its n_events
+    m = s1.groupby("user_id")["n_events"].max().to_frame("n1").join(
+        s2.groupby("user_id")["n_events"].max().to_frame("n2"), how="inner"
+    )
+    assert (m["n2"] > m["n1"]).all(), (
+        "restart re-emitted stale counts — state not recovered"
+    )
+
+    final = pd.concat([s1, s2], ignore_index=True)
+    final = final.loc[final.groupby("user_id")["n_events"].idxmax()]
+    batch = QUERIES["agg_ema"](spark, SF_DIR).toPandas()
+    merged = final.merge(batch, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch) == len(final)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["ema_s"] - merged["ema_b"]).abs().max() < 1e-6
