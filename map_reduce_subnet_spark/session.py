@@ -73,6 +73,17 @@ def get_spark(
         # head-of-line blocking; callers tag work via
         # sc.setLocalProperty("spark.scheduler.pool", <pool>).
         .config("spark.scheduler.mode", "FAIR")
+        # --- Heap sizing: in local mode driver + all 32 executor
+        # threads share ONE JVM, and Spark's 1g default put a long
+        # bench run (224 queries, streaming state stores, memory
+        # sinks) one unlucky GC away from OutOfMemoryError — observed
+        # once late r9 (heap OOM in stream_tumbling_distinct_true
+        # killed the SparkContext and failed every later query). 16g
+        # is still tiny against the 128 GiB harness box. Only takes
+        # effect at JVM launch (getOrCreate on a live session ignores
+        # it — e.g. under the driver's own pre-built session, which
+        # sizes its own JVM).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Quieter Ivy/UI in the harness.
         .config("spark.ui.enabled", "false")
     )
