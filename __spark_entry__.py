@@ -40,10 +40,11 @@ _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE (VERDICT r8 #2), r9 edition ---
     # With a 207+ key registry and a 50-slot cap, the backlog of
     # aging hash-green rows clears on a two-round schedule:
-    #   r9  = new/changed keys + the ENTIRE 26-key r4 cohort;
-    #   r10 = new/changed keys + limit_topk and date_parts (r4,
-    #         displaced late-r9 by the agg_ema NULL fix and the
-    #         multimodal_features oracle guard) + the FULL 38-key
+    #   r9  = new/changed keys + the r4 cohort (23 of 26; see below);
+    #   r10 = new/changed keys + the five r4 keys displaced late-r9
+    #         (limit_topk, date_parts — agg_ema/multimodal_features
+    #         slots; setop_dedup, setop_except, setop_intersect —
+    #         the ANSI zero-variance fix slots) + the FULL 38-key
     #         r5 cohort
     #         (agg_mode_deterministic, filter_compound,
     #         filter_null_semantics, join_asof, join_asof_binned,
@@ -80,6 +81,10 @@ _SWEEP_PRIORITY = [
     "multimodal_scene_cut",
     "table_constraint_audit",
     "text_source_drift_jsd",
+    # agg_trend_ols ALSO changed late-r9 (degenerate zero-x-variance
+    # groups now NULL via NULLIF on both engines — tie-corpus catch);
+    # it already sits inside the cap as a first-row key, so the
+    # changed-key rule is satisfied without displacing anything
     "agg_trend_ols",
     "sample_contrastive_pairs",
     "privacy_k_anonymize",
@@ -92,14 +97,27 @@ _SWEEP_PRIORITY = [
     # agg_ema's NULL-value semantics pinned to skip-the-observation on
     # both engines (the micro-corpus differential caught Spark's
     # non-nullable fold seed materializing a poisoned bin as 0.0) —
-    # its slot displaces limit_topk from the r4 cohort to r10 (the one
+    # its slot displaces limit_topk from the r4 cohort to r10 (a
     # documented exception to the "nothing predates r5 after r9"
     # invariant; a changed key outranks a stale-but-unchanged one);
     # multimodal_features' ORACLE grew an empty-text guard (DuckDB
     # ord('') is -1, the engine's empty-payload byte_sum is 0 — also
     # a micro-corpus differential catch; fixtures have no empty docs,
     # min text length 44, so the r7 row's values are unchanged) — its
-    # slot displaces date_parts to r10, the second and last exception
+    # slot displaces date_parts to r10.
+    # LATE-r9 additions to this group (ANSI zero-variance crash fixes,
+    # caught by the new tie-stress/constant-corpus differentials; all
+    # NULLIF-guarded on both engines, invariant #10 in NOTES):
+    # agg_corr (explicit covar/NULLIF(sx*sy) replaces the corr()
+    # built-in, which ANSI-throws on constant x), agg_skew_kurtosis
+    # (m2==0 guards), window_zscore_anomaly (sd==0 and n==1 guards) —
+    # their slots displace setop_dedup, setop_except, setop_intersect
+    # from the r4 cohort to r10 (exceptions three to five; each of the
+    # three displaced keys was locally re-verified 4 ways this round:
+    # perturbed, micro, tie, partition-invariance).
+    "agg_corr",
+    "agg_skew_kurtosis",
+    "window_zscore_anomaly",
     "agg_ema",
     "multimodal_features",
     "table_vacuum",
@@ -108,7 +126,8 @@ _SWEEP_PRIORITY = [
     "text_bpe_merges",
     "text_bpe_encode",
     "mv_incremental_refresh",
-    # (3) the entire r4 cohort (oldest rows in the registry)
+    # (3) the r4 cohort (oldest rows in the registry), minus the three
+    # keys displaced to r10 by the late-r9 changed keys above
     "array_funcs",
     "array_hof",
     "date_arith",
@@ -117,9 +136,6 @@ _SWEEP_PRIORITY = [
     "math_funcs",
     "scan_full",
     "scan_prune_columns",
-    "setop_dedup",
-    "setop_except",
-    "setop_intersect",
     "setop_union_all",
     "sort_multi_key",
     "str_hash",

@@ -799,8 +799,8 @@ WITH q AS (
     FROM m
 )
 SELECT l_returnflag, n, mean,
-       m3 / (m2 * sqrt(m2)) AS skewness,
-       m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+       m3 / NULLIF(m2 * sqrt(m2), 0.0) AS skewness,
+       m4 / NULLIF(m2 * m2, 0.0) - 3.0 AS excess_kurtosis
 FROM c
 """,
 )
@@ -879,10 +879,17 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         "mean",
-        (F.col("m3") / (F.col("m2") * F.sqrt("m2"))).alias("skewness"),
-        (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias(
-            "excess_kurtosis"
-        ),
+        # NULLIF: a constant group has m2 == 0 exactly (integer-sum
+        # arithmetic) and skew/kurtosis are undefined — NULL on both
+        # engines, never an ANSI DIVIDE_BY_ZERO (invariant #10)
+        (
+            F.col("m3")
+            / F.nullif(F.col("m2") * F.sqrt("m2"), F.lit(0.0))
+        ).alias("skewness"),
+        (
+            F.col("m4") / F.nullif(F.col("m2") * F.col("m2"), F.lit(0.0))
+            - F.lit(3.0)
+        ).alias("excess_kurtosis"),
     )
 
 
@@ -994,17 +1001,17 @@ WITH daily AS (
 )
 SELECT event_type, n,
        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope,
        (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
        ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r_squared
+              * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0) AS r_squared
 FROM sums
 """,
 )
@@ -1022,6 +1029,18 @@ def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsum so they are order-independent; slope/intercept/r² are one
     fixed expression tree of those sums — bit-exact across engines,
     no iterative fitting anywhere.
+
+    Degenerate groups (tie-corpus differential catch, late r9): a
+    group whose observations all share one day has zero x-variance —
+    the denominator n·Σx²−(Σx)² is exactly 0 (it is built from exact
+    int64 sums, so both engines agree on the zero) and the slope is
+    statistically undefined. Convention: NULL, the REGR_SLOPE
+    behavior — spelled NULLIF(den, 0) on BOTH engines so neither
+    ANSI-errors (Spark) nor silently infs (the zero-variance r²
+    denominator likewise). Intercept inherits NULL through the slope
+    term. A 100 TB corpus always has some single-day group; the
+    fixtures never do, which is why only the tie-stress corpus
+    caught it.
 
     Scale shape: ONE partial+final aggregate — six running sums with
     map-side combine, a handful of rows to the final stage; this is
@@ -1048,13 +1067,19 @@ def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.col("sx").cast("double")
     sxx = F.col("sxx").cast("double")
     num = n * F.col("sxy") - sx * F.col("sy")
-    den = n * sxx - sx * sx
+    # NULLIF, not a raw divide: zero x-variance (every row on one
+    # day) must yield NULL, never an ANSI DIVIDE_BY_ZERO
+    den = F.nullif(n * sxx - sx * sx, F.lit(0.0))
     slope = num / den
+    r2_den = F.nullif(
+        (n * sxx - sx * sx)
+        * (n * F.col("syy") - F.col("sy") * F.col("sy")),
+        F.lit(0.0),
+    )
     return sums.select(
         "event_type",
         "n",
         slope.alias("slope"),
         ((F.col("sy") - slope * sx) / n).alias("intercept"),
-        ((num * num) / (den * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
-        .alias("r_squared"),
+        ((num * num) / r2_den).alias("r_squared"),
     )

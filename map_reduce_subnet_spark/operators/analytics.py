@@ -131,7 +131,10 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr",
     oracle="""
 SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 9) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice)
+             / NULLIF(stddev_samp(l_quantity)
+                      * stddev_samp(l_extendedprice), 0.0), 9)
+           AS qty_price_corr,
        ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
 FROM lineitem
 GROUP BY l_returnflag
@@ -139,12 +142,22 @@ GROUP BY l_returnflag
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / covariance per group. Engines agree to ~1 ulp
-    (same co-moment recurrence); rounded well inside that."""
+    (same co-moment recurrences); rounded well inside that.
+
+    Correlation is spelled covar_samp / NULLIF(σx·σy, 0) — the SAME
+    explicit program on both engines — instead of the corr()
+    built-in: under ANSI mode Spark's corr throws DIVIDE_BY_ZERO on a
+    zero-variance group (constant-corpus differential catch, late
+    r9) where DuckDB's returns NULL. The explicit form gives the
+    NULL convention on both engines (invariant #10); n=1 groups are
+    NULL on both already (sample statistics of one row)."""
     li = load_table(spark, sf_dir, "lineitem")
+    corr = F.covar_samp("l_quantity", "l_extendedprice") / F.nullif(
+        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+        F.lit(0.0),
+    )
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias(
-            "qty_price_corr"
-        ),
+        F.round(corr, 9).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
             "qty_price_covar"
         ),

@@ -313,15 +313,16 @@ WITH stats AS (
                        - CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
                          * CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE))
-                      / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6) AS sd_v
+                      / NULLIF(CAST(COUNT(*) AS DOUBLE) - 1.0, 0.0)), 6)
+               AS sd_v
     FROM events
     GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
-       (e.value - s.mean_v) / s.sd_v AS z
+       (e.value - s.mean_v) / NULLIF(s.sd_v, 0.0) AS z
 FROM events e
 JOIN stats s ON e.event_type = s.event_type
-WHERE ABS((e.value - s.mean_v) / s.sd_v) > 2.5
+WHERE ABS((e.value - s.mean_v) / NULLIF(s.sd_v, 0.0)) > 2.5
 """,
 )
 def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,13 +347,23 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum((F.col("value") * F.col("value")).cast(SUM_DECIMAL)).cast(
         "double"
     )
+    # NULLIF twice (invariant #10, constant-corpus catch): an n=1
+    # type has no sample sd (n-1 == 0) and a constant type has
+    # sd == 0 — both make z undefined, so the row filters out as
+    # not-an-outlier on BOTH engines instead of ANSI-aborting Spark
     stats = ev.groupBy("event_type").agg(
         F.round(sx / n, 6).alias("mean_v"),
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 6).alias(
-            "sd_v"
-        ),
+        F.round(
+            F.sqrt(
+                (sxx - sx * sx / n)
+                / F.nullif(n - F.lit(1.0), F.lit(0.0))
+            ),
+            6,
+        ).alias("sd_v"),
     )
-    z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
+    z = (F.col("value") - F.col("mean_v")) / F.nullif(
+        F.col("sd_v"), F.lit(0.0)
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where(F.abs(z) > F.lit(2.5))

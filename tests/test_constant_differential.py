@@ -1,0 +1,95 @@
+"""Constant-corpus differential: zero variance as the common case.
+
+Companion to the tie-stress corpus (ties collapse ORDER; constants
+collapse VARIANCE). Every measure column is flattened — events.value
+5.0 everywhere (one NULL kept), one quantity/price/discount/tax for
+all lineitems, one o_totalprice, identical duplicate documents,
+identical embedding vectors off the probe ids — so every
+variance/stddev/correlation denominator in the registry is exactly
+zero somewhere. Under ANSI mode Spark ABORTS the whole query on the
+first zero divide while DuckDB returns NULL, so an unguarded
+closed-form ratio passes every fixture sweep and kills the job on
+the first constant group at 100 TB (NOTES invariant #10).
+
+First run caught three live crashes — agg_corr (the corr() built-in
+itself ANSI-throws on constant x), agg_skew_kurtosis (m2 == 0),
+window_zscore_anomaly (sd == 0) — on top of agg_trend_ols from the
+tie corpus. All fixed with both-engine NULLIF guards; this module
+keeps the whole registry pinned on constant data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import assert_frames_match
+from tests.test_micro_differential import _micro_tables
+from tests.test_perturbed_differential import (
+    PERTURBED_KEYS,
+    PERTURBED_ONLY_KEYS,
+)
+
+CONSTANT_KEYS = sorted(set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS))
+
+
+def _constant_tables():
+    tables = _micro_tables()
+    ev = tables["events"].copy()
+    ev["value"] = 5.0          # zero variance everywhere
+    ev.loc[5, "value"] = None  # keep the NULL bait
+    tables["events"] = ev
+    li = tables["lineitem"].copy()
+    li["l_quantity"] = 10.0
+    li["l_extendedprice"] = 100.0
+    li["l_discount"] = 0.05
+    li["l_tax"] = 0.04
+    tables["lineitem"] = li
+    od = tables["orders"].copy()
+    od["o_totalprice"] = 500.0
+    tables["orders"] = od
+    docs = tables["documents"].copy()
+    for _ in range(3):  # identical docs on top of the existing dups
+        docs.loc[len(docs)] = [
+            int(docs["doc_id"].max()) + 1,
+            docs.loc[7, "text"], docs.loc[7, "lang"],
+            docs.loc[7, "source"], docs.loc[7, "n_chars"],
+        ]
+    tables["documents"] = docs
+    emb = tables["embeddings"].copy()
+    for vid in (50, 51, 52):  # identical vectors, off the probe ids
+        emb.loc[emb["vec_id"] == vid, "embedding"] = emb.loc[
+            emb["vec_id"] == 30, "embedding"
+        ].values
+    tables["embeddings"] = emb
+    return tables
+
+
+@pytest.fixture(scope="module")
+def constant_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("constant_fixture")
+    for name, df in _constant_tables().items():
+        df.to_parquet(dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def cddb(constant_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in _constant_tables():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{constant_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", CONSTANT_KEYS)
+def test_constant_corpus_differential(spark, constant_dir, cddb, key):
+    got = QUERIES[key](spark, constant_dir).toPandas()
+    want = cddb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"constant:{key}")

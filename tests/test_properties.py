@@ -522,3 +522,48 @@ def test_trend_ols_matches_numpy_polyfit(spark):
             1.0, abs(intercept)
         )
         assert abs(row["r_squared"] - r * r) <= 1e-6
+
+
+def test_trend_ols_degenerate_group_is_null(spark, tmp_path):
+    """Tie-corpus catch (late r9): a group whose rows all share one
+    day has zero x-variance — slope is undefined and must come back
+    NULL (the REGR_SLOPE convention), never an ANSI DIVIDE_BY_ZERO
+    abort. A same-day group is a certainty somewhere in 100 TB. The
+    healthy group in the same table must still fit exactly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    # degenerate: 5 'error' events inside one day (distinct times)
+    for i in range(5):
+        rows.append(("error", base + pd.Timedelta(minutes=7 * i), 10.0 + i))
+    # healthy: 4 'view' events across 4 days, exact line y = 2x + 1
+    for d in range(4):
+        rows.append(("view", base + pd.Timedelta(days=d, hours=3), 1.0 + 2.0 * ((base + pd.Timedelta(days=d)).value // 86400000000000 + 0)))
+    ev = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
+    ev["event_id"] = np.arange(len(ev), dtype=np.int64)
+    ev["user_id"] = np.int64(1)
+    ev["props"] = "{}"
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    d = tmp_path / "fx"
+    d.mkdir()
+    ev[["event_id", "ts", "user_id", "event_type", "value", "props"]].to_parquet(
+        d / "events.parquet"
+    )
+    got = (
+        QUERIES["agg_trend_ols"](spark, str(d))
+        .toPandas()
+        .set_index("event_type")
+    )
+    err = got.loc["error"]
+    assert err["n"] == 5
+    assert pd.isna(err["slope"]) and pd.isna(err["intercept"]) and pd.isna(
+        err["r_squared"]
+    ), f"degenerate group must be NULL, got {err.to_dict()}"
+    view = got.loc["view"]
+    assert view["n"] == 4
+    assert abs(view["slope"] - 2.0) < 1e-9
+    assert abs(view["r_squared"] - 1.0) < 1e-9

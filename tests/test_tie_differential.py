@@ -1,0 +1,112 @@
+"""Tie-stress differential: determinism when sort keys collide.
+
+NOTES invariant #4 ("any keyed-dedup survivor choice: sort key must
+cover every output column") was learned the hard way at sf0.01. The
+fixtures and the other differential corpora still have nearly-unique
+timestamps and few composite-key collisions, so a query whose window
+ORDER BY, survivor pick, or sequence logic is under-determined on
+ties can pass every existing sweep and diverge only on real data at
+scale — 100 TB of events WILL carry thousands of rows per (user, ts).
+
+This corpus makes ties the common case instead of the edge case:
+
+* events draw ts from a pool of 40 values (400 rows → ~10 per
+  instant, repeated (user_id, ts) pairs throughout), spaced 77 s +
+  137 ms apart — off the minute grid, never exactly a session gap or
+  gap+delay apart, so every streaming-oracle precondition still holds
+  (77 does not divide 1800 or 3600).
+* the funnel chain (user 99's view → click → purchase) is packed
+  into two instants, with view and click SIMULTANEOUS — whichever
+  engine treats step ordering as strict-< vs <= on equal timestamps
+  diverges here.
+* lineitem draws l_linenumber from {1, 2} so duplicate
+  (l_orderkey, l_linenumber) pairs — the invariant #4 trigger — are
+  guaranteed, and quantities collide so top-k/rank ties abound.
+* o_totalprice collides across orders (two distinct prices) for
+  rank/ntile/percentile ties.
+
+Everything else (documents, embeddings, dims) is inherited from the
+adversarial micro corpus, so the text/dedup/ANN families run on their
+usual hazards while the relational/streaming families face the ties.
+One parametrized assert per key, same comparator as the driver gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import assert_frames_match
+from tests.test_micro_differential import _micro_tables
+from tests.test_perturbed_differential import (
+    PERTURBED_KEYS,
+    PERTURBED_ONLY_KEYS,
+)
+
+SEED = 424242
+TIE_KEYS = sorted(set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS))
+
+
+def _tie_tables():
+    rng = np.random.RandomState(SEED)
+    tables = _micro_tables()
+
+    ev = tables["events"].copy()
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    pool = base + pd.to_timedelta(
+        np.arange(40) * 77_000 + 137, unit="ms"
+    )
+    ev["ts"] = pool[rng.randint(0, len(pool), len(ev))].values.astype(
+        "datetime64[us]"
+    )
+    # funnel chain packed into two instants: view and click
+    # SIMULTANEOUS, purchase one pool step later — strict-< vs <=
+    # disagreement on step ordering diverges here
+    ev.loc[ev.index[10], "ts"] = pool[5]
+    ev.loc[ev.index[11], "ts"] = pool[5]
+    ev.loc[ev.index[12], "ts"] = pool[6]
+    tables["events"] = ev
+
+    li = tables["lineitem"].copy()
+    li["l_linenumber"] = rng.randint(1, 3, len(li)).astype(np.int32)
+    li["l_quantity"] = rng.choice([7.0, 21.0, 35.0], len(li))
+    tables["lineitem"] = li
+
+    od = tables["orders"].copy()
+    od["o_totalprice"] = np.where(
+        np.arange(len(od)) % 2 == 0, 5000.25, 91000.75
+    )
+    tables["orders"] = od
+    return tables
+
+
+@pytest.fixture(scope="module")
+def tie_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("tie_fixture")
+    for name, df in _tie_tables().items():
+        df.to_parquet(dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def tddb(tie_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in _tie_tables():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{tie_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", TIE_KEYS)
+def test_tie_corpus_differential(spark, tie_dir, tddb, key):
+    got = QUERIES[key](spark, tie_dir).toPandas()
+    want = tddb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"ties:{key}")
