@@ -40,12 +40,13 @@ _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE (VERDICT r8 #2), r9 edition ---
     # With a 207+ key registry and a 50-slot cap, the backlog of
     # aging hash-green rows clears on a two-round schedule:
-    #   r9  = new/changed keys + the r4 cohort (23 of 26; see below);
-    #   r10 = new/changed keys + the five r4 keys displaced late-r9
+    #   r9  = new/changed keys + the r4 cohort (21 of 26; see below);
+    #   r10 = new/changed keys + the seven r4 keys displaced late-r9
     #         (limit_topk, date_parts — agg_ema/multimodal_features
     #         slots; setop_dedup, setop_except, setop_intersect —
-    #         the ANSI zero-variance fix slots) + the FULL 38-key
-    #         r5 cohort
+    #         the ANSI zero-variance fix slots; setop_union_all,
+    #         sort_multi_key — the NULL-key fix slots) + the FULL
+    #         38-key r5 cohort
     #         (agg_mode_deterministic, filter_compound,
     #         filter_null_semantics, join_asof, join_asof_binned,
     #         join_broadcast,
@@ -115,6 +116,18 @@ _SWEEP_PRIORITY = [
     # from the r4 cohort to r10 (exceptions three to five; each of the
     # three displaced keys was locally re-verified 4 ways this round:
     # perturbed, micro, tie, partition-invariance).
+    # SECOND late-r9 batch (NULL-KEY corpus catches): changes() now
+    # uses presence markers + eqNullSafe (a NULL-key row present in
+    # both snapshots was emitted as TWO inserts, double-counting the
+    # NULL bucket downstream); both MV bucket merges made null-safe;
+    # table_changefeed and udtf_cogrouped_map oracles moved to
+    # IS NOT DISTINCT FROM. mv_incremental_refresh and
+    # stream_mv_refresh_true already hold slots above; table_changefeed
+    # and udtf_cogrouped_map take the two slots freed by displacing
+    # setop_union_all and sort_multi_key to r10 (exceptions six and
+    # seven — both displaced keys 5-way locally verified this round).
+    "table_changefeed",
+    "udtf_cogrouped_map",
     "agg_corr",
     "agg_skew_kurtosis",
     "window_zscore_anomaly",
@@ -136,8 +149,6 @@ _SWEEP_PRIORITY = [
     "math_funcs",
     "scan_full",
     "scan_prune_columns",
-    "setop_union_all",
-    "sort_multi_key",
     "str_hash",
     "str_regex",
     "str_split_explode",

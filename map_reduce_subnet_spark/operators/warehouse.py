@@ -128,9 +128,11 @@ WITH keys AS (
     SELECT user_id AS key_id FROM events
 )
 SELECT key_id,
-       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = keys.key_id)
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT DISTINCT FROM keys.key_id)
            AS n_orders,
-       (SELECT COUNT(*) FROM events e WHERE e.user_id = keys.key_id)
+       (SELECT COUNT(*) FROM events e
+        WHERE e.user_id IS NOT DISTINCT FROM keys.key_id)
            AS n_events
 FROM keys
 """,
@@ -403,7 +405,8 @@ WITH newest AS (
            ) AS rn
     FROM events
 ), new_state AS (
-    SELECT user_id, value, ts_us, event_id FROM newest WHERE rn = 1
+    SELECT user_id, value, ts_us, event_id, TRUE AS present
+    FROM newest WHERE rn = 1
 ), oldest AS (
     SELECT user_id, value, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
            event_id,
@@ -412,18 +415,22 @@ WITH newest AS (
            ) AS rn
     FROM events WHERE event_id % 3 = 0
 ), old_state AS (
-    SELECT user_id, value, ts_us, event_id FROM oldest WHERE rn = 1
+    SELECT user_id, value, ts_us, event_id, TRUE AS present
+    FROM oldest WHERE rn = 1
 ), classified AS (
+    -- null-safe join + presence markers, mirroring changes(): a
+    -- genuinely-NULL key is one key, not two absent sides
     SELECT COALESCE(n.user_id, o.user_id) AS user_id,
            n.value AS value, n.ts_us AS ts_us, n.event_id AS event_id,
-           CASE WHEN o.user_id IS NULL THEN 'insert'
-                WHEN n.user_id IS NULL THEN 'delete'
+           CASE WHEN o.present IS NULL THEN 'insert'
+                WHEN n.present IS NULL THEN 'delete'
                 WHEN (n.value IS DISTINCT FROM o.value)
                   OR (n.ts_us IS DISTINCT FROM o.ts_us)
                   OR (n.event_id IS DISTINCT FROM o.event_id)
                 THEN 'update'
            END AS _change_type
-    FROM old_state o FULL OUTER JOIN new_state n ON o.user_id = n.user_id
+    FROM old_state o FULL OUTER JOIN new_state n
+      ON o.user_id IS NOT DISTINCT FROM n.user_id
 )
 SELECT user_id, value, ts_us, event_id, _change_type
 FROM classified WHERE _change_type IS NOT NULL
@@ -576,10 +583,23 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket")
             .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
         )
+        # eqNullSafe, not a bare equi-join (NULL-corpus differential
+        # catch, late r9): a NULL user_id yields a NULL bucket, and a
+        # plain full-outer join never matches NULL == NULL — the MV
+        # would carry TWO rows for the NULL bucket (stale + delta)
+        # where the full recompute's GROUP BY has one. Lakehouse
+        # MERGE semantics are null-safe on the key for this reason.
         mv3 = (
-            mv1.join(delta, "bucket", "full_outer")
+            mv1.alias("m")
+            .join(
+                delta.alias("d"),
+                F.col("m.bucket").eqNullSafe(F.col("d.bucket")),
+                "full_outer",
+            )
             .select(
-                "bucket",
+                F.coalesce(F.col("m.bucket"), F.col("d.bucket")).alias(
+                    "bucket"
+                ),
                 (
                     F.coalesce("n1", F.lit(0)) + F.coalesce("dn", F.lit(0))
                 ).alias("n_users"),

@@ -267,19 +267,27 @@ class VersionedTable:
         old = self.read(spark, v_from)
         new = self.read(spark, v_to)
         value_cols = [c for c in new.columns if c not in key_cols]
+        # Presence MARKERS, not key-nullness (NULL-corpus catch, late
+        # r9): a genuinely-NULL key made both sides look absent, so a
+        # NULL-key row present in both versions was emitted as TWO
+        # inserts. The literal marker is non-null iff the side's row
+        # exists after the outer join; the join itself must be
+        # null-safe for the same reason (NULL == NULL never matches).
         o = old.select(
-            *[F.col(c).alias(f"__o_{c}") for c in old.columns]
+            *[F.col(c).alias(f"__o_{c}") for c in old.columns],
+            F.lit(True).alias("__o_present"),
         )
         n = new.select(
-            *[F.col(c).alias(f"__n_{c}") for c in new.columns]
+            *[F.col(c).alias(f"__n_{c}") for c in new.columns],
+            F.lit(True).alias("__n_present"),
         )
         cond: Column | None = None
         for k in key_cols:
-            eq = o[f"__o_{k}"] == n[f"__n_{k}"]
+            eq = o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"])
             cond = eq if cond is None else (cond & eq)
         joined = o.join(n, cond, "full_outer")
-        new_key_null = F.col(f"__n_{key_cols[0]}").isNull()
-        old_key_null = F.col(f"__o_{key_cols[0]}").isNull()
+        new_key_null = F.col("__n_present").isNull()
+        old_key_null = F.col("__o_present").isNull()
         # Struct equality is null-safe per field in Spark and DuckDB
         # alike via the <=> / IS NOT DISTINCT FROM composition below.
         changed = F.lit(False)

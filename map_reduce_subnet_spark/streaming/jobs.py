@@ -1265,10 +1265,19 @@ def stream_mv_refresh_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ss = batch_df.sparkSession
         mv = ss.read.schema(mv_schema).parquet(state["dir"])
+        # eqNullSafe like the batch MV (warehouse.py): a NULL bucket
+        # must MERGE across batches, not duplicate per feed
         rolled = (
-            mv.join(delta, "bucket", "full_outer")
+            mv.alias("m")
+            .join(
+                delta.alias("d"),
+                F.col("m.bucket").eqNullSafe(F.col("d.bucket")),
+                "full_outer",
+            )
             .select(
-                "bucket",
+                F.coalesce(F.col("m.bucket"), F.col("d.bucket")).alias(
+                    "bucket"
+                ),
                 (
                     F.coalesce("n_users", F.lit(0))
                     + F.coalesce("dn", F.lit(0))

@@ -1,0 +1,84 @@
+"""NULL-KEY differential: NULLs in join/group/window/state KEYS.
+
+The micro corpus bates NULL values; this corpus puts NULLs in the
+KEYS — events.user_id (the grouping, windowing, cogrouping, CDC and
+streaming-state key), events.event_type, documents.lang/source,
+lineitem.l_discount. NULL keys are everyday reality in a 100 TB
+corpus, and they sit exactly on the seam where SQL semantics fork:
+GROUP BY treats NULL as one group, equi-joins match nothing, and
+IS NOT DISTINCT FROM matches null-safely. Any operator (or oracle)
+that mixes these conventions diverges only here.
+
+First run caught three live divergences, one of them a genuine
+data-corruption bug in shared infrastructure: VersionedTable.changes()
+detected side-presence via key-nullness after a non-null-safe
+full-outer join, so a NULL-key row present in BOTH snapshots came
+back as TWO inserts — the incremental MV then double-counted the
+NULL bucket (mv_incremental_refresh, stream_mv_refresh_true), and the
+MV merge join itself dropped NULL-bucket matching. Fixed with literal
+presence markers + eqNullSafe in changes(), null-safe bucket merges
+in both MV consumers, and IS NOT DISTINCT FROM in the
+table_changefeed / udtf_cogrouped_map oracles (cogroup semantics are
+GROUP BY semantics: a NULL key is one group with its rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import assert_frames_match
+from tests.test_micro_differential import _micro_tables
+from tests.test_perturbed_differential import (
+    PERTURBED_KEYS,
+    PERTURBED_ONLY_KEYS,
+)
+
+NULLKEY_KEYS = sorted(set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS))
+
+
+def _nullkey_tables():
+    tables = _micro_tables()
+    ev = tables["events"].copy()
+    ev["user_id"] = ev["user_id"].astype("Int64")
+    ev.loc[ev.index[20:26], "user_id"] = pd.NA   # NULL group/join/state key
+    ev.loc[ev.index[30:33], "event_type"] = None  # NULL group key
+    tables["events"] = ev
+    docs = tables["documents"].copy()
+    docs.loc[docs.index[3], "lang"] = None
+    docs.loc[docs.index[8], "source"] = None
+    tables["documents"] = docs
+    li = tables["lineitem"].copy()
+    li.loc[li.index[5:8], "l_discount"] = None
+    tables["lineitem"] = li
+    return tables
+
+
+@pytest.fixture(scope="module")
+def nullkey_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("nullkey_fixture")
+    for name, df in _nullkey_tables().items():
+        df.to_parquet(dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def nddb(nullkey_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in _nullkey_tables():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{nullkey_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", NULLKEY_KEYS)
+def test_null_key_corpus_differential(spark, nullkey_dir, nddb, key):
+    got = QUERIES[key](spark, nullkey_dir).toPandas()
+    want = nddb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"nullkey:{key}")
