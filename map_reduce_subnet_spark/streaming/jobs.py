@@ -708,6 +708,48 @@ def stream_stateful_topk_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, spark, output_mode="update")
 
 
+def upsert_latest_merge(old: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+    """The per-batch latest-wins MERGE used by stream_upsert_foreachbatch,
+    module-level so its foreachBatch REPLAY idempotency is directly
+    testable (VERDICT r9 #4): foreachBatch can redeliver a batch id
+    after a failure, and exactly-once state requires
+    merge(merge(S, B), B) == merge(S, B).
+
+    That holds here by algebra — the winner per user is the max
+    (last_ts_us, last_event_id) row, and re-offering rows already in
+    the state cannot change an argmax; the tie the replay creates
+    (identical winner row on both sides) carries identical values in
+    every column, so whichever copy row_number keeps, the RESULT is
+    identical. tests/test_streaming.py pins this mechanically.
+
+    Both inputs are one-row-per-user after their own ranking passes, so
+    the merge shuffles |users| rows, never event volume; NULL user_id
+    is one group under the window partitioning (NOTES invariant #11 —
+    no join is involved, so no null-key hazard)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts_us"), F.desc("last_event_id")
+    )
+    delta = (
+        batch_df.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    if old is not None:
+        delta = (
+            old.unionByName(delta)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+    return delta
+
+
 @query(
     "stream_upsert_foreachbatch",
     oracle="""
@@ -777,33 +819,18 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = {"dir": None, "version": 0}
 
     def upsert_batch(batch_df, batch_id):
-        # driver-side merge logic (foreachBatch runs on the driver;
-        # the plans inside still execute distributed)
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc("last_ts_us"), F.desc("last_event_id")
+        # foreachBatch runs on the driver; the merge plan inside still
+        # executes distributed. The merge itself is the module-level
+        # upsert_latest_merge (replay-idempotent — see its docstring).
+        old = (
+            batch_df.sparkSession.read.parquet(state["dir"])
+            if state["dir"] is not None
+            else None
         )
-        delta = (
-            batch_df.select(
-                "user_id",
-                F.unix_micros(F.col("ts")).alias("last_ts_us"),
-                F.col("event_id").alias("last_event_id"),
-                F.col("value").alias("last_value"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if state["dir"] is not None:
-            old = batch_df.sparkSession.read.parquet(state["dir"])
-            delta = (
-                old.unionByName(delta)
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .drop("rn")
-            )
+        merged = upsert_latest_merge(old, batch_df)
         state["version"] += 1
         new_dir = os.path.join(root, f"state_v{state['version']}")
-        delta.write.parquet(new_dir)
+        merged.write.parquet(new_dir)
         state["dir"] = new_dir  # swap AFTER the write completes
 
     try:

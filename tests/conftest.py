@@ -105,3 +105,36 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
                     f"spark: {a[c].head(5).tolist()}\noracle: {b[c].head(5).tolist()}\n"
                     f"n_diff={len(diff)}"
                 )
+
+
+def assert_event_stream_preconditions(ts_us: np.ndarray, users: np.ndarray, label: str):
+    """The streaming-true oracle preconditions (NOTES invariant #9),
+    as a reusable check so differential corpora hold them BY
+    CONSTRUCTION rather than by RNG-seed luck (ADVICE r9 #1): no ts on
+    the 1-minute grid (every window width/slide/delay in
+    streaming/jobs.py is a multiple of 60 s, so off-grid keeps every
+    boundary comparison strict), no consecutive same-user events
+    exactly 30 min apart (session-merge boundary), and no event
+    exactly gap+delay (60 min) before max ts (session-close vs
+    watermark boundary). Mirrors tests/test_fixture_preconditions.py,
+    which applies the same checks to the driver's testdata."""
+    minute_us = 60_000_000
+    gap_us = 30 * minute_us
+    wm_us = 30 * minute_us
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    users = np.asarray(users)
+    on_grid = ts_us % minute_us == 0
+    assert not on_grid.any(), (
+        f"{label}: {int(on_grid.sum())} event ts on the 1-minute grid"
+    )
+    order = np.lexsort((ts_us, users))
+    su, st = users[order], ts_us[order]
+    same_user = su[1:] == su[:-1]
+    gap_exact = same_user & (st[1:] - st[:-1] == gap_us)
+    assert not gap_exact.any(), (
+        f"{label}: consecutive same-user events exactly 30 m apart"
+    )
+    close_exact = (ts_us.max() - ts_us) == (gap_us + wm_us)
+    assert not close_exact.any(), (
+        f"{label}: an event sits exactly gap+delay before max ts"
+    )

@@ -629,3 +629,95 @@ def test_versioned_table_occ_under_thread_contention(spark, tmp_path):
     t.vacuum(orphan_grace_seconds=0)
     for v, n_rows in claimed:
         assert t.read(spark, v).count() == n_rows
+
+
+def test_vacuum_races_live_writers_under_default_grace(spark, tmp_path):
+    """VERDICT r9 #6 — the second axis of the vacuum race. The staged
+    test above (test_versioned_table_vacuum_vs_inflight_commit) fixes
+    the interleaving by hand; here the SCHEDULER picks it, like the
+    4-writer OCC test: three writer threads race commits while a
+    vacuum thread loops ``vacuum()`` under the DEFAULT grace window
+    the whole time. Every commit's data directory spends a real window
+    existing-but-unreferenced (parquet write done, O_EXCL log create
+    pending) — the exact state vacuum classifies as potential debris —
+    so if the mtime grace guard mis-fired under genuine concurrency,
+    some winner's directory would be deleted between its write and its
+    log create and the read-back below would find a committed version
+    with no data. Afterwards: gap-free history, every version reads
+    back its winner's rows, the racing vacuums collected NOTHING
+    (nothing was older than the grace window), and a final zero-grace
+    vacuum collects only loser orphans without disturbing any
+    committed version."""
+    import threading
+
+    from map_reduce_subnet_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    root = str(tmp_path / "vt_vacuum_race")
+    n_threads, n_commits = 3, 3
+    claimed: list[tuple[int, int]] = []
+    lock = threading.Lock()
+    errors: list[BaseException] = []
+    writers_done = threading.Event()
+    vacuum_stats: list[dict] = []
+
+    def writer(tid: int) -> None:
+        t = VersionedTable(root)
+        try:
+            for seq in range(n_commits):
+                n_rows = 10 + tid * n_commits + seq
+                df = spark.range(n_rows).withColumnRenamed("id", "x")
+                for _ in range(200):
+                    try:
+                        v = t.commit(df)
+                        break
+                    except ConcurrentWriteError:
+                        continue
+                else:
+                    raise AssertionError(f"writer {tid} starved at seq {seq}")
+                with lock:
+                    claimed.append((v, n_rows))
+        except BaseException as e:
+            errors.append(e)
+
+    def vacuumer() -> None:
+        t = VersionedTable(root)
+        try:
+            while not writers_done.is_set():
+                vacuum_stats.append(t.vacuum())  # default grace window
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(tid,), daemon=True)
+        for tid in range(n_threads)
+    ]
+    vt = threading.Thread(target=vacuumer, daemon=True)
+    for th in threads:
+        th.start()
+    vt.start()
+    for th in threads:
+        th.join(timeout=300)
+    writers_done.set()
+    vt.join(timeout=300)
+    assert not errors, f"racing thread failed: {errors[0]!r}"
+
+    total = n_threads * n_commits
+    t = VersionedTable(root)
+    assert t.versions() == list(range(1, total + 1))
+    assert sorted(v for v, _ in claimed) == list(range(1, total + 1))
+    # the vacuum thread really ran against live writers, and the grace
+    # window kept it from touching anything young
+    assert vacuum_stats, "vacuum thread never completed a pass"
+    assert sum(s["orphans_removed"] for s in vacuum_stats) == 0, (
+        "a default-grace vacuum collected a young directory while "
+        "writers were live"
+    )
+    for v, n_rows in claimed:
+        assert t.read(spark, v).count() == n_rows, f"version {v} corrupted"
+    # final zero-grace pass: losers' orphans go, committed data stays
+    t.vacuum(orphan_grace_seconds=0)
+    for v, n_rows in claimed:
+        assert t.read(spark, v).count() == n_rows

@@ -35,7 +35,10 @@ import pandas as pd
 import pytest
 
 from map_reduce_subnet_spark.operators import ORACLES, QUERIES
-from tests.conftest import assert_frames_match
+from tests.conftest import (
+    assert_event_stream_preconditions,
+    assert_frames_match,
+)
 from tests.test_perturbed_differential import (
     PERTURBED_KEYS,
     PERTURBED_ONLY_KEYS,
@@ -110,6 +113,16 @@ def _micro_tables() -> dict[str, pd.DataFrame]:
     events.loc[10, ["user_id", "event_type"]] = [99, "view"]
     events.loc[11, ["user_id", "event_type"]] = [99, "click"]
     events.loc[12, ["user_id", "event_type"]] = [99, "purchase"]
+    # The +137 ms offset only keeps ts off the minute grid; same-user
+    # events at second granularity could still land exactly 30 min
+    # apart (or exactly gap+delay before max ts) under another seed.
+    # Assert the full streaming-oracle precondition set here so the
+    # guarantee is by construction, not seed luck (ADVICE r9 #1).
+    assert_event_stream_preconditions(
+        events["ts"].astype("int64").to_numpy(),
+        events["user_id"].to_numpy(),
+        "micro corpus",
+    )
 
     # 70 vectors: covers the ANN probe ids (0, 42) and the vec_id<8
     # IVF centroid seeds; the zero vector (NaN cosine bait) sits at a

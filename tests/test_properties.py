@@ -541,8 +541,14 @@ def test_trend_ols_degenerate_group_is_null(spark, tmp_path):
     for i in range(5):
         rows.append(("error", base + pd.Timedelta(minutes=7 * i), 10.0 + i))
     # healthy: 4 'view' events across 4 days, exact line y = 2x + 1
+    # where x is the query's day bucket: epoch_us // 86400000000, i.e.
+    # whole days since the epoch (ns value // 86_400e9 gives the same
+    # integer) — keep this in sync with agg_trend_ols's x-axis.
     for d in range(4):
-        rows.append(("view", base + pd.Timedelta(days=d, hours=3), 1.0 + 2.0 * ((base + pd.Timedelta(days=d)).value // 86400000000000 + 0)))
+        epoch_day = (base + pd.Timedelta(days=d)).value // 86_400_000_000_000
+        rows.append(
+            ("view", base + pd.Timedelta(days=d, hours=3), 1.0 + 2.0 * epoch_day)
+        )
     ev = pd.DataFrame(rows, columns=["event_type", "ts", "value"])
     ev["event_id"] = np.arange(len(ev), dtype=np.int64)
     ev["user_id"] = np.int64(1)

@@ -521,3 +521,74 @@ def test_stateful_ema_recovers_across_restart(spark, tmp_path):
     assert len(merged) == len(batch) == len(final)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["ema_s"] - merged["ema_b"]).abs().max() < 1e-6
+
+
+def test_upsert_merge_replay_idempotent(spark):
+    """foreachBatch REPLAY discipline (VERDICT r9 #4): after a failure
+    Spark redelivers the same batch id, so the upsert sink's per-batch
+    merge must satisfy merge(merge(S, B), B) == merge(S, B) — the one
+    exactly-once claim in the streaming family that was argued by
+    algebra but never mechanically tested. Exercises the module-level
+    upsert_latest_merge on a batch with in-batch ties (two events at
+    one (user, ts) instant), a NULL user_id (one group, invariant
+    #11), and a user present in prior state that the replayed batch
+    must NOT regress."""
+    import pandas as pd
+
+    from map_reduce_subnet_spark.streaming.jobs import upsert_latest_merge
+
+    ts = pd.Timestamp("2024-01-01 00:00:00.000137")
+
+    def us(seconds):
+        return (ts + pd.Timedelta(seconds=seconds)).isoformat()
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": pd.array([1, 2, 3, 4, 5], dtype="int64"),
+                "ts": pd.to_datetime(
+                    [us(0), us(10), us(10), us(20), us(30)]
+                ),
+                "user_id": pd.array([7, 7, 7, 8, None], dtype="Int64"),
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+    )
+    # prior state: user 8 already holds a LATER row than the batch's,
+    # user 9 is untouched by the batch
+    prior = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": pd.array([8, 9], dtype="Int64"),
+                "last_ts_us": pd.array(
+                    [1_900_000_000_000_000, 1_700_000_000_000_000],
+                    dtype="int64",
+                ),
+                "last_event_id": pd.array([99, 98], dtype="int64"),
+                "last_value": [42.0, 41.0],
+            }
+        )
+    )
+
+    once = upsert_latest_merge(prior, batch).toPandas()
+    twice = upsert_latest_merge(
+        upsert_latest_merge(prior, batch)
+        .localCheckpoint(eager=True),  # materialized, like the parquet state table
+        batch,
+    ).toPandas()
+
+    def norm(df):
+        return (
+            df.sort_values("user_id", na_position="first")
+            .reset_index(drop=True)
+        )
+
+    once, twice = norm(once), norm(twice)
+    pd.testing.assert_frame_equal(once, twice)
+    # and the merge itself picked the right winners
+    by_user = once.set_index("user_id")
+    assert by_user.loc[7, "last_event_id"] == 3  # tie on ts -> max event_id
+    assert by_user.loc[8, "last_event_id"] == 99  # prior state wins
+    assert by_user.loc[9, "last_event_id"] == 98  # untouched carries over
+    null_rows = once[once["user_id"].isna()]
+    assert len(null_rows) == 1 and null_rows["last_event_id"].iloc[0] == 5

@@ -37,7 +37,10 @@ import numpy as np
 import pytest
 
 from map_reduce_subnet_spark.operators import ORACLES, QUERIES
-from tests.conftest import assert_frames_match
+from tests.conftest import (
+    assert_event_stream_preconditions,
+    assert_frames_match,
+)
 from tests.test_micro_differential import _micro_tables
 from tests.test_perturbed_differential import (
     PERTURBED_KEYS,
@@ -68,6 +71,14 @@ def _tie_tables():
     ev.loc[ev.index[10], "ts"] = pool[5]
     ev.loc[ev.index[11], "ts"] = pool[5]
     ev.loc[ev.index[12], "ts"] = pool[6]
+    # "77 s does not divide the boundaries" is argued in the module
+    # docstring; make it mechanical so a pool-spacing edit cannot
+    # silently break a streaming-oracle precondition (ADVICE r9 #1)
+    assert_event_stream_preconditions(
+        ev["ts"].astype("int64").to_numpy(),
+        ev["user_id"].to_numpy(),
+        "tie corpus",
+    )
     tables["events"] = ev
 
     li = tables["lineitem"].copy()
