@@ -1,21 +1,33 @@
-"""Unicode differential: the text/dedup/sampling families on a corpus
-full of non-ASCII hazards.
+"""Unicode differential: the FULL registry on a corpus of non-ASCII
+hazards.
 
 Every fixture and every other differential corpus is ASCII by
 construction — an explicit precondition, but only the MULTIMODAL
 char-wise regenerating oracles actually need it (byte == char). A real
-100 TB corpus is not ASCII, so the text-processing surface itself must
-be unicode-clean: shingling, fingerprints, token counts, BPE, LM
-scoring, language ID, quality filters, dedup and sampling must all
-agree with the DuckDB oracle when documents carry precomposed vs
-combining accents, CJK, emoji with ZWJ joiners, RTL script,
-astral-plane codepoints (surrogate pairs in UTF-16 land) and NBSP
-whitespace. This module extends the adversarial micro corpus with ten
-such documents and re-runs the whole family differentially — same
-comparator as the driver gate.
+100 TB corpus is not ASCII, so the whole engine surface must be
+unicode-clean: shingling, fingerprints, token counts, BPE, LM scoring,
+language ID, quality filters, dedup, sampling AND the multimodal byte
+pipelines must all agree with the DuckDB oracle when documents carry
+precomposed vs combining accents, CJK, emoji with ZWJ joiners, RTL
+script, astral-plane codepoints (surrogate pairs in UTF-16 land) and
+NBSP whitespace. This module extends the adversarial micro corpus with
+ten such documents and re-runs ALL registered keys differentially —
+same comparator as the driver gate.
 
-Excluded: the multimodal keys (ASCII is their documented oracle
-precondition) and families that never touch document text.
+Since r10 (VERDICT r9 #7) the multimodal family is INCLUDED: the three
+text-byte-dependent keys (multimodal_features, multimodal_frame_sample,
+multimodal_scene_cut — their Spark side reads encode(text, 'utf-8')
+bytes) run against BYTE-LENGTH-AWARE variant oracles defined here,
+which walk hex(encode(text)) two hex digits at a time instead of the
+registered oracles' char walk (ord(substr(text, i, 1)) — only valid
+when byte == char). The REGISTERED oracles keep the char-wise form —
+they are bit-cheaper, the driver fixtures are ASCII (pinned by
+tests/test_fixture_preconditions.py), and swapping them would burn
+sweep slots for zero driver-visible change; the variants close the
+adversarial-layer gap instead. The rest of the multimodal family
+(decode/resize/ahash/audio/binaryfile) synthesizes payloads from
+doc_id-seeded integer programs, never from text, so the registered
+oracles are already byte-exact there and run unchanged.
 """
 
 from __future__ import annotations
@@ -27,6 +39,10 @@ import pytest
 from map_reduce_subnet_spark.operators import ORACLES, QUERIES
 from tests.conftest import assert_frames_match
 from tests.test_micro_differential import _micro_tables
+from tests.test_perturbed_differential import (
+    PERTURBED_KEYS,
+    PERTURBED_ONLY_KEYS,
+)
 
 UNI_TEXTS = [
     "café déjà vu naïve façade",      # precomposed accents
@@ -41,15 +57,101 @@ UNI_TEXTS = [
     "ZALGO źáĺǵó text",
 ]
 
-UNICODE_KEYS = sorted(
-    k
-    for k in QUERIES
-    if (
-        k.startswith(("text_", "dedup_", "sample_", "quality_"))
-        or k in ("split_leakage_safe", "pipeline_curation_e2e",
-                 "pipeline_sequence_pack", "str_hash")
+UNICODE_KEYS = sorted(set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS))
+
+
+def _hex_byte(hx: str, pos: str) -> str:
+    """DuckDB: the UTF-8 byte at 1-based position ``pos`` of the text
+    whose hex(encode(text)) is column ``hx`` — two hex digits as an
+    int64. The byte-length-aware replacement for ord(substr(text, pos,
+    1)), which reads CODEPOINTS and diverges from the engine's UTF-8
+    payload bytes off ASCII."""
+    return (
+        f"CAST(('0x' || substr({hx}, CAST(({pos}) * 2 - 1 AS INTEGER), 2)) "
+        "AS BIGINT)"
     )
+
+
+# Byte-length-aware variant oracles for the text-byte multimodal keys
+# (same output contract as the registered char-wise oracles; identical
+# results on ASCII corpora, exact on any corpus).
+VARIANT_ORACLES = {
+    "multimodal_features": f"""
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(strlen(text) AS BIGINT) AS nb
+    FROM documents
 )
+SELECT doc_id,
+       nb AS n_bytes,
+       CAST(CASE WHEN nb = 0 THEN 0
+            ELSE COALESCE(list_sum(list_transform(range(1, nb + 1),
+                     i -> {_hex_byte('hx', 'i')})), 0)
+            END % 2147483648 AS BIGINT) AS byte_sum,
+       lower(substr(hx, 1, 8)) AS head_hex
+FROM hexed
+""",
+    "multimodal_frame_sample": f"""
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(strlen(text) AS BIGINT) AS nb
+    FROM documents
+), fr AS (
+    SELECT doc_id, hx, unnest(range(0, nb // 16, 4)) AS i FROM hexed
+)
+SELECT doc_id,
+       i AS frame_idx,
+       CAST(list_sum(list_transform(range(1, 17),
+                j -> {_hex_byte('hx', 'i * 16 + j')})) % 2147483648
+            AS BIGINT) AS frame_sum
+FROM fr
+""",
+    "multimodal_scene_cut": f"""
+WITH base AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(strlen(text) // 16 AS BIGINT) AS n_frames
+    FROM documents
+    WHERE strlen(text) >= 16
+), sigged AS (
+    SELECT doc_id, n_frames,
+           list_transform(range(0, n_frames), i ->
+               list_sum(list_transform(
+                   range(1, 17),
+                   j -> {_hex_byte('hx', 'i * 16 + j')}))) AS sigs
+    FROM base
+), cutted AS (
+    SELECT doc_id, n_frames,
+           list_filter(range(1, n_frames), i ->
+               abs(sigs[i + 1] - sigs[i]) > 64) AS cuts
+    FROM sigged
+)
+SELECT doc_id, n_frames,
+       CAST(len(cuts) AS BIGINT) AS n_cuts,
+       CAST(list_min(cuts) AS BIGINT) AS first_cut_idx,
+       CAST(n_frames AS DOUBLE) / CAST(len(cuts) + 1 AS DOUBLE)
+           AS mean_shot_frames
+FROM cutted
+""",
+}
+
+
+def test_variant_oracles_match_registered_on_ascii():
+    """The byte-aware variants must be the SAME function as the
+    registered char-wise oracles wherever byte == char — otherwise a
+    unicode-sweep pass would certify a different contract than the
+    driver's. Run both forms over an ASCII-only corpus and require
+    identical frames."""
+    import duckdb
+
+    docs = _micro_tables()["documents"]
+    assert all(t.isascii() for t in docs["text"])
+    con = duckdb.connect()
+    con.register("documents", docs)
+    for key, variant in VARIANT_ORACLES.items():
+        a = con.sql(ORACLES[key]).df()
+        b = con.sql(variant).df()
+        assert_frames_match(a, b, f"ascii-equivalence:{key}")
+    con.close()
 
 
 @pytest.fixture(scope="module")
@@ -93,5 +195,5 @@ def uddb(unicode_dir):
 @pytest.mark.parametrize("key", UNICODE_KEYS)
 def test_unicode_corpus_differential(spark, unicode_dir, uddb, key):
     got = QUERIES[key](spark, unicode_dir).toPandas()
-    want = uddb.sql(ORACLES[key]).df()
+    want = uddb.sql(VARIANT_ORACLES.get(key, ORACLES[key])).df()
     assert_frames_match(got, want, f"unicode:{key}")
