@@ -51,7 +51,20 @@ _SWEEP_PRIORITY = [
     # tested (same batch id delivered twice -> identical state); the
     # merge algebra (per-user latest-wins) is unchanged, so values are
     # identical — the slot refreshes an r6-vintage row anyway.
+    # agg_time_decay / agg_trend_ols / privacy_k_anonymize — ORACLE
+    # fixes from the new negative-domain differential corpus (r10):
+    # their day/week buckets were spelled `epoch_us // 86400000000` in
+    # DuckDB, whose BIGINT // TRUNCATES toward zero, while the Spark
+    # side floors — identical on every post-1970 corpus (all driver
+    # rows unchanged), divergent left of 1970. Now the identical
+    # floor(double-division) program on both engines (NOTES invariant
+    # #12). Their slots displace three r6-backfill keys
+    # (agg_percentile, dedup_cluster, dedup_minhash_est — all
+    # unchanged-and-green, pure backfill).
     "stream_upsert_foreachbatch",
+    "agg_time_decay",
+    "agg_trend_ols",
+    "privacy_k_anonymize",
     # (2) the seven r4-vintage keys displaced late-r9 (each 5-way
     # locally verified in r9: perturbed, micro, tie, constant,
     # partition-invariance)
@@ -106,9 +119,6 @@ _SWEEP_PRIORITY = [
     # determinism)
     "agg_bitmap_distinct",
     "agg_histogram",
-    "agg_percentile",
-    "dedup_cluster",
-    "dedup_minhash_est",
 ]
 
 

@@ -901,7 +901,13 @@ DECAY_MAX_SHIFT = 62  # 1<<n stays in int64; weights below 2^-62 round to 0
     oracle=f"""
 WITH daily AS (
     SELECT user_id, value, event_id,
-           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           -- floor(double division), NOT BIGINT //: DuckDB's integer
+           -- // TRUNCATES toward zero while Spark's floor(µs/day)
+           -- FLOORS — they diverge left of 1970 (negative-domain
+           -- corpus catch, r10; NOTES invariant #12). The double
+           -- program is exact: |epoch_us| < 2^53.
+           CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+                      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS day
     FROM events
 ), anchored AS (
     SELECT user_id, value, day,
@@ -986,7 +992,10 @@ def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH daily AS (
     SELECT event_type,
-           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           -- floor(double division), NOT BIGINT // (truncates on
+           -- negatives — see agg_time_decay / NOTES invariant #12)
+           CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+                      / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS day,
            value
     FROM events
 ), sums AS (

@@ -6744,7 +6744,13 @@ KANON_K = 5
 WITH gen AS (
     SELECT event_type,
            CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
-           CAST((epoch_us(ts) // 86400000000) // 7 AS BIGINT) AS week
+           -- floor(double division) at BOTH levels, NOT BIGINT //:
+           -- DuckDB's integer // truncates toward zero and diverges
+           -- from Spark's floor chain left of 1970 (negative-domain
+           -- corpus catch, r10; NOTES invariant #12)
+           CAST(floor(floor(CAST(epoch_us(ts) AS DOUBLE)
+                            / CAST(86400000000 AS DOUBLE))
+                      / CAST(7 AS DOUBLE)) AS BIGINT) AS week
     FROM events
 ), grouped AS (
     SELECT event_type, value_bucket, week,

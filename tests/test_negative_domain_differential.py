@@ -1,0 +1,166 @@
+"""Negative-domain differential: epoch-straddling timestamps and
+signed measures.
+
+Every fixture and every differential corpus so far lives in 2024 with
+non-negative measures — but 100 TB of ingested data WILL carry
+pre-1970 timestamps (historic corpora, corrupted epoch fields read as
+small negatives) and signed values (ledgers, deltas, sensor drift).
+The negative domain is where integer-division conventions diverge
+(measured, r10): DuckDB's ``//`` on BIGINT TRUNCATES toward zero
+(``-7 // 2 = -3``; on DOUBLE it floors!) and Spark's ``DIV``
+truncates too, while ``floor(a / b)`` FLOORS on both engines — so an
+oracle pairing BIGINT ``//`` against a Spark-side ``floor(a / b)``
+day/week bucket agrees everywhere on positive epochs and silently
+disagrees left of 1970 (three such oracles caught by this corpus's
+first run: agg_time_decay, agg_trend_ols, privacy_k_anonymize —
+NOTES invariant #12). ``%`` is sign-of-dividend on both engines,
+which pairs with truncating division only, never with floor.
+
+Corpus construction: the adversarial micro corpus with ONE uniform
+whole-day shift applied to every time column (events.ts,
+orders.o_orderdate, lineitem.l_shipdate) placing the range astride
+1970-01-01 — a uniform shift preserves every pairwise gap, so the
+streaming-oracle preconditions (off-minute-grid, no exact session
+gaps, no gap+delay alignment) carry over by construction (and are
+re-asserted); events.value is recentered to ±150 so signed measures
+flow through every EMA/z-score/trend/decay/sum path. Documents,
+embeddings and the TPC-H money columns keep their domains (quantity,
+price and discount stay non-negative — their (1-discount) algebra is
+domain-bound by TPC-H semantics, and a negative-price ledger is the
+events.value case, already covered).
+
+One parametrized assert per registry key, same comparator as the
+driver gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import (
+    assert_event_stream_preconditions,
+    assert_frames_match,
+)
+from tests.test_micro_differential import _micro_tables
+from tests.test_perturbed_differential import (
+    PERTURBED_KEYS,
+    PERTURBED_ONLY_KEYS,
+)
+
+# Spark Structured Streaming initializes the watermark at 0 ms, so on
+# the FIRST micro-batch every pre-1970 event time sits below the
+# watermark and the stateful operators drop it as LATE DATA — an
+# engine semantic, not an oracle defect (verified: each excluded key
+# emitted exactly the post-epoch subset). A deployment ingesting
+# historic corpora must batch-load pre-epoch data; the batch twins of
+# all five keys run here and match. The semantic itself is pinned by
+# test_streaming_drops_pre_epoch_events_as_late below, so a Spark
+# version that changes it fails loudly.
+STREAMING_PRE_EPOCH_KEYS = {
+    "stream_tumbling_true",
+    "stream_sliding_true",
+    "stream_session_true",
+    "stream_stream_join_true",
+    "stream_dedup_within_watermark_true",
+}
+
+NEG_KEYS = sorted(
+    set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS) - STREAMING_PRE_EPOCH_KEYS
+)
+
+
+def _negative_tables():
+    tables = _micro_tables()
+
+    # one uniform whole-day shift: micro events span 2024-01-01 ..
+    # 2024-01-31, so landing the range at 1969-12-17 .. 1970-01-16
+    # puts roughly half the corpus at negative epoch while max ts
+    # stays positive (watermark arithmetic then mixes signs, the
+    # hardest case). A whole-day shift keeps the +137 ms off-grid
+    # property and every pairwise gap.
+    shift = pd.Timestamp("1969-12-17") - pd.Timestamp("2024-01-01")
+
+    ev = tables["events"].copy()
+    ev["ts"] = (ev["ts"] + shift).astype("datetime64[us]")
+    ev["value"] = ev["value"] - 150.0  # signed measures, NULL preserved
+    assert (ev["ts"].astype("int64") < 0).any(), "no pre-1970 events"
+    assert (ev["ts"].astype("int64") > 0).any(), "no post-1970 events"
+    assert_event_stream_preconditions(
+        ev["ts"].astype("int64").to_numpy(),
+        ev["user_id"].to_numpy(),
+        "negative-domain corpus",
+    )
+    tables["events"] = ev
+
+    orders = tables["orders"].copy()
+    orders["o_orderdate"] = (orders["o_orderdate"] + shift).astype(
+        "datetime64[us]"
+    )
+    tables["orders"] = orders
+
+    li = tables["lineitem"].copy()
+    li["l_shipdate"] = (li["l_shipdate"] + shift).astype("datetime64[us]")
+    tables["lineitem"] = li
+    return tables
+
+
+@pytest.fixture(scope="module")
+def negative_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("negative_fixture")
+    for name, df in _negative_tables().items():
+        df.to_parquet(dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def nddb(negative_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in _negative_tables():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{negative_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", NEG_KEYS)
+def test_negative_domain_differential(spark, negative_dir, nddb, key):
+    got = QUERIES[key](spark, negative_dir).toPandas()
+    want = nddb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"negdomain:{key}")
+
+
+def test_streaming_drops_pre_epoch_events_as_late(spark, negative_dir, nddb):
+    """Pin the engine semantic behind STREAMING_PRE_EPOCH_KEYS: on the
+    first micro-batch Spark's watermark is 0 ms, so every pre-1970
+    event time is below it and watermarked stateful operators drop the
+    row as late data. The live tumbling run over the epoch-straddling
+    corpus must therefore equal its own oracle evaluated over ONLY the
+    post-epoch events (window boundaries are 120 s-aligned, so no
+    window mixes dropped and kept rows). If a Spark upgrade ever seeds
+    the watermark differently, this fails and the five keys go back
+    into NEG_KEYS."""
+    got = QUERIES["stream_tumbling_true"](spark, negative_dir).toPandas()
+    want = nddb.sql("""
+WITH kept AS (
+    SELECT * FROM events WHERE epoch_us(ts) >= 0
+), wm AS (
+    SELECT CAST(floor(epoch_us(MAX(ts)) / 1000) AS BIGINT) - 600000 AS wm_ms
+    FROM kept
+),
+agg AS (
+    SELECT CAST(floor(epoch(ts) / 120) AS BIGINT) * 120 AS win_start,
+           event_type, COUNT(*) AS n_events
+    FROM kept GROUP BY 1, 2
+)
+SELECT win_start, event_type, n_events FROM agg, wm
+WHERE (win_start + 120) * 1000 <= wm_ms
+""").df()
+    assert (got["win_start"] >= 0).all()
+    assert_frames_match(got, want, "negdomain:pre-epoch-late-drop")
