@@ -53,12 +53,15 @@ from tests.test_perturbed_differential import (
 # Spark Structured Streaming initializes the watermark at 0 ms, so on
 # the FIRST micro-batch every pre-1970 event time sits below the
 # watermark and the stateful operators drop it as LATE DATA — an
-# engine semantic, not an oracle defect (verified: each excluded key
-# emitted exactly the post-epoch subset). A deployment ingesting
-# historic corpora must batch-load pre-epoch data; the batch twins of
-# all five keys run here and match. The semantic itself is pinned by
-# test_streaming_drops_pre_epoch_events_as_late below, so a Spark
-# version that changes it fails loudly.
+# engine semantic, not an oracle defect (each excluded key's first
+# failing run was short by exactly the pre-epoch rows, e.g.
+# stream_tumbling_true 200 vs 398, stream_dedup_within 202 vs 400).
+# A deployment ingesting historic corpora must batch-load pre-epoch
+# data; the batch twins of all five keys run here and match. The
+# semantic itself is pinned for the tumbling representative by
+# test_streaming_drops_pre_epoch_events_as_late below (live run ==
+# oracle over post-epoch events only), so a Spark version that seeds
+# the watermark differently fails loudly.
 STREAMING_PRE_EPOCH_KEYS = {
     "stream_tumbling_true",
     "stream_sliding_true",
