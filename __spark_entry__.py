@@ -39,11 +39,14 @@ SWEEP_CAP = 50
 _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE (VERDICT r8 #2 / r9 #1), r10 edition ---
     # r10 executes the burn-down written in r9: the SEVEN r4-vintage
-    # keys displaced late-r9 + the full 37-key r5 cohort (the r9
-    # comment said 38, but udtf_cogrouped_map received a fresh r9 row
-    # as a NULL-key changed key, so 37 remain) = 44 slots, leaving 6
-    # for r10 new/changed keys. Invariant after r10: no key's latest
-    # driver CORRECTNESS row predates r6.
+    # keys displaced late-r9 + the r5 cohort (the r9 comment said 38,
+    # but udtf_cogrouped_map received a fresh r9 row as a NULL-key
+    # changed key, so 37 remained; project_arith then displaced to r11
+    # by the seventh r10 changed key — see below) = 43 freshness slots
+    # + 7 changed keys = exactly 50. Invariant after r10: no key's
+    # latest driver CORRECTNESS row predates r6 EXCEPT project_arith
+    # (r5, displaced, twelve-layer-verified locally) — r11 sweeps it
+    # first, then the r6 cohort.
     #
     # (1) changed in round 10:
     # stream_upsert_foreachbatch — the per-batch merge closure hoisted
@@ -65,6 +68,21 @@ _SWEEP_PRIORITY = [
     "agg_time_decay",
     "agg_trend_ols",
     "privacy_k_anonymize",
+    # agg_minmax_stats / funnel_conversion / text_source_drift_jsd —
+    # NULLIF guards from the degenerate-cardinality corpus (r10):
+    # dstddev's /(n-1) ANSI-aborted on an n=1 group, the funnel's
+    # /n_view on zero entry users, the JSD's /t_r on a single-source
+    # corpus (invariant #10 at its cardinality extreme). Guards are
+    # value-inert on every fixture (no degenerate group exists there —
+    # verified MATCH at sf0.01+sf0.1 from a plain session). Their
+    # slots take the last two r6-backfill keys (agg_bitmap_distinct,
+    # agg_histogram) plus ONE r5-cohort displacement: project_arith →
+    # r11 (the most-trivial displaced key, green in all twelve local
+    # layers this round — the r9-precedented changed-key-outranks-
+    # stale-unchanged trade).
+    "agg_minmax_stats",
+    "funnel_conversion",
+    "text_source_drift_jsd",
     # (2) the seven r4-vintage keys displaced late-r9 (each 5-way
     # locally verified in r9: perturbed, micro, tie, constant,
     # partition-invariance)
@@ -88,7 +106,6 @@ _SWEEP_PRIORITY = [
     "join_semi",
     "join_shuffle_equi",
     "join_theta_range",
-    "project_arith",
     "quality_dedup_rates",
     "sample_stratified_rebalance",
     "scan_csv_roundtrip",
@@ -113,12 +130,6 @@ _SWEEP_PRIORITY = [
     "window_range_frame",
     "window_rank_stake",
     "window_row_number",
-    # (4) r6-cohort backfill in any spare slots (r11 takes the rest of
-    # the 44-key r6 cohort; with 45 slots used above, five r6 keys
-    # lead the backfill here — oldest first by key name for
-    # determinism)
-    "agg_bitmap_distinct",
-    "agg_histogram",
 ]
 
 

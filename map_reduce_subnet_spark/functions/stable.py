@@ -59,7 +59,12 @@ def dstddev(col: Column | str, alias: str | None = None) -> Column:
     # x² in double first (deterministic per-row), then exact sum at
     # scale 6 — cast rounds identically (half-up) in Spark and DuckDB.
     sxx = F.sum((c * c).cast(SUM_DECIMAL)).cast("double")
-    var = (sxx - (sx * sx) / n) / (n - F.lit(1.0))
+    # NULLIF(n-1): sample stddev of a single observation is NULL (the
+    # STDDEV_SAMP convention) — without the guard, ANSI Spark aborts
+    # the whole query on the first n=1 group, and a 100 TB corpus
+    # always has one (NOTES invariant #10; caught by the r10
+    # degenerate-cardinality sweep).
+    var = (sxx - (sx * sx) / n) / F.nullif(n - F.lit(1.0), F.lit(0.0))
     out = F.round(F.sqrt(var), 6)
     return out.alias(alias) if alias else out
 
@@ -79,7 +84,11 @@ def sql_dstddev(expr: str) -> str:
     sx = f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
     sxx = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(27,6))) AS DOUBLE)"
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"ROUND(SQRT((({sxx}) - ({sx}) * ({sx}) / ({n})) / (({n}) - 1.0)), 6)"
+    # NULLIF mirror of dstddev's n=1 guard (STDDEV_SAMP convention)
+    return (
+        f"ROUND(SQRT((({sxx}) - ({sx}) * ({sx}) / ({n}))"
+        f" / NULLIF(({n}) - 1.0, 0.0)), 6)"
+    )
 
 
 # ---------------------------------------------------------------------------

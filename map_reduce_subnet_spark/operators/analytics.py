@@ -343,7 +343,8 @@ WITH v AS (
 )
 SELECT stage, n_users,
        CAST(n_users AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS frac_of_entry
+         / NULLIF(CAST((SELECT COUNT(*) FROM v) AS DOUBLE), 0.0)
+           AS frac_of_entry
 FROM (
     SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
     UNION ALL
@@ -428,8 +429,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "stage",
         "n_users",
+        # NULLIF(n_view): an event slice with zero entry-stage users is
+        # legitimate at 100 TB; the fraction is undefined there, never
+        # an ANSI abort (NOTES invariant #10; r10 degenerate sweep)
         (
-            F.col("n_users").cast("double") / F.col("n_view").cast("double")
+            F.col("n_users").cast("double")
+            / F.nullif(F.col("n_view").cast("double"), F.lit(0.0))
         ).alias("frac_of_entry"),
     )
     n_ex = count_exchanges(out)

@@ -6475,7 +6475,8 @@ terms AS (
 SELECT source, n_terms, n_tokens,
        jsd_present
        + {half} * CAST({LN2_LITERAL} AS DOUBLE)
-         * ({one} - CAST(present_crw AS DOUBLE) / CAST(t_r AS DOUBLE))
+         * ({one} - CAST(present_crw AS DOUBLE)
+                    / NULLIF(CAST(t_r AS DOUBLE), 0.0))
            AS jsd_vs_rest
 FROM agg
 """
@@ -6585,6 +6586,12 @@ def text_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_terms",
         "n_tokens",
+        # NULLIF(t_r): a SINGLE-SOURCE corpus has an empty rest — JSD
+        # vs nothing is undefined, so the row comes back NULL instead
+        # of an ANSI divide-by-zero abort (NOTES invariant #10; r10
+        # degenerate sweep). The per-word terms need no guard: with
+        # t_r = 0 every word's ia and ib are the SAME integer (0), so
+        # the portable-ln chain cancels exactly in (a_ln - b_ln).
         (
             F.col("jsd_present")
             + F.lit(0.5).cast("double")
@@ -6592,7 +6599,7 @@ def text_source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (
                 one
                 - F.col("present_crw").cast("double")
-                / F.col("t_r").cast("double")
+                / F.nullif(F.col("t_r").cast("double"), F.lit(0.0))
             )
         ).alias("jsd_vs_rest"),
     )

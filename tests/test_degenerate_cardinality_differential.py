@@ -1,0 +1,100 @@
+"""Degenerate-cardinality differential: the smallest legal corpus.
+
+A 100 TB corpus guarantees every SMALL shape somewhere inside it: a
+group with one member, an event slice with zero entry-stage users, a
+partition holding a single source. This corpus shrinks every fact
+table to one row (one event, one document, one lineitem, one order —
+documents additionally collapsed to ONE source) and keeps only the
+embeddings rows the ANN preconditions pin (centroid seeds 0-7 and
+probe 42), so n=1 / n=0 denominators, empty funnel stages, empty
+rest-of-corpus complements, single-member windows and
+sample-size > population paths all execute.
+
+First run (r10) caught three REAL ANSI divide-by-zero aborts — the
+invariant-#10 class at its cardinality extreme, all guarded with
+NULLIF on both engines now:
+
+* dstddev's /(n-1) on an n=1 group (agg_minmax_stats) — sample
+  stddev of one observation is NULL, the STDDEV_SAMP convention;
+* funnel_conversion's /n_view with zero entry-stage users;
+* text_source_drift_jsd's /t_r with a single-source corpus (the
+  rest-of-corpus is empty; JSD vs nothing is NULL — the per-word
+  portable-ln terms need no guard because t_r = 0 makes ia == ib,
+  so the chains cancel exactly).
+
+Three keys are excluded for documented CORPUS-SHAPE preconditions
+(each raises or pins a layout property this corpus cannot provide,
+loudly, not silently): sink_compaction requires >= 32 events so all
+round-robin partitions are non-empty (explicit ValueError in the
+query); scan_rowgroup_skip's bound-checked oracle pins
+multi_rowgroup=TRUE, which one row cannot produce (data skipping is
+unobservable without >= 2 row groups); scan_csv_malformed's FAILFAST
+probe needs enough documents to synthesize its malformed row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import assert_frames_match
+from tests.test_micro_differential import _micro_tables
+from tests.test_perturbed_differential import (
+    PERTURBED_KEYS,
+    PERTURBED_ONLY_KEYS,
+)
+
+SHAPE_PRECONDITION_KEYS = {
+    "sink_compaction",      # >= 32 events (explicit in-query guard)
+    "scan_rowgroup_skip",   # >= 2 row groups to observe skipping
+    "scan_csv_malformed",   # needs docs to synthesize the bad row
+}
+
+DEGEN_KEYS = sorted(
+    set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS) - SHAPE_PRECONDITION_KEYS
+)
+
+
+def _degenerate_tables():
+    tables = _micro_tables()
+    tables["events"] = tables["events"].iloc[:1].copy()
+    docs = tables["documents"].iloc[2:3].copy()  # one real sentence doc
+    docs["source"] = "only_source"               # and ONE source
+    tables["documents"] = docs
+    tables["lineitem"] = tables["lineitem"].iloc[:1].copy()
+    tables["orders"] = tables["orders"].iloc[:1].copy()
+    emb = tables["embeddings"]
+    tables["embeddings"] = emb[
+        emb.vec_id.isin(list(range(8)) + [42])
+    ].copy()
+    return tables
+
+
+@pytest.fixture(scope="module")
+def degen_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("degenerate_fixture")
+    for name, df in _degenerate_tables().items():
+        df.to_parquet(dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def dgdb(degen_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in _degenerate_tables():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{degen_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", DEGEN_KEYS)
+def test_degenerate_cardinality_differential(spark, degen_dir, dgdb, key):
+    got = QUERIES[key](spark, degen_dir).toPandas()
+    want = dgdb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"degen:{key}")
