@@ -38,15 +38,15 @@ SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE (VERDICT r8 #2 / r9 #1), r10 edition ---
-    # r10 executes the burn-down written in r9: the SEVEN r4-vintage
-    # keys displaced late-r9 + the r5 cohort (the r9 comment said 38,
-    # but udtf_cogrouped_map received a fresh r9 row as a NULL-key
-    # changed key, so 37 remained; project_arith then displaced to r11
-    # by the seventh r10 changed key — see below) = 43 freshness slots
-    # + 7 changed keys = exactly 50. Invariant after r10: no key's
-    # latest driver CORRECTNESS row predates r6 EXCEPT project_arith
-    # (r5, displaced, twelve-layer-verified locally) — r11 sweeps it
-    # first, then the r6 cohort.
+    # r10 executes the burn-down written in r9, then trades part of it
+    # for this round's changed keys per the ranking above (changed
+    # keys outrank stale-but-unchanged backfill): 18 changed keys +
+    # the SEVEN r4-vintage keys + 25 of the 37-key r5 cohort = exactly
+    # 50. Invariant after r10: no key's latest driver row predates r6
+    # EXCEPT the twelve displaced r5 keys (project_arith + the eleven
+    # listed at the shingle-fix comment below — every one of them
+    # twelve-layer-verified locally this round); r11 sweeps those
+    # twelve FIRST, then the r6 cohort.
     #
     # (1) changed in round 10:
     # stream_upsert_foreachbatch — the per-batch merge closure hoisted
@@ -83,6 +83,35 @@ _SWEEP_PRIORITY = [
     "agg_minmax_stats",
     "funnel_conversion",
     "text_source_drift_jsd",
+    # the shingle/trigram LET-BINDING fix (r10, the biggest scale find
+    # of the round): expressions referenced from inside a Spark HOF
+    # lambda re-evaluate PER ELEMENT, so shingles()/char_trigrams()
+    # re-split (re-walked) the whole text per output element — O(n²)
+    # per document (measured 16k words = 49.8 s -> 0.17 s; a 60k-word
+    # web doc pushed dedup_near_minhash past 10 minutes; even the
+    # ~200-word fixture docs paid 2-4x: dedup_near_minhash 4.78 ->
+    # 1.82 s at sf0.1). Values are IDENTICAL (pinned by equivalence +
+    # linearity tests; 13/13 diffcheck MATCH at sf0.01+sf0.1; all ten
+    # adversarial corpora green). Every registered consumer of the two
+    # helpers takes a changed-key slot, displacing eleven r5-cohort
+    # freshness keys to r11 (per the established ranking: changed keys
+    # outrank stale-but-unchanged backfill; each displaced key is
+    # green in all twelve local layers this round): filter_compound,
+    # filter_null_semantics, join_broadcast, join_left_outer,
+    # join_semi, join_shuffle_equi, setop_except_all,
+    # setop_intersect_all, window_ntile_cume, window_range_frame,
+    # window_rank_stake.
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_near_minhash",
+    "dedup_minhash_est",
+    "dedup_cluster",
+    "dedup_survivors",
+    "text_langid_ngram",
+    "text_decontaminate",
+    "pipeline_curation_e2e",
+    "split_leakage_safe",
+    "sample_contrastive_pairs",
     # (2) the seven r4-vintage keys displaced late-r9 (each 5-way
     # locally verified in r9: perturbed, micro, tie, constant,
     # partition-invariance)
@@ -95,24 +124,16 @@ _SWEEP_PRIORITY = [
     "sort_multi_key",
     # (3) the full r5 cohort (oldest remaining rows in the registry)
     "agg_mode_deterministic",
-    "filter_compound",
-    "filter_null_semantics",
     "join_asof",
     "join_asof_binned",
-    "join_broadcast",
     "join_full_outer",
-    "join_left_outer",
     "join_multiway_star",
-    "join_semi",
-    "join_shuffle_equi",
     "join_theta_range",
     "quality_dedup_rates",
     "sample_stratified_rebalance",
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
     "scan_partition_prune",
-    "setop_except_all",
-    "setop_intersect_all",
     "str_fuzzy_levenshtein",
     "stream_dedup",
     "stream_dedup_true",
@@ -126,9 +147,6 @@ _SWEEP_PRIORITY = [
     "text_quality_c4",
     "timeseries_gapfill",
     "udtf_grouped_map",
-    "window_ntile_cume",
-    "window_range_frame",
-    "window_rank_stake",
     "window_row_number",
 ]
 

@@ -573,3 +573,48 @@ def test_trend_ols_degenerate_group_is_null(spark, tmp_path):
     assert view["n"] == 4
     assert abs(view["slope"] - 2.0) < 1e-9
     assert abs(view["r_squared"] - 1.0) < 1e-9
+
+
+def test_shingle_and_trigram_hofs_scale_linearly(spark):
+    """The r10 scale-killer regression pin: expressions referenced
+    from INSIDE a Spark HOF lambda re-evaluate per element, so the
+    original shingles()/char_trigrams() re-split (or re-walked) the
+    whole text for every output element — O(n²) per document
+    (measured: 16k words = 49.8 s, 160k chars = 60.8 s; a 60k-word
+    web document pushed dedup_near_minhash past 10 MINUTES). The
+    let-binding forms are linear (0.2 s at those sizes, 64k words /
+    640k chars in under a second). This test pins both the VALUES
+    (against small hand-built expectations) and the time envelope —
+    generous 30 s ceilings that only a reintroduced quadratic can
+    blow (it measured 50-60 s at exactly these sizes on this box)."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from map_reduce_subnet_spark.functions import text as tx
+
+    # values: a tiny doc, exact expectations
+    small = spark.createDataFrame(
+        pd.DataFrame({"t": ["a b c d", "x y", ""]})
+    )
+    got = small.select(
+        tx.shingles("t", 3).alias("sh"), tx.char_trigrams("t").alias("tg")
+    ).collect()
+    assert got[0]["sh"] == ["a b c", "b c d"]
+    assert got[0]["tg"] == ["a b", " b ", "b c", " c ", "c d"]
+    assert got[1]["sh"] == [] and got[2]["sh"] == []
+
+    # scale: 16k words / 160k chars inside a generous linear envelope
+    txt_w = " ".join(f"w{i % 97}" for i in range(16_000))
+    txt_c = "abcdefgh" * 20_000
+    big = spark.createDataFrame(pd.DataFrame({"w": [txt_w], "c": [txt_c]}))
+    t0 = time.time()
+    n_sh = big.select(F.size(tx.shingles("w", 3)).alias("n")).collect()[0]["n"]
+    t_sh = time.time() - t0
+    t0 = time.time()
+    n_tg = big.select(F.size(tx.char_trigrams("c")).alias("n")).collect()[0]["n"]
+    t_tg = time.time() - t0
+    assert n_sh == 15_998 and n_tg == 8
+    assert t_sh < 30, f"shingles 16k words took {t_sh:.1f}s — quadratic again?"
+    assert t_tg < 30, f"trigrams 160k chars took {t_tg:.1f}s — quadratic again?"
