@@ -33,16 +33,33 @@ from pyspark.sql import functions as F
 SUM_DECIMAL = "decimal(27,6)"
 
 
+def _finite(c: Column) -> Column:
+    """Drop-non-finite convention (r11, measured r10): NaN and ±Inf
+    observations are EXCLUDED from every stabilized aggregate — the
+    value, the count, and both moments — on BOTH engines. Before this
+    guard the drop was accidental (Spark's NaN/Inf→DECIMAL cast is
+    NULL even under ANSI, so dsum silently dropped them while davg's
+    COUNT still counted them; DuckDB asymmetrically threw on Inf).
+    One predicate covers both: ABS(NaN) < inf is FALSE (NaN compares
+    false to everything) and ABS(±Inf) < inf is FALSE; NULL stays
+    NULL and was never counted."""
+    return F.when(F.abs(c) < F.lit(float("inf")), c)
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent SUM: decimal-exact, surfaced as double."""
-    c = F.col(col) if isinstance(col, str) else col
+    """Order-independent SUM: decimal-exact, surfaced as double.
+    Non-finite observations are dropped (see :func:`_finite`)."""
+    c = _finite(F.col(col) if isinstance(col, str) else col)
     out = F.sum(c.cast(SUM_DECIMAL)).cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent AVG: exact decimal sum / count, as double."""
-    c = F.col(col) if isinstance(col, str) else col
+    """Order-independent AVG: exact decimal sum / count, as double.
+    Non-finite observations are dropped from BOTH numerator and
+    denominator (see :func:`_finite`) — an average over the finite
+    observations, not a finite sum over a larger count."""
+    c = _finite(F.col(col) if isinstance(col, str) else col)
     out = F.sum(c.cast(SUM_DECIMAL)).cast("double") / F.count(c)
     return out.alias(alias) if alias else out
 
@@ -52,8 +69,10 @@ def dstddev(col: Column | str, alias: str | None = None) -> Column:
 
     sqrt((Σx² − (Σx)²/n) / (n−1)) with both sums decimal-exact; the
     final double arithmetic is deterministic given identical inputs.
+    Non-finite observations are dropped from n and both moments
+    (see :func:`_finite`).
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = _finite(F.col(col) if isinstance(col, str) else col)
     n = F.count(c).cast("double")
     sx = F.sum(c.cast(SUM_DECIMAL)).cast("double")
     # x² in double first (deterministic per-row), then exact sum at
@@ -69,21 +88,34 @@ def dstddev(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def _sql_finite(expr: str) -> str:
+    """DuckDB mirror of :func:`_finite`: ISFINITE is the idiomatic
+    spelling there (Spark lacks the builtin, hence the ABS < inf form
+    on that side — same truth table: NaN/±Inf excluded, NULL inert).
+    Without this guard DuckDB's CAST(inf AS DECIMAL) raises
+    ConversionException where Spark yields NULL (measured r10 — the
+    14 oracle-crash keys in tests/test_nonfinite_differential.py)."""
+    return f"(CASE WHEN ISFINITE({expr}) THEN ({expr}) END)"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB mirror of :func:`dsum` for oracle strings."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
+    g = _sql_finite(expr)
+    return f"CAST(SUM(CAST({g} AS DECIMAL(27,6))) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
     """DuckDB mirror of :func:`davg`."""
-    return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE) / COUNT({expr}))"
+    g = _sql_finite(expr)
+    return f"(CAST(SUM(CAST({g} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({g}))"
 
 
 def sql_dstddev(expr: str) -> str:
     """DuckDB mirror of :func:`dstddev`."""
-    sx = f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
-    sxx = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(27,6))) AS DOUBLE)"
-    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    g = _sql_finite(expr)
+    sx = f"CAST(SUM(CAST({g} AS DECIMAL(27,6))) AS DOUBLE)"
+    sxx = f"CAST(SUM(CAST(({g}) * ({g}) AS DECIMAL(27,6))) AS DOUBLE)"
+    n = f"CAST(COUNT({g}) AS DOUBLE)"
     # NULLIF mirror of dstddev's n=1 guard (STDDEV_SAMP convention)
     return (
         f"ROUND(SQRT((({sxx}) - ({sx}) * ({sx}) / ({n}))"

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from map_reduce_subnet_spark.functions import similarity as sim
 from map_reduce_subnet_spark.functions import text as tx
 from map_reduce_subnet_spark.functions.checkpoint import stable_checkpoint
-from map_reduce_subnet_spark.functions.stable import davg, sql_davg
+from map_reduce_subnet_spark.functions.stable import (
+    _finite,
+    _sql_finite,
+    davg,
+    sql_davg,
+)
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -6750,7 +6755,12 @@ KANON_K = 5
     oracle=f"""
 WITH gen AS (
     SELECT event_type,
-           CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
+           -- drop-non-finite (stable.py convention): a NaN/Inf
+           -- measurement has no width-50 bucket — it generalizes to
+           -- the NULL bucket on both engines (unguarded, DuckDB's
+           -- INT64 cast of FLOOR(inf/50) raises)
+           CAST(FLOOR({_sql_finite('value')} / 50) AS BIGINT)
+               AS value_bucket,
            -- floor(double division) at BOTH levels, NOT BIGINT //:
            -- DuckDB's integer // truncates toward zero and diverges
            -- from Spark's floor chain left of 1970 (negative-domain
@@ -6797,7 +6807,10 @@ def privacy_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         ev.select(
             "event_type",
-            F.floor(F.col("value") / 50).cast("long").alias("value_bucket"),
+            # guarded bucket (see oracle comment): NULL for non-finite
+            F.floor(_finite(F.col("value")) / 50)
+            .cast("long")
+            .alias("value_bucket"),
             F.floor(
                 F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000))
                 / F.lit(7)

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_subnet_spark.functions.stable import SUM_DECIMAL
+from map_reduce_subnet_spark.functions.stable import (
+    SUM_DECIMAL,
+    _finite,
+    _sql_finite,
+)
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -141,13 +145,14 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_moving_avg",
-    oracle="""
+    oracle=f"""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+       CAST(SUM(CAST({_sql_finite('value')} AS DECIMAL(27,6)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-       / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       / COUNT({_sql_finite('value')})
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
        AS mavg
 FROM events
 """,
@@ -155,16 +160,20 @@ FROM events
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-row moving average of event values (EMA-smoothing intent).
     Expressed as decimal-sum / count so sliding-frame arithmetic is
-    engine-independent."""
+    engine-independent; non-finite observations are dropped from both
+    the sum AND the count (the stable.py drop-non-finite convention —
+    an unguarded COUNT diluted the average that the decimal cast had
+    already dropped from the numerator)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
+    fv = _finite(F.col("value"))
     mavg = (
-        F.sum(F.col("value").cast(SUM_DECIMAL)).over(w).cast("double")
-        / F.count("value").over(w)
+        F.sum(fv.cast(SUM_DECIMAL)).over(w).cast("double")
+        / F.count(fv).over(w)
     )
     return ev.select("event_id", "user_id", mavg.alias("mavg"))
 
@@ -304,18 +313,22 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_zscore_anomaly",
-    oracle="""
-WITH stats AS (
+    oracle=f"""
+WITH fin AS (
+    -- drop-non-finite convention (stable.py): NaN/±Inf contribute to
+    -- neither the moments nor n; the raw value still flows to z below
+    SELECT event_type, {_sql_finite('value')} AS fv FROM events
+), stats AS (
     SELECT event_type,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_v,
-           ROUND(SQRT((CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE)
-                       - CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
-                         * CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
-                         / CAST(COUNT(*) AS DOUBLE))
-                      / NULLIF(CAST(COUNT(*) AS DOUBLE) - 1.0, 0.0)), 6)
+           ROUND(CAST(SUM(CAST(fv AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(COUNT(fv) AS DOUBLE), 6) AS mean_v,
+           ROUND(SQRT((CAST(SUM(CAST(fv * fv AS DECIMAL(27,6))) AS DOUBLE)
+                       - CAST(SUM(CAST(fv AS DECIMAL(27,6))) AS DOUBLE)
+                         * CAST(SUM(CAST(fv AS DECIMAL(27,6))) AS DOUBLE)
+                         / CAST(COUNT(fv) AS DOUBLE))
+                      / NULLIF(CAST(COUNT(fv) AS DOUBLE) - 1.0, 0.0)), 6)
                AS sd_v
-    FROM events
+    FROM fin
     GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
@@ -342,11 +355,13 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle the whole fact table; the broadcast-stats form is the
     100 TB plan."""
     ev = load_table(spark, sf_dir, "events")
-    n = F.count("*").cast("double")
-    sx = F.sum(F.col("value").cast(SUM_DECIMAL)).cast("double")
-    sxx = F.sum((F.col("value") * F.col("value")).cast(SUM_DECIMAL)).cast(
-        "double"
-    )
+    # drop-non-finite (stable.py convention): moments and n over the
+    # finite observations only; the raw value still feeds z, so an Inf
+    # event flags as an outlier (z = inf) instead of poisoning the sd
+    fv = _finite(F.col("value"))
+    n = F.count(fv).cast("double")
+    sx = F.sum(fv.cast(SUM_DECIMAL)).cast("double")
+    sxx = F.sum((fv * fv).cast(SUM_DECIMAL)).cast("double")
     # NULLIF twice (invariant #10, constant-corpus catch): an n=1
     # type has no sample sd (n-1 == 0) and a constant type has
     # sd == 0 — both make z undefined, so the row filters out as
@@ -373,10 +388,14 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rolling_quantiles",
-    oracle="""
+    oracle=f"""
 WITH q AS (
+    -- drop-non-finite (stable.py convention): a NaN/Inf value has no
+    -- centi-quantization — cv is NULL and both engines' window
+    -- quantiles skip NULLs (an unguarded FLOOR(inf) is an INT64
+    -- ConversionException in DuckDB, a silent wrap in Spark)
     SELECT event_id, user_id, ts, value,
-           CAST(FLOOR(value * 100) AS BIGINT) AS cv
+           CAST(FLOOR({_sql_finite('value')} * 100) AS BIGINT) AS cv
     FROM events
 )
 SELECT event_id, user_id, cv,
@@ -419,7 +438,10 @@ def window_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.floor(F.col("value") * 100).cast("long").alias("cv"),
+        # guarded quantization (see oracle comment): NULL cv for
+        # non-finite values; percentile() skips NULLs like DuckDB's
+        # quantile_cont
+        F.floor(_finite(F.col("value")) * 100).cast("long").alias("cv"),
     )
     w = (
         Window.partitionBy("user_id")

@@ -12,13 +12,13 @@ NOTES):
   ORACLE twins of 14 value-consuming keys crash on Inf while their
   engines run fine.
 
-This module pins the 210-key agreement that already holds, so a
-regression in the accidental-but-consistent drop-non-finite semantic
-fails loudly. The 14 oracle-crash keys are excluded and listed —
-making the convention EXPLICIT on both engines (isfinite guard inside
-dsum/sql_dsum, all consumers re-swept) is the planned r11 round; when
-that lands, NONFINITE_ORACLE_ERR_KEYS should shrink to empty and this
-exclusion with it.
+r11 closed the gap: the drop-non-finite convention is now EXPLICIT on
+both engines (functions/stable.py::_finite / _sql_finite — NaN and
+±Inf excluded from the value, the count, and both moments of every
+stabilized aggregate), so the 14 formerly oracle-crashing keys run
+and match like everything else. NONFINITE_ORACLE_ERR_KEYS is empty by
+design; if a key ever lands back in it, a stabilized helper lost its
+guard.
 """
 
 from __future__ import annotations
@@ -34,25 +34,11 @@ from tests.test_perturbed_differential import (
     PERTURBED_ONLY_KEYS,
 )
 
-# Keys whose DuckDB oracle crashes on CAST(inf AS DECIMAL) inside a
-# sql_dsum twin (engine side runs fine on all of them) — the r11
-# isfinite-guard worklist, measured r10.
-NONFINITE_ORACLE_ERR_KEYS = {
-    "agg_time_decay",
-    "agg_trend_ols",
-    "privacy_k_anonymize",
-    "scan_jsonl_roundtrip",
-    "sessionize_events",
-    "sink_compaction",
-    "sink_zorder_cluster",
-    "stream_sliding",
-    "stream_sliding_true",
-    "stream_tumbling",
-    "timeseries_gapfill",
-    "window_moving_avg",
-    "window_rolling_quantiles",
-    "window_zscore_anomaly",
-}
+# r10 measured 14 keys whose DuckDB oracle crashed on
+# CAST(inf AS DECIMAL) inside a sql_dsum twin; the r11 isfinite guard
+# (stable.py::_sql_finite) closed every one — kept empty as the
+# regression tripwire (see module docstring).
+NONFINITE_ORACLE_ERR_KEYS: set[str] = set()
 
 NONFINITE_KEYS = sorted(
     set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS) - NONFINITE_ORACLE_ERR_KEYS
@@ -99,14 +85,9 @@ def test_nonfinite_differential(spark, nonfinite_dir, nfdb, key):
     assert_frames_match(got, want, f"nonfinite:{key}")
 
 
-@pytest.mark.parametrize("key", sorted(NONFINITE_ORACLE_ERR_KEYS))
-def test_nonfinite_excluded_keys_engine_still_runs(
-    spark, nonfinite_dir, key
-):
-    """The exclusions are ORACLE-side only: every excluded key's
-    ENGINE must still run on the non-finite corpus (Spark's
-    NaN/Inf→NULL decimal cast absorbs the hazard). If one ever starts
-    throwing, that is a new engine-side regression, not an oracle
-    gap."""
-    got = QUERIES[key](spark, nonfinite_dir).toPandas()
-    assert got is not None
+def test_nonfinite_exclusion_list_stays_empty():
+    """r11 closed every oracle-side non-finite crash via the
+    isfinite guard; the full key set now runs differentially above.
+    Anything re-added here means a stabilized helper lost its guard —
+    fail the build loudly instead of quietly shrinking coverage."""
+    assert NONFINITE_ORACLE_ERR_KEYS == set()
