@@ -40,9 +40,20 @@ def _finite(c: Column) -> Column:
     guard the drop was accidental (Spark's NaN/Inf→DECIMAL cast is
     NULL even under ANSI, so dsum silently dropped them while davg's
     COUNT still counted them; DuckDB asymmetrically threw on Inf).
-    One predicate covers both: ABS(NaN) < inf is FALSE (NaN compares
-    false to everything) and ABS(±Inf) < inf is FALSE; NULL stays
-    NULL and was never counted."""
+    One predicate covers both — and the reason it drops NaN on the
+    Spark side is SPARK'S ORDERING, not IEEE comparison semantics:
+    Spark SQL treats NaN as GREATER than every value including +Inf
+    (NaN sorts greatest; NaN = NaN is even true there), so
+    ABS(NaN) < inf is false because NaN is the largest value, while
+    ABS(±Inf) < inf is false arithmetically. NULL stays NULL and was
+    never counted. REWRITE HAZARD: any refactor must keep the Spark
+    predicate in this 'strictly less than inf' form — under the
+    (wrong) NaN-compares-false-to-everything model many rewrites look
+    equivalent, but under NaN-is-largest they are not: e.g.
+    ABS(c) <= <greatest finite double> admits NaN nowhere but
+    NOT (ABS(c) < inf) INVERTS to true for NaN, and any form that
+    routes NaN through a comparison expecting false-on-NaN flips the
+    drop on Spark only, silently diverging from _sql_finite."""
     return F.when(F.abs(c) < F.lit(float("inf")), c)
 
 

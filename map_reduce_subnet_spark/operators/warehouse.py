@@ -499,10 +499,19 @@ WITH newest AS (
 )
 SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
        COUNT(*) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+       CAST(COALESCE(SUM(CAST(
+           (CASE WHEN ISFINITE(value) THEN (value) END)
+           AS DECIMAL(27,6))), 0) AS DOUBLE) AS sum_value
 FROM st
 GROUP BY 1
 """
+# ^ Non-finite guard (ADVICE r11 #1): a NaN/Inf LATEST-STATE value
+# must be dropped identically on both engines — DuckDB's
+# CAST(inf AS DECIMAL) raises where Spark yields NULL, the exact
+# asymmetry _sql_finite exists to close (functions/stable.py). The
+# COALESCE pins the all-non-finite-bucket edge to the IVM-natural 0
+# (a running total starts at 0; the Spark roll-forward's delta
+# coalesces the same way), not SQL SUM's NULL.
 
 
 @query("mv_incremental_refresh", oracle=MV_FULL_ORACLE)
@@ -536,26 +545,37 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid as _uuid
 
-    from map_reduce_subnet_spark.functions.stable import SUM_DECIMAL
+    from map_reduce_subnet_spark.functions.stable import (
+        SUM_DECIMAL,
+        _finite,
+    )
 
     bucket = (F.col("user_id") % 16).cast("long").alias("bucket")
     root = os.path.join(
         tempfile.gettempdir(), f"mrs_mv_{_uuid.uuid4().hex[:12]}"
     )
+    zero = F.lit(0).cast(SUM_DECIMAL)
     try:
         table = _build_latest_state_versions(spark, sf_dir, root)
+        # _finite: NaN/Inf latest-state values contribute 0 to the MV
+        # sum (the oracle's ISFINITE guard) but still count as users;
+        # the sum coalesces to decimal 0 so an all-non-finite bucket
+        # is 0, not NULL — matching the delta algebra below, which
+        # also folds non-finite contributions to zero.
         mv1 = (
             table.read(spark, 1)
             .groupBy(bucket)
             .agg(
                 F.count("*").alias("n1"),
-                F.sum(F.col("value").cast(SUM_DECIMAL)).alias("s1"),
+                F.coalesce(
+                    F.sum(_finite(F.col("value")).cast(SUM_DECIMAL)),
+                    zero,
+                ).alias("s1"),
             )
         )
         feed = table.changes(
             spark, ["user_id"], 1, 3, include_preimage=True
         )
-        zero = F.lit(0).cast(SUM_DECIMAL)
         delta = (
             feed.select(
                 bucket,
@@ -566,16 +586,23 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # coalesce inside the when: a NULL value contributes
                 # 0 to the delta, matching SUM's null-skip in the
                 # full recompute (and keeping a null new-value from
-                # nulling out the retraction term)
+                # nulling out the retraction term); _finite folds a
+                # NaN/Inf new- or pre-image value to the same 0 —
+                # without it an Inf latest state would poison the MV
+                # where the guarded full recompute drops it
                 (
                     F.when(
                         F.col("_change_type") != "delete",
-                        F.coalesce(F.col("value").cast(SUM_DECIMAL), zero),
+                        F.coalesce(
+                            _finite(F.col("value")).cast(SUM_DECIMAL),
+                            zero,
+                        ),
                     ).otherwise(zero)
                     - F.when(
                         F.col("_change_type") != "insert",
                         F.coalesce(
-                            F.col("value_prev").cast(SUM_DECIMAL), zero
+                            _finite(F.col("value_prev")).cast(SUM_DECIMAL),
+                            zero,
                         ),
                     ).otherwise(zero)
                 ).alias("ds"),

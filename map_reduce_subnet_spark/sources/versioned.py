@@ -166,10 +166,14 @@ class VersionedTable:
         return version
 
     #: Unreferenced directories younger than this are presumed to be
-    #: an in-flight writer's data (parquet written, log create still
-    #: pending) and are left alone — Delta's retention-window analog
-    #: for VACUUM vs uncommitted writes, shrunk to the gap between a
-    #: parquet write finishing and its O_EXCL log create.
+    #: an in-flight writer's data (parquet written, the temp-file +
+    #: fsync + hard-link log publish not yet completed) and are left
+    #: alone — Delta's retention-window analog for VACUUM vs
+    #: uncommitted writes, shrunk to the gap between a parquet write
+    #: finishing and its log file's hard-link publish. The same grace
+    #: window guards ``_log/*.tmp`` staging files: one younger than
+    #: this may be a writer mid-publish (between its fsync and its
+    #: os.link), so only older ones are debris.
     ORPHAN_GRACE_SECONDS: float = 600.0
 
     def vacuum(
@@ -198,6 +202,12 @@ class VersionedTable:
           orphan. Safe under concurrent readers always; safe under
           concurrent writers whenever a commit attempt completes
           within the grace window.
+        - **Stale ``_log/*.tmp`` staging files**: left by a writer
+          that crashed between its temp-file write/fsync and the
+          post-link unlink. Invisible to readers (``_entries()``
+          filters on ``.json``) but otherwise immortal; removed once
+          older than the same grace window, since a younger one may
+          belong to a writer mid-publish.
         - **Expired versions**: with ``retain_last=N``, every
           version except the newest N is dropped (log file first,
           then data — a reader that resolved its snapshot before the
@@ -231,6 +241,25 @@ class VersionedTable:
                 continue  # possible in-flight commit — not debris yet
             _rmtree(p)
             orphans_removed += 1
+        # _log/*.tmp staging debris (ADVICE r11 #3): a writer crashing
+        # between its temp-file fsync and the os.unlink after the
+        # hard-link publish leaves a hidden .tmp in _log/ forever —
+        # _entries() skips it (no '.json' suffix) so reads are
+        # unaffected, but nothing else ever collects it. Same age
+        # guard as orphan dirs: a young .tmp may belong to a writer
+        # mid-publish (between fsync and link).
+        tmp_removed = 0
+        for name in sorted(os.listdir(self._log_dir)):
+            if not name.endswith(".tmp"):
+                continue
+            p = os.path.join(self._log_dir, name)
+            try:
+                if now - os.path.getmtime(p) < orphan_grace_seconds:
+                    continue
+                os.remove(p)
+            except OSError:
+                continue  # raced with the owner's unlink / a vacuum
+            tmp_removed += 1
         versions_expired = 0
         if retain_last is not None and len(entries) > retain_last:
             for e in entries[: len(entries) - retain_last]:
@@ -241,6 +270,7 @@ class VersionedTable:
                 versions_expired += 1
         return {
             "orphans_removed": orphans_removed,
+            "tmp_logs_removed": tmp_removed,
             "versions_expired": versions_expired,
             "versions_retained": len(entries) - versions_expired,
         }

@@ -1249,7 +1249,10 @@ def stream_mv_refresh_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from map_reduce_subnet_spark.functions.stable import SUM_DECIMAL
+    from map_reduce_subnet_spark.functions.stable import (
+        SUM_DECIMAL,
+        _finite,
+    )
     from map_reduce_subnet_spark.operators.warehouse import (
         _build_latest_state_versions,
     )
@@ -1265,7 +1268,9 @@ def stream_mv_refresh_true(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_feed(batch_df, batch_id):
         # foreachBatch runs on the driver; the plans inside execute
-        # distributed. Delta algebra = mv_incremental_refresh's.
+        # distributed. Delta algebra = mv_incremental_refresh's —
+        # including the _finite guard: a NaN/Inf new- or pre-image
+        # value contributes 0, matching the oracle's ISFINITE drop.
         zero = F.lit(0).cast(SUM_DECIMAL)
         delta = (
             batch_df.select(
@@ -1277,12 +1282,16 @@ def stream_mv_refresh_true(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.when(
                         F.col("_change_type") != "delete",
-                        F.coalesce(F.col("value").cast(SUM_DECIMAL), zero),
+                        F.coalesce(
+                            _finite(F.col("value")).cast(SUM_DECIMAL),
+                            zero,
+                        ),
                     ).otherwise(zero)
                     - F.when(
                         F.col("_change_type") != "insert",
                         F.coalesce(
-                            F.col("value_prev").cast(SUM_DECIMAL), zero
+                            _finite(F.col("value_prev")).cast(SUM_DECIMAL),
+                            zero,
                         ),
                     ).otherwise(zero)
                 ).alias("ds"),
@@ -1324,14 +1333,22 @@ def stream_mv_refresh_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = _build_latest_state_versions(
             spark, sf_dir, os.path.join(root, "table")
         )
-        # MV built once, at v1
+        # MV built once, at v1 — _finite + coalesce-to-zero exactly
+        # like the batch MV's v1 build (warehouse.py): non-finite
+        # latest values are dropped from the sum, and an
+        # all-non-finite bucket starts at decimal 0, not NULL, so
+        # the rolled-forward state and the guarded full-recompute
+        # oracle agree on the edge.
         mv1_dir = os.path.join(root, "mv_v0")
         (
             table.read(spark, 1)
             .groupBy(bucket)
             .agg(
                 F.count("*").cast("long").alias("n_users"),
-                F.sum(F.col("value").cast(SUM_DECIMAL))
+                F.coalesce(
+                    F.sum(_finite(F.col("value")).cast(SUM_DECIMAL)),
+                    F.lit(0).cast(SUM_DECIMAL),
+                )
                 .cast(SUM_DECIMAL)
                 .alias("s"),
             )

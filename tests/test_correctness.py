@@ -44,6 +44,38 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_changed_keys_are_in_sweep_priority():
+    """Mechanized sweep-rotation rule (VERDICT r11 #2): r11 edited 43
+    oracle strings and a 5-key engine path but shipped the r10 sweep
+    list verbatim, so 34 changed keys reached the driver unverified.
+    scripts/fingerprints.json records key -> md5(oracle text + the
+    transitive package source closure of its engine function) as of
+    the last sweep-list rotation; any key whose live fingerprint
+    differs (or that is new) MUST be inside _SWEEP_PRIORITY. Editing
+    an oracle or an engine helper without rotating the list fails
+    here. Regenerate the file (python scripts/fingerprints.py) ONLY
+    in the same change that rotates _SWEEP_PRIORITY."""
+    import json
+
+    import __spark_entry__ as e
+    from scripts.fingerprints import FINGERPRINT_FILE, compute_fingerprints
+
+    with open(FINGERPRINT_FILE) as f:
+        committed = json.load(f)
+    live = compute_fingerprints()
+    changed = sorted(
+        k for k, fp in live.items() if committed.get(k) != fp
+    )
+    missing = [k for k in changed if k not in e._SWEEP_PRIORITY]
+    assert not missing, (
+        "keys changed since the last sweep rotation but absent from "
+        f"_SWEEP_PRIORITY (driver would never re-verify them): {missing}. "
+        "Add them to __spark_entry__._SWEEP_PRIORITY (displacing backfill "
+        "slots), then regenerate scripts/fingerprints.json in the SAME "
+        "change."
+    )
+
+
 def test_entry_sweep_order():
     """The driver checks only a prefix of queries() (SWEEP_CAP entries,
     observed in rounds 1-2) — the priority list must be real keys, fit

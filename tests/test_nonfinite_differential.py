@@ -52,6 +52,17 @@ def _nonfinite_tables():
     # NULL sits at 5, the funnel chain at 10-12)
     ev.loc[7, "value"] = np.nan
     ev.loc[13, "value"] = np.inf
+    # ADVICE r11 #1: rows 7/13 are interior events, so the
+    # latest-state consumers (the MV family, time travel, changefeed)
+    # never saw a non-finite value in a LATEST-STATE row — their
+    # non-finite passes were corpus accident. Plant NaN and Inf on
+    # the newest event of two users (ts is index-sorted and
+    # event_id == index, so the per-user latest row is that user's
+    # max index) so the drop-non-finite guard in the MV sum and its
+    # delta algebra is actually exercised.
+    last_by_user = ev.groupby("user_id")["event_id"].idxmax()
+    ev.loc[last_by_user[1], "value"] = np.nan
+    ev.loc[last_by_user[2], "value"] = np.inf
     tables["events"] = ev
     return tables
 
