@@ -107,14 +107,20 @@ _SWEEP_PRIORITY = [
     "window_ntile_cume",
     "window_range_frame",
     "window_rank_stake",
-    # (4) backfill: five of the oldest r6-vintage rows (cheap
-    # roundtrip/scan keys; the rest of the r6 cohort is scheduled
-    # across r13+ in NOTES.md):
+    # (4) changed in r12: the int8_dequantized let-binding fix (HOF
+    # invariant #13 — the captured scale embedded array_max over the
+    # whole vector and re-evaluated per element, O(dim²) per row;
+    # measured 27.8 s -> 0.32 s for 200 rows at dim 2048, output
+    # identical, equivalence + linearity pinned). Both consumers take
+    # changed-key slots — they are also r6-vintage freshness debt:
+    "sim_quantized_recall",
+    "sim_ann_recall",
+    # (5) backfill: three of the oldest r6-vintage rows (cheap
+    # roundtrip keys; the rest of the r6 cohort is scheduled across
+    # r13+ in NOTES.md):
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
     "sink_roundtrip",
-    "scan_variant_props",
-    "scan_python_datasource",
 ]
 
 

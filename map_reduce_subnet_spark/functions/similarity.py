@@ -115,14 +115,30 @@ def int8_dequantized(col: Column) -> Column:
     actually searches over, so recall measurements
     (sim_quantized_recall, sim_ann_recall's lsh_int8_quant leg) run
     their candidate generation AND scoring on it. A zero vector keeps
-    scale 0 and dequantizes to zeros instead of dividing by zero."""
+    scale 0 and dequantizes to zeros instead of dividing by zero.
+
+    LET-BINDING, load-bearing (r12 HOF audit — invariant #13, the
+    shingles() lesson): ``scale`` embeds array_max over the WHOLE
+    vector, and an expression captured inside a HOF lambda
+    re-evaluates PER ELEMENT — the previous form recomputed the
+    array_max pass for every component, O(dim²) multiply-abs per row
+    (64× waste at dim 64; 1024-dim production embeddings pay 1M ops
+    per row instead of 1k). Binding scale once as a lambda variable
+    (transform over a one-element array, the SQL-level let) makes the
+    roundtrip linear; output identical (equivalence + linearity pins
+    in tests/test_properties.py)."""
+
+    def _dq(scale: Column) -> Column:
+        return F.when(
+            scale == F.lit(0.0), F.transform(col, lambda x: F.lit(0.0))
+        ).otherwise(
+            F.transform(
+                col, lambda x: F.round(x.cast("double") / scale) * scale
+            )
+        )
+
     absmax = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
-    scale = absmax / F.lit(127.0)
-    return F.when(
-        absmax == 0.0, F.transform(col, lambda x: F.lit(0.0))
-    ).otherwise(
-        F.transform(col, lambda x: F.round(x.cast("double") / scale) * scale)
-    )
+    return F.flatten(F.transform(F.array(absmax / F.lit(127.0)), _dq))
 
 
 def hyperplane_matrix(

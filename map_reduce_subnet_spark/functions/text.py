@@ -127,7 +127,15 @@ def char_trigrams(text: Column | str) -> Column:
     is split to a codepoint array ONCE (Spark's split('') is
     codepoint-correct, astral planes included — verified against
     substring on the unicode corpus) and bound as a lambda variable;
-    element_at on the array is O(1)."""
+    element_at on the array is O(1).
+
+    VERSION DEPENDENCY (ADVICE r10): the split('')-yields-codepoints
+    behavior relied on here is Spark >= 3.4 semantics (SPARK-40194
+    changed split with an empty regex to drop the trailing empty
+    string; earlier lines also differed on surrogate-pair handling).
+    This repo targets PySpark 4.x where it is stable; a backport to
+    Spark < 3.4 must re-verify char_trigrams against substring on the
+    unicode corpus (tests/test_edge_inputs.py) before trusting it."""
     c = text if isinstance(text, Column) else F.col(text)
 
     def _trigrams_of(ch: Column) -> Column:

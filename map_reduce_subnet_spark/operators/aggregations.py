@@ -944,6 +944,15 @@ def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6dp sum quantum anyway — the cap is the deterministic
     version of 'too old to matter').
 
+    Day-bucket exactness domain (ADVICE r10, the oracle's "exact"
+    comment softened to its real bounds): the floor(double-division)
+    day bucket is EXACT only while |epoch_us| < 2^53 — about ±285
+    years of epoch (~years 1685-2255). Outside that the int64→double
+    conversion may round before the divide; both engines then run
+    the IDENTICAL rounded double program, so the Spark-vs-DuckDB
+    differential still matches even where the bucket is no longer
+    the true calendar day.
+
     Scale shape: one shuffle on user_id for the per-user anchor
     (MAX day window); the groupBy reuses the window's hash
     partitioning (no second exchange — same-key stages co-locate),

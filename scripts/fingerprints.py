@@ -55,13 +55,39 @@ import textwrap
 _PKG = "map_reduce_subnet_spark"
 
 
+def _normalize(src: str) -> str:
+    """AST round-trip: drops comments and strips docstrings so a
+    DOC-ONLY edit to a query function does not change its fingerprint
+    (a docstring cannot change driver-visible behavior, so it must
+    not consume a sweep slot). Oracle strings are hashed separately
+    and verbatim — SQL text changes always finger their keys."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return src
+    for node in ast.walk(tree):
+        if isinstance(
+            node,
+            (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                body[0] = ast.Expr(value=ast.Constant(value=""))
+    return ast.unparse(tree)
+
+
 def _package_obj_source(obj) -> str | None:
-    """Source text for a function/class defined in the package."""
+    """Normalized source for a function/class defined in the package."""
     mod = getattr(obj, "__module__", None) or ""
     if not (mod == _PKG or mod.startswith(_PKG + ".")):
         return None
     try:
-        return inspect.getsource(obj)
+        return _normalize(inspect.getsource(obj))
     except (OSError, TypeError):
         return None
 
@@ -109,32 +135,57 @@ def _referenced_globals(fn):
             yield g[name]
 
 
+def _code_names(fn) -> set[str]:
+    """co_names of fn plus every nested code object (lambdas,
+    closures) — covers both global references and ATTRIBUTE names."""
+    code_objs = [fn.__code__]
+    i = 0
+    while i < len(code_objs):
+        for const in code_objs[i].co_consts:
+            if inspect.iscode(const):
+                code_objs.append(const)
+        i += 1
+    names: set[str] = set()
+    for c in code_objs:
+        names.update(c.co_names)
+    return names
+
+
 def _closure_sources(fn, seen: set[int], out: list[str]) -> None:
     src = _package_obj_source(fn)
     if src is None or id(fn) in seen:
         return
     seen.add(id(fn))
     out.append(src)
+    names = _code_names(fn)
     referenced = list(_referenced_globals(fn))
     referenced.extend(_local_package_imports(src))
     # classes: recurse into their methods' references too
     for obj in referenced:
         if inspect.ismodule(obj):
             # cross-module helpers are referenced as module
-            # attributes (`tx.shingles(...)`) — the attribute name
-            # sits in co_names but cannot be resolved without
-            # evaluating the access, so include the WHOLE package
-            # module's source: an edit to functions/text.py must
-            # finger every query that reaches it this way (the r10
-            # shingle-fix class of change).
+            # attributes (`tx.shingles(...)`): the attribute name
+            # sits in co_names next to the module's own name, so
+            # resolve each co_name AGAINST the module — per-attribute
+            # precision (an edit to functions/text.py fingers only
+            # the keys that actually reach the edited helper, not
+            # every key that imports the module). Over-inclusion from
+            # a coincidentally-shared name is harmless (a few extra
+            # sources in the bag); under-inclusion would miss real
+            # changes, so both the module's own functions AND classes
+            # resolve here.
             mname = getattr(obj, "__name__", "")
-            if mname == _PKG or mname.startswith(_PKG + "."):
-                if id(obj) not in seen:
-                    seen.add(id(obj))
-                    try:
-                        out.append(inspect.getsource(obj))
-                    except (OSError, TypeError):
-                        pass
+            if not (mname == _PKG or mname.startswith(_PKG + ".")):
+                continue
+            for name in sorted(names):
+                attr = getattr(obj, name, None)
+                if inspect.isfunction(attr):
+                    _closure_sources(attr, seen, out)
+                elif inspect.isclass(attr):
+                    csrc = _package_obj_source(attr)
+                    if csrc is not None and id(attr) not in seen:
+                        seen.add(id(attr))
+                        out.append(csrc)
         elif inspect.isclass(obj):
             csrc = _package_obj_source(obj)
             if csrc is not None and id(obj) not in seen:

@@ -605,16 +605,90 @@ def test_shingle_and_trigram_hofs_scale_linearly(spark):
     assert got[0]["tg"] == ["a b", " b ", "b c", " c ", "c d"]
     assert got[1]["sh"] == [] and got[2]["sh"] == []
 
-    # scale: 16k words / 160k chars inside a generous linear envelope
+    # scale: 16k words / 160k chars. RATIO envelope, not a bare
+    # wall-clock ceiling (ADVICE r10: an absolute 30 s bound flakes
+    # on a loaded box, where even the linear form can blow it): time
+    # a 4x-smaller input on the SAME session — linear scaling gives
+    # ~4x between them, a reintroduced quadratic gives ~16x (and
+    # measured 50-60 s absolute at these sizes). Box slowness inflates
+    # numerator and denominator together, so the ratio is load-proof;
+    # the fast-path absolute bound short-circuits timer noise when
+    # the big input already ran at linear speed.
+    def _timed(col_expr, text_val):
+        one = spark.createDataFrame(pd.DataFrame({"t": [text_val]}))
+        t0 = time.time()
+        n = one.select(F.size(col_expr).alias("n")).collect()[0]["n"]
+        return n, time.time() - t0
+
     txt_w = " ".join(f"w{i % 97}" for i in range(16_000))
     txt_c = "abcdefgh" * 20_000
-    big = spark.createDataFrame(pd.DataFrame({"w": [txt_w], "c": [txt_c]}))
-    t0 = time.time()
-    n_sh = big.select(F.size(tx.shingles("w", 3)).alias("n")).collect()[0]["n"]
-    t_sh = time.time() - t0
-    t0 = time.time()
-    n_tg = big.select(F.size(tx.char_trigrams("c")).alias("n")).collect()[0]["n"]
-    t_tg = time.time() - t0
+    _, t_sh_small = _timed(tx.shingles("t", 3), " ".join(
+        f"w{i % 97}" for i in range(4_000)))
+    n_sh, t_sh = _timed(tx.shingles("t", 3), txt_w)
+    _, t_tg_small = _timed(tx.char_trigrams("t"), "abcdefgh" * 5_000)
+    n_tg, t_tg = _timed(tx.char_trigrams("t"), txt_c)
     assert n_sh == 15_998 and n_tg == 8
-    assert t_sh < 30, f"shingles 16k words took {t_sh:.1f}s — quadratic again?"
-    assert t_tg < 30, f"trigrams 160k chars took {t_tg:.1f}s — quadratic again?"
+    assert t_sh < 5 or t_sh < 10 * max(t_sh_small, 0.5), (
+        f"shingles 16k words took {t_sh:.1f}s vs {t_sh_small:.1f}s at "
+        "4k — super-linear, quadratic reintroduced?"
+    )
+    assert t_tg < 5 or t_tg < 10 * max(t_tg_small, 0.5), (
+        f"trigrams 160k chars took {t_tg:.1f}s vs {t_tg_small:.1f}s at "
+        "40k — super-linear, quadratic reintroduced?"
+    )
+
+
+def test_int8_dequantized_scales_linearly_and_roundtrips(spark):
+    """The r12 HOF-audit pin (invariant #13 applied to similarity.py):
+    int8_dequantized's scale captured array_max over the WHOLE vector
+    inside the per-element lambda — O(dim²) per row (measured 27.8 s
+    for 200 rows at dim 2048 vs 0.32 s let-bound). Pins the VALUES
+    (hand-computed expectations incl. the zero-vector and empty-array
+    edges) and the linear envelope via the same load-proof ratio
+    discipline as the shingle pin."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from map_reduce_subnet_spark.functions import similarity as sim
+
+    # values: scale = 4/127; components dequantize to round(x/s)*s
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [[1.0, -2.0, 4.0], [0.0, 0.0], []]})
+    ).select(F.col("v").cast("array<float>").alias("v"))
+    got = df.select(sim.int8_dequantized(F.col("v")).alias("d")).collect()
+    s = 4.0 / 127.0
+    want0 = [round(1.0 / s) * s, round(-2.0 / s) * s, round(4.0 / s) * s]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got[0]["d"], want0))
+    assert got[1]["d"] == [0.0, 0.0]  # zero vector: scale-0 branch
+    assert got[2]["d"] == []  # empty array survives
+
+    def _timed(dim):
+        big = spark.range(100).select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (
+                    F.pmod(F.col("id") * i, F.lit(997)).cast("double")
+                    / F.lit(100.0)
+                ).cast("float"),
+            ).alias("v")
+        ).localCheckpoint()
+        t0 = time.time()
+        big.select(
+            F.sum(
+                F.aggregate(
+                    sim.int8_dequantized(F.col("v")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        ).collect()
+        return time.time() - t0
+
+    t_small = _timed(512)
+    t_big = _timed(2048)  # 4x the dim: linear ~4x, quadratic ~16x
+    assert t_big < 5 or t_big < 10 * max(t_small, 0.5), (
+        f"int8_dequantized dim 2048 took {t_big:.1f}s vs {t_small:.1f}s "
+        "at dim 512 — super-linear, captured-scale quadratic again?"
+    )
