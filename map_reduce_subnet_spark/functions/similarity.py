@@ -84,7 +84,13 @@ def nearest_centroid(vec: Column, cents: Column) -> Column:
     NaN cosine wins just as it led the desc sort, a NULL cosine
     (zero-norm side, try_divide) loses to any real value, and an
     all-NULL row yields the first centroid with cos NULL — the
-    nulls-last desc window picked the same."""
+    nulls-last desc window picked the same.
+
+    Caller contract (invariant #13): pass ``vec`` and ``cents`` as
+    PLAIN column references (every registry caller does) — ``vec`` is
+    captured inside the transform lambda, and a captured non-trivial
+    expression re-evaluates once per centroid element; a computed
+    vector must be materialized through a projection first."""
     scored = F.transform(
         cents,
         lambda c: F.struct(
