@@ -113,8 +113,22 @@ def _local_package_imports(src: str):
             continue
         for alias in node.names:
             obj = getattr(mod, alias.name, None)
-            if obj is not None:
-                yield obj
+            if obj is None:
+                # `from pkg.sub import module as m`: the parent
+                # package only carries the submodule ATTRIBUTE after
+                # something imports it, so getattr alone makes the
+                # fingerprint depend on import history (measured:
+                # scan/sink_python_datasource changed fingerprints
+                # after any suite ran their queries). Import the
+                # submodule explicitly so resolution is
+                # deterministic.
+                try:
+                    obj = importlib.import_module(
+                        f"{node.module}.{alias.name}"
+                    )
+                except ImportError:
+                    continue
+            yield obj
 
 
 def _referenced_globals(fn):
