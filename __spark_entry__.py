@@ -115,12 +115,16 @@ _SWEEP_PRIORITY = [
     # changed-key slots — they are also r6-vintage freshness debt:
     "sim_quantized_recall",
     "sim_ann_recall",
-    # (5) backfill: three of the oldest r6-vintage rows (cheap
-    # roundtrip keys; the rest of the r6 cohort is scheduled across
-    # r13+ in NOTES.md):
+    # (4b) NEW in r12 — never driver-swept, category (1) of the
+    # rotation policy (they displace two of the three planned r6
+    # backfill roundtrips, which move to the r13 schedule):
+    # prefix-truncation dedup and product-quantization ANN:
+    "dedup_prefix_truncation",
+    "sim_ann_pq_adc",
+    # (5) backfill: the oldest r6-vintage row that still fits (the
+    # other two roundtrip keys move to r13 with the rest of the r6
+    # cohort, NOTES.md):
     "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "sink_roundtrip",
 ]
 
 

@@ -31,6 +31,7 @@ from map_reduce_subnet_spark.functions import similarity as sim
 from map_reduce_subnet_spark.functions import text as tx
 from map_reduce_subnet_spark.functions.checkpoint import stable_checkpoint
 from map_reduce_subnet_spark.functions.stable import (
+    SUM_DECIMAL,
     _finite,
     _sql_finite,
     davg,
@@ -6952,4 +6953,544 @@ def privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         noise.alias("noise"),
         (F.col("n_true").cast("double") + noise).alias("noisy_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefix-truncation dedup (r12)
+# --------------------------------------------------------------------------
+
+
+PREFIX_MIN_WORDS = 8  # min words to participate as a truncation candidate
+
+
+@query(
+    "dedup_prefix_truncation",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+cand AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               list_slice(w, 1, {PREFIX_MIN_WORDS}), ' ')) AS h8
+    FROM tok WHERE len(w) >= {PREFIX_MIN_WORDS}
+),
+capped AS (
+    SELECT doc_id, h8 FROM (
+        SELECT doc_id, h8,
+               ROW_NUMBER() OVER (PARTITION BY h8 ORDER BY doc_id) AS rn
+        FROM cand
+    ) WHERE rn <= {LSH_BUCKET_CAP}
+),
+pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM capped a JOIN capped b
+      ON a.h8 = b.h8 AND a.doc_id < b.doc_id
+),
+docs AS (
+    SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+),
+dirs AS (
+    SELECT p.a_id AS doc_id, p.b_id AS canonical_id,
+           ta.n_words AS n_words, tb.n_words AS canon_n_words
+    FROM pairs p
+    JOIN docs ta ON ta.doc_id = p.a_id
+    JOIN docs tb ON tb.doc_id = p.b_id
+    WHERE length(tb.text) > length(ta.text)
+      AND starts_with(tb.text || ' ', ta.text || ' ')
+    UNION ALL
+    SELECT p.b_id AS doc_id, p.a_id AS canonical_id,
+           tb.n_words AS n_words, ta.n_words AS canon_n_words
+    FROM pairs p
+    JOIN docs ta ON ta.doc_id = p.a_id
+    JOIN docs tb ON tb.doc_id = p.b_id
+    WHERE length(ta.text) > length(tb.text)
+      AND starts_with(ta.text || ' ', tb.text || ' ')
+)
+SELECT doc_id, canonical_id, n_words, canon_n_words
+FROM (
+    SELECT doc_id, canonical_id, n_words, canon_n_words,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY canon_n_words DESC, canonical_id ASC
+           ) AS rn
+    FROM dirs
+) WHERE rn = 1
+""",
+)
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATION dedup: flag documents whose full text is a proper
+    word-prefix of a longer document — the web-scrape failure mode
+    whole-doc hashing misses (the same page captured once complete
+    and once cut off by a crawler timeout / length cap produces NO
+    exact-dup pair and often no near-dup pair either, because the
+    missing tail drags Jaccard below threshold). Each flagged doc
+    reports its canonical (the LONGEST superstring document, ties to
+    the lowest doc_id); unflagged docs don't appear. Equal texts are
+    exact duplicates, not truncations — dedup_exact's job, excluded
+    here by the strict length inequality. Grounding: redundant-chunk
+    consistency dedup (reference README.md:18,22) applied to the
+    ragged-capture case.
+
+    Candidate generation is BUCKETED, never pairwise: a truncation
+    pair shares its first {PREFIX_MIN_WORDS} words by construction
+    (both sides have >= {PREFIX_MIN_WORDS} words — shorter docs opt
+    out, the standard min-length floor), so docs bucket on
+    md5(first-{PREFIX_MIN_WORDS}-words) and only in-bucket pairs are
+    verified. Buckets are hard-capped at LSH_BUCKET_CAP lowest ids
+    (_capped_buckets — a boilerplate header shared by millions of
+    docs cannot build an O(n²) bucket); the oracle mirrors the cap.
+
+    Scale shape: one corpus shuffle on the prefix hash (the capped
+    groupBy); the verify step joins the RARE pair table back to the
+    corpus on doc_id twice — the pair side is orders of magnitude
+    smaller than the corpus, so AQE broadcasts it and the corpus
+    never reshuffles; the prefix check itself is one startswith on
+    the space-terminated texts (word-boundary-safe: 'a b' || ' ' is
+    a prefix of 'a b c' || ' ' but not of 'a bc d' || ' ')."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tx.words("text")
+    cand = d.where(F.size(w) >= PREFIX_MIN_WORDS).select(
+        F.md5(F.concat_ws(" ", F.slice(w, 1, PREFIX_MIN_WORDS))).alias("h8"),
+        "doc_id",
+    )
+    buckets = _capped_buckets(cand, ["h8"], "doc_id")
+    pairs = buckets.select(
+        F.explode(_bucket_pairs(F.col("ids"))).alias("p")
+    ).select("p.a_id", "p.b_id")
+    docs = d.select("doc_id", "text", F.size(w).cast("long").alias("n_words"))
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.col("n_words").alias("a_n"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.col("n_words").alias("b_n"),
+    )
+    joined = pairs.join(a, "a_id").join(b, "b_id")
+    space = F.lit(" ")
+    fwd = joined.where(
+        (F.length("b_text") > F.length("a_text"))
+        & F.concat(F.col("b_text"), space).startswith(
+            F.concat(F.col("a_text"), space)
+        )
+    ).select(
+        F.col("a_id").alias("doc_id"),
+        F.col("b_id").alias("canonical_id"),
+        F.col("a_n").alias("n_words"),
+        F.col("b_n").alias("canon_n_words"),
+    )
+    rev = joined.where(
+        (F.length("a_text") > F.length("b_text"))
+        & F.concat(F.col("a_text"), space).startswith(
+            F.concat(F.col("b_text"), space)
+        )
+    ).select(
+        F.col("b_id").alias("doc_id"),
+        F.col("a_id").alias("canonical_id"),
+        F.col("b_n").alias("n_words"),
+        F.col("a_n").alias("canon_n_words"),
+    )
+    wpick = Window.partitionBy("doc_id").orderBy(
+        F.desc("canon_n_words"), F.asc("canonical_id")
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "canonical_id", "n_words", "canon_n_words")
+    )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (r12)
+# --------------------------------------------------------------------------
+
+
+PQ_M = 16  # subspaces (finer subspaces beat bigger codebooks for ADC
+# resolution: measured recall@5 on the fixture corpus — m=4/k=8 0.0,
+# m=8/k=8 0.0, m=16/k=8 0.4 at identical 512-double codebook size)
+PQ_SUBDIM = 4  # dims per subspace (embeddings are 64-wide)
+PQ_DIM = PQ_M * PQ_SUBDIM
+PQ_K = 8  # codes per subspace codebook
+PQ_TOPK = 5
+PQ_PROBE_ID = 42  # same probe as the IVF family
+_SQL_INF = "CAST('infinity' AS DOUBLE)"
+
+
+def _pq_l2(a, b):
+    """Squared L2 between two double-array columns: element squares
+    via zip_with (evaluated once per element), left-to-right double
+    fold from 0.0 — the ordered spelling DuckDB's
+    list_sum(list_transform(range ...)) reproduces bit-exactly (the
+    sim_cosine_topk parity discipline, PQ's L2 flavor)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_dsub(col: str, s: int):
+    """Double-promoted 16-wide subvector ``s`` of a float-array col."""
+    return F.transform(
+        F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM),
+        lambda x: x.cast("double"),
+    )
+
+
+def _pq_valid(e: DataFrame) -> DataFrame:
+    """Serving-set filter: well-formed vectors only (present, full
+    width, no NULL elements). Non-finite VALUES stay in — they fall
+    out through the strictly-less-than-inf code-assignment guard,
+    mirrored on both engines (NaN sorts greatest in both, so
+    ``d < inf`` is false for NaN and ±Inf alike)."""
+    return e.where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == PQ_DIM)
+        & F.forall("embedding", lambda x: x.isNotNull())
+    )
+
+
+def pq_codebook_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Train the m×k product-quantization codebook and return it as a
+    sorted python list of ``(sub, cent_id, [16 doubles])`` — the
+    build-once artifact PQ deployments persist (faiss trains, then
+    ships the codebook to every search node; here it ships into the
+    serving plan as literals). Cached per fixture (functions/cache.py)
+    like the trained IVF centroids.
+
+    ONE grouped job trains all m codebooks — ``sub`` is just another
+    grouping key: subvectors explode map-side (posexplode over the m
+    slices, no shuffle), seeds are the subvectors of vec_id 0..k-1,
+    one Lloyd step assigns each subvector to its L2-nearest seed
+    (broadcast join + per-(vec, sub) argmin) and re-means per
+    (sub, cent_id, pos) with decimal-exact sums — the shuffle carries
+    O(m·k·subdim) partials per task, never the corpus. The driver
+    syncs m·k·subdim = 512 doubles (corpus-size-independent). A
+    drained centroid drops out (standard k-means degeneracy).
+    Training rows additionally require all-finite elements (a decimal
+    mean over NaN/Inf is undefined); the oracle mirrors the filter."""
+    from map_reduce_subnet_spark.functions.cache import (
+        fixture_cache_dir,
+        is_cached,
+    )
+
+    cent_schema = "sub long, cent_id long, cent array<double>"
+    cache = fixture_cache_dir(
+        sf_dir, "embeddings", f"pq{PQ_M}x{PQ_K}x{PQ_SUBDIM}i1"
+    )
+    if is_cached(cache):
+        rows = spark.read.schema(cent_schema).parquet(cache).collect()
+    else:
+        e = _pq_valid(load_table(spark, sf_dir, "embeddings"))
+        train = e.where(
+            F.forall(
+                "embedding",
+                lambda x: F.abs(x.cast("double")) < F.lit(float("inf")),
+            )
+        )
+        subs = train.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[_pq_dsub("embedding", s) for s in range(PQ_M)])
+            ).alias("sub", "subvec"),
+        ).select(
+            "vec_id", F.col("sub").cast("long").alias("sub"), "subvec"
+        )
+        seeds = subs.where(F.col("vec_id") < PQ_K).select(
+            "sub",
+            F.col("vec_id").cast("long").alias("cent_id"),
+            F.col("subvec").alias("cent"),
+        )
+        scored = (
+            subs.alias("v")
+            .join(F.broadcast(seeds.alias("c")), "sub")
+            .select(
+                "sub",
+                F.col("v.vec_id").alias("vec_id"),
+                F.col("v.subvec").alias("subvec"),
+                F.col("c.cent_id").alias("cent_id"),
+                _pq_l2(F.col("v.subvec"), F.col("c.cent")).alias("d"),
+            )
+            .where(F.col("d") < F.lit(float("inf")))
+        )
+        wass = Window.partitionBy("vec_id", "sub").orderBy(
+            F.asc("d"), F.asc("cent_id")
+        )
+        assign1 = (
+            scored.withColumn("rn", F.row_number().over(wass))
+            .where(F.col("rn") == 1)
+        )
+        means = (
+            assign1.select(
+                "sub", "cent_id", F.posexplode("subvec").alias("pos", "x")
+            )
+            .groupBy("sub", "cent_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast(SUM_DECIMAL)).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        cents = (
+            means.groupBy("sub", "cent_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias(
+                    "pm"
+                )
+            )
+            .select(
+                "sub",
+                "cent_id",
+                F.transform("pm", lambda t: t["m"]).alias("cent"),
+            )
+        )
+        rows = cents.collect()
+        spark.createDataFrame(rows, cent_schema).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    return sorted(
+        ((r["sub"], r["cent_id"], list(r["cent"])) for r in rows),
+        key=lambda t: (t[0], t[1]),
+    )
+
+
+def _pq_sql_l2(a: str, b: str, n: int = PQ_SUBDIM) -> str:
+    """Ordered squared-L2 fold between two double-list SQL exprs."""
+    return (
+        f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_sql_subvec(col: str) -> str:
+    """Double-promoted subvector slice of a FLOAT[] column at the
+    (cross-joined) subspace index ``s.sub``."""
+    return (
+        f"list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> CAST({col}[i + s.sub * {PQ_SUBDIM}] AS DOUBLE))"
+    )
+
+
+def _pq_oracle() -> str:
+    subs_tbl = f"(SELECT unnest(range(0, {PQ_M})) AS sub) s"
+    d_vc = _pq_sql_l2("v.subvec", "c.cent")
+    exact = (
+        f"list_sum(list_transform(range(1, {PQ_DIM} + 1), "
+        f"i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(probe.p[i] AS DOUBLE))"
+        f" * (CAST(v.embedding[i] AS DOUBLE) - CAST(probe.p[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH valid AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {PQ_DIM}
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+train AS (
+    SELECT vec_id, embedding FROM valid
+    WHERE len(list_filter(embedding,
+          x -> NOT (abs(CAST(x AS DOUBLE)) < {_SQL_INF}))) = 0
+),
+subsq AS (
+    SELECT t.vec_id, s.sub, {_pq_sql_subvec("t.embedding")} AS subvec
+    FROM train t CROSS JOIN {subs_tbl}
+),
+seeds AS (
+    SELECT sub, CAST(vec_id AS BIGINT) AS cent_id, subvec AS cent
+    FROM subsq WHERE vec_id < {PQ_K}
+),
+assign1 AS (
+    SELECT sub, vec_id, subvec, cent_id FROM (
+        SELECT v.sub, v.vec_id, v.subvec, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.sub
+                   ORDER BY {d_vc} ASC, c.cent_id ASC
+               ) AS rn
+        FROM subsq v JOIN seeds c ON v.sub = c.sub
+        WHERE {d_vc} < {_SQL_INF}
+    ) WHERE rn = 1
+),
+means1 AS (
+    SELECT a.sub, a.cent_id, p.pos,
+           CAST(SUM(CAST(a.subvec[p.pos] AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM assign1 a
+    CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS pos) p
+    GROUP BY 1, 2, 3
+),
+cents1 AS (
+    SELECT sub, cent_id, list(m ORDER BY pos) AS cent
+    FROM means1 GROUP BY sub, cent_id
+),
+servee AS (
+    SELECT v.vec_id, s.sub, {_pq_sql_subvec("v.embedding")} AS subvec
+    FROM valid v CROSS JOIN {subs_tbl}
+),
+probe AS (SELECT embedding AS p FROM valid WHERE vec_id = {PQ_PROBE_ID}),
+psubs AS (
+    SELECT s.sub, {_pq_sql_subvec("probe.p")} AS psub
+    FROM probe CROSS JOIN {subs_tbl}
+),
+dtab AS (
+    SELECT c.sub, c.cent_id,
+           CAST((CASE WHEN ISFINITE({_pq_sql_l2("ps.psub", "c.cent")})
+                 THEN {_pq_sql_l2("ps.psub", "c.cent")} END)
+                AS DECIMAL(27,6)) AS qpd
+    FROM cents1 c JOIN psubs ps ON ps.sub = c.sub
+),
+codes AS (
+    SELECT sub, vec_id, cent_id FROM (
+        SELECT v.sub, v.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.sub
+                   ORDER BY {d_vc} ASC, c.cent_id ASC
+               ) AS rn
+        FROM servee v JOIN cents1 c ON v.sub = c.sub
+        WHERE {d_vc} < {_SQL_INF}
+    ) WHERE rn = 1
+),
+adists AS (
+    SELECT k.vec_id,
+           CASE WHEN COUNT(*) = {PQ_M} AND COUNT(d.qpd) = {PQ_M}
+                THEN CAST(SUM(d.qpd) AS DOUBLE) END AS adist
+    FROM codes k JOIN dtab d ON d.sub = k.sub AND d.cent_id = k.cent_id
+    GROUP BY k.vec_id
+)
+SELECT a.vec_id, a.adist, {exact} AS exact_l2
+FROM adists a JOIN valid v ON v.vec_id = a.vec_id, probe
+WHERE a.adist IS NOT NULL AND a.vec_id <> {PQ_PROBE_ID}
+ORDER BY a.adist ASC, a.vec_id ASC
+LIMIT {PQ_TOPK}
+"""
+
+
+@query("sim_ann_pq_adc", oracle=_pq_oracle())
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN with asymmetric distance (the
+    FAISS-style PQ/ADC leg the IVF and LSH families don't cover):
+    embeddings are cut into m=16 subspaces of 4 dims, each subspace
+    gets a k=8 codebook (seeded from vec_id 0..7, one distributed
+    Lloyd refinement — pq_codebook_rows), every corpus vector is
+    encoded as 16 one-byte codes, and the probe (vec_id 42, kept
+    full-precision: ASYMMETRIC distance, the standard serving setup)
+    ranks the corpus by the sum of its per-subspace
+    probe-to-centroid distances — a table of m·k = 128 lookups
+    replaces the 64-dim arithmetic per candidate. Output: top-5 by
+    approximate distance plus each winner's exact L2, so the row
+    prices the quantization error directly.
+
+    Scale shape: training is the one grouped job documented on
+    pq_codebook_rows; SERVING IS ZERO-SHUFFLE, ZERO-JOIN — the probe
+    is one collected row and the ADC distance table (128 doubles) is
+    computed driver-side (exactly the table a PQ deployment ships to
+    its search nodes), so the whole search compiles to scan-local
+    ARITHMETIC on element_at(embedding, i): no HOF lambdas, no
+    crossJoin, per-subspace argmin as array_min over 8 literal-coded
+    candidate structs, then TakeOrdered for the top-5. The corpus is
+    read once and never exchanged. (A first cut kept the probe
+    in-plan via crossJoin + zip_with/aggregate folds: 4 s of literal
+    plan build + ~5 s interpreted-HOF execution at sf0.1 on ONE
+    5000-row partition — this spelling is ~20x cheaper and scales as
+    a pure scan.)
+
+    Determinism: the driver-side distance-table fold is the same
+    left-to-right IEEE-double program both engines run in-plan (a
+    collected float32 promotes exactly; repr round-trips exactly
+    through the SQL literal), per-row distances are identical ordered
+    arithmetic on both engines, and the cross-subspace ADC sum
+    quantizes each table entry to DECIMAL(27,6) first (exact,
+    order-free). Argmin ties break to the lowest cent_id (array_min
+    over (d, cent_id, qpd) structs ≡ the oracle's ROW_NUMBER
+    (d, cent_id)); vectors with any non-finite subspace distance
+    lose all codes and drop out (the d < inf guard,
+    NaN-sorts-greatest on both engines)."""
+    e = _pq_valid(load_table(spark, sf_dir, "embeddings"))
+    out_schema = "vec_id long, adist double, exact_l2 double"
+    cb = pq_codebook_rows(spark, sf_dir)
+    probe_rows = (
+        e.where(F.col("vec_id") == PQ_PROBE_ID).select("embedding").collect()
+    )
+    by_sub: dict = {}
+    for sub, cid, cent in cb:
+        by_sub.setdefault(sub, []).append((cid, cent))
+    if not probe_rows or set(by_sub) != set(range(PQ_M)):
+        # no probe, or a fully-drained subspace: the oracle's
+        # COUNT(*) = m condition can never hold — empty on both sides
+        return spark.createDataFrame([], out_schema)
+    p = [float(x) for x in probe_rows[0][0]]
+
+    def dbl(v: float) -> str:
+        """Exact SQL double literal (repr round-trips; string cast
+        keeps Spark from parsing a plain decimal literal as DECIMAL).
+        """
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def elem(idx: int) -> str:
+        return f"CAST(element_at(embedding, {idx}) AS DOUBLE)"
+
+    best_sql = {}
+    for sub in range(PQ_M):
+        cands = []
+        for cid, cent in by_sub[sub]:
+            terms = []
+            acc = 0.0
+            for i in range(PQ_SUBDIM):
+                idx = sub * PQ_SUBDIM + i + 1
+                c = dbl(cent[i])
+                terms.append(f"(({elem(idx)} - {c}) * ({elem(idx)} - {c}))")
+                # the same left-to-right fold as the oracle's
+                # list_sum — t*t, never t**2 (pow can differ)
+                t = (p[sub * PQ_SUBDIM + i] - cent[i])
+                acc = acc + t * t
+            d = " + ".join(terms)  # left-assoc chain == ordered fold
+            qpd = (
+                f"CAST({dbl(acc)} AS DECIMAL(27,6))"
+                if acc == acc and abs(acc) != float("inf")
+                else "CAST(NULL AS DECIMAL(27,6))"
+            )
+            cands.append(
+                f"named_struct('d', {d}, 'cent_id', {int(cid)}L, "
+                f"'qpd', {qpd})"
+            )
+        best_sql[sub] = f"array_min(array({', '.join(cands)}))"
+
+    exact_sql = " + ".join(
+        f"(({elem(i + 1)} - {dbl(p[i])}) * ({elem(i + 1)} - {dbl(p[i])}))"
+        for i in range(PQ_DIM)
+    )
+    sel = e.where(F.col("vec_id") != PQ_PROBE_ID).select(
+        "vec_id",
+        F.expr(exact_sql).alias("exact_l2"),
+        *[F.expr(best_sql[sub]).alias(f"b{sub}") for sub in range(PQ_M)],
+    )
+    inf = F.lit(float("inf"))
+    qpds = [
+        F.when(F.col(f"b{sub}")["d"] < inf, F.col(f"b{sub}")["qpd"])
+        for sub in range(PQ_M)
+    ]
+    adist_dec = qpds[0]
+    for q in qpds[1:]:
+        adist_dec = adist_dec + q
+    return (
+        sel.select(
+            "vec_id",
+            adist_dec.cast("double").alias("adist"),
+            "exact_l2",
+        )
+        .where(F.col("adist").isNotNull())
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
     )

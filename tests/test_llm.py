@@ -1673,3 +1673,116 @@ def test_sequence_pack_handles_sparse_clustered_doc_ids(spark, tmp_path):
         cum += n
     # the corpus really crosses sequence boundaries
     assert int(got["n_seqs_spanned"].max()) >= 1 and cum > SEQ_PACK_LEN
+
+
+def test_prefix_truncation_flags_planted_chain(spark, tmp_path):
+    """dedup_prefix_truncation on a crafted corpus with a known
+    truncation chain: every truncated capture resolves to the LONGEST
+    superstring doc, an exact-dup pair is NOT flagged against itself
+    (equal length — dedup_exact's job), a word-boundary bait ('ta' is
+    a character-prefix but not a word-prefix of 'tail') stays
+    unflagged, and sub-minimum-length docs opt out entirely."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7"  # exactly PREFIX_MIN_WORDS words
+    docs = [
+        (0, base + " tail one"),              # truncated capture (10w)
+        (1, base),                            # shortest chain member (8w)
+        (2, base + " tail one two three"),    # the full page (12w)
+        (3, "v0 v1 v2 v3 v4 v5 v6 v7 x"),     # different prefix bucket
+        (4, "a b c"),                         # < 8 words: opted out
+        (5, base + " tail one"),              # exact dup of doc 0
+        (6, base + " ta"),                    # boundary bait (9w)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": "en",
+            "source": "crafted",
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = (
+        QUERIES["dedup_prefix_truncation"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # docs 0, 1, 5 are word-prefixes of doc 2 (the longest) — doc 6 is
+    # a prefix-CHARACTER match only, docs 2/3 are nobody's prefix
+    assert sorted(got.index) == [0, 1, 5]
+    assert set(got["canonical_id"]) == {2}
+    assert got.loc[1, "n_words"] == 8
+    assert int(got.loc[0, "canon_n_words"]) == 12
+    # doc 1 is ALSO a prefix of docs 0, 5 and 6 — the canon pick must
+    # have chosen the longest (doc 2), not the lowest id (doc 0)
+    assert int(got.loc[1, "canonical_id"]) == 2
+
+
+def test_pq_adc_exact_on_clustered_corpus(spark, tmp_path):
+    """sim_ann_pq_adc on a corpus of 8 EXACT clusters (embedding =
+    [i % 8] * 64): one Lloyd step reproduces the cluster patterns as
+    centroids exactly, every vector quantizes losslessly, and the
+    probe's cluster-mates win with adist = exact_l2 = 0 in vec_id
+    order — pins the ADC arithmetic, the tie-break, and the
+    probe-exclusion in one deterministic case."""
+    n = 48
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [
+                np.full(64, float(i % 8), dtype=np.float32)
+                for i in range(n)
+            ],
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    got = QUERIES["sim_ann_pq_adc"](spark, str(tmp_path)).toPandas()
+    # probe 42 sits in cluster 42 % 8 = 2: its mates are 2, 10, 18,
+    # 26, 34 (adist ties broken by vec_id)
+    assert list(got["vec_id"]) == [2, 10, 18, 26, 34]
+    assert (got["adist"] == 0.0).all()
+    assert (got["exact_l2"] == 0.0).all()
+
+
+def test_pq_adc_fixture_top5_is_deterministic_and_priced(spark):
+    """sim_ann_pq_adc on the real fixture: 5 rows, ranked by adist
+    with the probe excluded, each winner's exact_l2 reproduced by a
+    bit-exact python fold over the raw parquet floats (the same
+    left-to-right promoted-double program both engines run), and a
+    second invocation (codebook served from the fixture cache)
+    returns the identical frame."""
+    got = QUERIES["sim_ann_pq_adc"](spark, SF_DIR).toPandas()
+    assert len(got) == 5
+    assert 42 not in set(got["vec_id"])
+    assert list(got["adist"]) == sorted(got["adist"])
+    assert (got["adist"] >= 0).all()
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    vecs = dict(zip(emb["vec_id"], emb["embedding"]))
+    probe = [float(x) for x in vecs[42]]
+    for _, row in got.iterrows():
+        v = [float(x) for x in vecs[row["vec_id"]]]
+        acc = 0.0
+        for a, b in zip(v, probe):
+            t = a - b
+            acc = acc + t * t
+        assert acc == row["exact_l2"]
+    again = QUERIES["sim_ann_pq_adc"](spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_pq_adc_missing_probe_yields_empty(spark, tmp_path):
+    """No vec_id-42 row: the oracle's probe CTE is empty, so the
+    engine must return ZERO rows with the declared schema (not fail
+    and not invent a probe)."""
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(10, dtype=np.int64),
+            "embedding": [
+                np.ones(64, dtype=np.float32) * i for i in range(10)
+            ],
+            "label": np.zeros(10, dtype=np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    got = QUERIES["sim_ann_pq_adc"](spark, str(tmp_path)).toPandas()
+    assert len(got) == 0
+    assert list(got.columns) == ["vec_id", "adist", "exact_l2"]
