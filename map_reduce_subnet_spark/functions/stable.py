@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 # 21 integer digits + 6 fraction digits: exact for |x| < 1e21 summands;
 # Spark widens sum(decimal(27,6)) within decimal(38,6) bounds for ~1e11
 # rows per group — ample at 100 TB.
+#
+# CROSS-ENGINE PORTABILITY DOMAIN (measured r12, scripts/
+# overflow_probe.py): the differential contract additionally assumes
+# the double→DECIMAL(27,6) cast itself rounds identically in both
+# engines. Spark converts through BigDecimal (exact); DuckDB SCALES IN
+# FLOATING POINT (x·10⁶ as a double, then rounds), so the two casts
+# agree only while x·10⁶ is exactly representable — |x| ≲ 2⁵³/10⁶ ≈
+# 9.0e9. Measured: CAST(1e20 AS DECIMAL(27,6)) is exactly 1e20 in
+# Spark but 100000000000000004764.729344 in DuckDB (8 keys drift in
+# the last 2 ulps at 1e20 magnitude). At |x| ≥ 1e21 BOTH engines
+# abort the cast (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE, DuckDB
+# ConversionException) — a symmetric refusal, not a divergence. The
+# fixture magnitudes (~5e4) sit 5 orders inside the exact band; the
+# r13 out-of-domain round decides saturate-vs-exclude semantics for
+# the band edge (NOTES.md "EXTREME-MAGNITUDE PROBE").
 SUM_DECIMAL = "decimal(27,6)"
 
 
