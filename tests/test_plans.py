@@ -343,3 +343,28 @@ def test_cms_heavy_hitters_bounds_and_determinism(spark):
     assert all(r["n_events"] > 0 for r in a)
     b = QUERIES["agg_cms_heavy_hitters"](spark, SF_DIR).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_adc_serving_is_zero_shuffle(spark):
+    """sim_ann_pq_adc's serving claim, pinned mechanically: the
+    search is ONE corpus scan — codebook and ADC table live in the
+    plan as literals (the training job runs separately and caches),
+    so the serving plan must contain NO shuffle exchange, NO join of
+    any kind, and end in a TakeOrderedAndProject. This is the plan
+    that survives 100 TB: scan-local arithmetic + a bounded top-k."""
+    plan = formatted_plan(q(spark, "sim_ann_pq_adc"))
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_prefix_truncation_pairs_join_broadcast_side(spark):
+    """dedup_prefix_truncation's verify step joins the RARE candidate
+    pair table back to the corpus — the pair side must broadcast (the
+    corpus never reshuffles for the verify), and candidate generation
+    must stay bucketed: no cartesian product anywhere in the plan."""
+    df = q(spark, "dedup_prefix_truncation")
+    assert not has_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
