@@ -7073,35 +7073,46 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").alias("b_n"),
     )
     joined = pairs.join(a, "a_id").join(b, "b_id")
+    # ONE pass decides the pair's direction (a union of the two
+    # directions would duplicate the whole candidate-generation
+    # subtree — Spark re-scans and re-shuffles the corpus once per
+    # union leg; the strict length inequality makes the directions
+    # mutually exclusive, so a CASE picks the (dup, canon) roles per
+    # row instead)
     space = F.lit(" ")
-    fwd = joined.where(
-        (F.length("b_text") > F.length("a_text"))
-        & F.concat(F.col("b_text"), space).startswith(
-            F.concat(F.col("a_text"), space)
-        )
-    ).select(
-        F.col("a_id").alias("doc_id"),
-        F.col("b_id").alias("canonical_id"),
-        F.col("a_n").alias("n_words"),
-        F.col("b_n").alias("canon_n_words"),
+    a_first = (F.length("b_text") > F.length("a_text")) & F.concat(
+        F.col("b_text"), space
+    ).startswith(F.concat(F.col("a_text"), space))
+    b_first = (F.length("a_text") > F.length("b_text")) & F.concat(
+        F.col("a_text"), space
+    ).startswith(F.concat(F.col("b_text"), space))
+    role = F.when(
+        a_first,
+        F.struct(
+            F.col("a_id").alias("doc_id"),
+            F.col("b_id").alias("canonical_id"),
+            F.col("a_n").alias("n_words"),
+            F.col("b_n").alias("canon_n_words"),
+        ),
+    ).when(
+        b_first,
+        F.struct(
+            F.col("b_id").alias("doc_id"),
+            F.col("a_id").alias("canonical_id"),
+            F.col("b_n").alias("n_words"),
+            F.col("a_n").alias("canon_n_words"),
+        ),
     )
-    rev = joined.where(
-        (F.length("a_text") > F.length("b_text"))
-        & F.concat(F.col("a_text"), space).startswith(
-            F.concat(F.col("b_text"), space)
-        )
-    ).select(
-        F.col("b_id").alias("doc_id"),
-        F.col("a_id").alias("canonical_id"),
-        F.col("b_n").alias("n_words"),
-        F.col("a_n").alias("canon_n_words"),
+    dirs = (
+        joined.select(role.alias("r"))
+        .where(F.col("r").isNotNull())
+        .select("r.doc_id", "r.canonical_id", "r.n_words", "r.canon_n_words")
     )
     wpick = Window.partitionBy("doc_id").orderBy(
         F.desc("canon_n_words"), F.asc("canonical_id")
     )
     return (
-        fwd.unionByName(rev)
-        .withColumn("rn", F.row_number().over(wpick))
+        dirs.withColumn("rn", F.row_number().over(wpick))
         .where(F.col("rn") == 1)
         .select("doc_id", "canonical_id", "n_words", "canon_n_words")
     )
@@ -7371,126 +7382,246 @@ LIMIT {PQ_TOPK}
 """
 
 
+def _pq_dbl(v: float) -> str:
+    """Exact SQL double literal (repr round-trips; the string cast
+    keeps Spark from parsing a plain decimal literal as DECIMAL)."""
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _pq_elem(idx: int) -> str:
+    return f"CAST(element_at(embedding, {idx}) AS DOUBLE)"
+
+
+def _pq_d_sql(sub: int, cent: list) -> str:
+    """Squared-L2 between the row's subspace ``sub`` slice and a
+    literal centroid, as a left-associated SQL chain — the same
+    ordered fold as the oracle's list_sum(list_transform(range ...))."""
+    terms = []
+    for i in range(PQ_SUBDIM):
+        idx = sub * PQ_SUBDIM + i + 1
+        c = _pq_dbl(cent[i])
+        terms.append(f"(({_pq_elem(idx)} - {c}) * ({_pq_elem(idx)} - {c}))")
+    return " + ".join(terms)
+
+
+def _pq_best_sql(sub: int, cands: list) -> str:
+    """SQL expr for the row's best (d, cent_id) struct in subspace
+    ``sub``: argmin over the literal codebook via array_min (ties to
+    the lowest cent_id ≡ the oracle's ROW_NUMBER (d, cent_id))."""
+    structs = [
+        f"named_struct('d', {_pq_d_sql(sub, cent)}, 'cent_id', {int(cid)}L)"
+        for cid, cent in cands
+    ]
+    return f"array_min(array({', '.join(structs)}))"
+
+
+def pq_codes_cached(spark: SparkSession, sf_dir: str, _by_sub=None):
+    """The ENCODED CORPUS — the product-quantized index itself:
+    one row per valid vector, ``vec_id`` plus m nullable code ids
+    (NULL when every candidate distance in that subspace is
+    non-finite, the d < inf guard). Built ONCE per fixture and
+    cached (functions/cache.py): encoding pays the full
+    m·k·subdim-flop argmin expression per vector exactly once — a
+    real PQ deployment stores this table next to the codebook and
+    serves every query from it, never re-touching the raw vectors
+    except to fetch the winners. The build repartitions to the
+    session's parallelism first (an index build is allowed its one
+    corpus pass; the serving side never shuffles anything).
+    Returns None when the codebook is degenerate (a fully-drained
+    subspace — the oracle's COUNT(*) = m can then never hold)."""
+    from map_reduce_subnet_spark.functions.cache import (
+        fixture_cache_dir,
+        is_cached,
+    )
+
+    by_sub = _by_sub
+    if by_sub is None:
+        by_sub = {}
+        for sub, cid, cent in pq_codebook_rows(spark, sf_dir):
+            by_sub.setdefault(sub, []).append((cid, cent))
+    if set(by_sub) != set(range(PQ_M)):
+        return None
+    schema = "vec_id long, " + ", ".join(
+        f"c{s} long" for s in range(PQ_M)
+    )
+    cache = fixture_cache_dir(
+        sf_dir, "embeddings", f"pqcodes{PQ_M}x{PQ_K}x{PQ_SUBDIM}i1"
+    )
+    if not is_cached(cache):
+        e = _pq_valid(load_table(spark, sf_dir, "embeddings"))
+        n = spark.sparkContext.defaultParallelism
+        # two-step select: the argmin struct materializes ONCE per
+        # subspace in the inner projection; the outer CASE reads its
+        # fields (Spark >=3.3's CollapseProject keeps the split —
+        # non-cheap expressions referenced twice are not re-inlined,
+        # so the encode pays each argmin exactly once per vector)
+        best = e.repartition(n).selectExpr(
+            "CAST(vec_id AS BIGINT) AS vec_id",
+            *[
+                f"{_pq_best_sql(s, by_sub[s])} AS b{s}"
+                for s in range(PQ_M)
+            ],
+        )
+        best.selectExpr(
+            "vec_id",
+            *[
+                f"(CASE WHEN b{s}.d < {_SQL_INF} THEN b{s}.cent_id END)"
+                f" AS c{s}"
+                for s in range(PQ_M)
+            ],
+        ).write.mode("overwrite").parquet(cache)
+    return spark.read.schema(schema).parquet(cache)
+
+
+def _pq_serving_state(spark: SparkSession, sf_dir: str):
+    """Probe + codebook + the driver-side ADC distance table, or None
+    when the query is degenerate (no valid probe / drained subspace).
+    The per-(sub, cent) probe distance is the same left-to-right
+    IEEE-double fold both engines run in-plan (a collected float32
+    promotes exactly; t*t, never t**2), quantized to DECIMAL(27,6)
+    exactly like the oracle's dtab CTE (NULL when non-finite)."""
+    cb = pq_codebook_rows(spark, sf_dir)
+    by_sub: dict = {}
+    for sub, cid, cent in cb:
+        by_sub.setdefault(sub, []).append((cid, cent))
+    if set(by_sub) != set(range(PQ_M)):
+        return None
+    probe_rows = (
+        _pq_valid(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id") == PQ_PROBE_ID)
+        .select("embedding")
+        .collect()
+    )
+    if not probe_rows:
+        return None
+    p = [float(x) for x in probe_rows[0][0]]
+    qpd_sql: dict = {}
+    for sub in range(PQ_M):
+        per_cent = {}
+        for cid, cent in by_sub[sub]:
+            acc = 0.0
+            for i in range(PQ_SUBDIM):
+                t = p[sub * PQ_SUBDIM + i] - cent[i]
+                acc = acc + t * t
+            per_cent[int(cid)] = (
+                f"CAST({_pq_dbl(acc)} AS DECIMAL(27,6))"
+                if acc == acc and abs(acc) != float("inf")
+                else "CAST(NULL AS DECIMAL(27,6))"
+            )
+        qpd_sql[sub] = per_cent
+    return {"by_sub": by_sub, "p": p, "qpd_sql": qpd_sql}
+
+
+def pq_adc_ranked(spark: SparkSession, sf_dir: str, _st=None):
+    """Phase a of the PQ search — the plan the 100 TB claim is about:
+    scan the 16-byte-per-row code table, turn each row's m codes into
+    m DECIMAL lookups against the literal ADC table (one CASE per
+    subspace, codegen-trivial), sum (NULL-propagating: a vector
+    missing any code drops out, the oracle's COUNT(*) = m), and
+    TakeOrdered the top-k. No join, no exchange, no HOF — the raw
+    vectors are never read. None when degenerate."""
+    st = _st if _st is not None else _pq_serving_state(spark, sf_dir)
+    if st is None:
+        return None
+    codes = pq_codes_cached(spark, sf_dir, _by_sub=st["by_sub"])
+    if codes is None:
+        return None
+    qpds = []
+    for sub in range(PQ_M):
+        whens = " ".join(
+            f"WHEN {cid} THEN {lit}"
+            for cid, lit in sorted(st["qpd_sql"][sub].items())
+        )
+        qpds.append(
+            F.expr(
+                f"(CASE c{sub} {whens} "
+                f"ELSE CAST(NULL AS DECIMAL(27,6)) END)"
+            )
+        )
+    adist_dec = qpds[0]
+    for q in qpds[1:]:
+        adist_dec = adist_dec + q
+    return (
+        codes.where(F.col("vec_id") != PQ_PROBE_ID)
+        .select("vec_id", adist_dec.cast("double").alias("adist"))
+        .where(F.col("adist").isNotNull())
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
+    )
+
+
 @query("sim_ann_pq_adc", oracle=_pq_oracle())
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZATION ANN with asymmetric distance (the
     FAISS-style PQ/ADC leg the IVF and LSH families don't cover):
     embeddings are cut into m=16 subspaces of 4 dims, each subspace
     gets a k=8 codebook (seeded from vec_id 0..7, one distributed
-    Lloyd refinement — pq_codebook_rows), every corpus vector is
-    encoded as 16 one-byte codes, and the probe (vec_id 42, kept
-    full-precision: ASYMMETRIC distance, the standard serving setup)
-    ranks the corpus by the sum of its per-subspace
-    probe-to-centroid distances — a table of m·k = 128 lookups
-    replaces the 64-dim arithmetic per candidate. Output: top-5 by
-    approximate distance plus each winner's exact L2, so the row
-    prices the quantization error directly.
+    Lloyd refinement — pq_codebook_rows), the corpus is encoded ONCE
+    into m one-byte codes per vector (pq_codes_cached — the
+    quantized index a PQ deployment persists), and the probe
+    (vec_id 42, kept full-precision: ASYMMETRIC distance) ranks the
+    corpus by summing m table lookups per candidate. Output: top-5
+    by approximate distance plus each winner's exact L2, so the row
+    prices the quantization error directly (measured recall@5 0.4 on
+    the iid fixture — random embeddings are PQ's hard case).
 
-    Scale shape: training is the one grouped job documented on
-    pq_codebook_rows; SERVING IS ZERO-SHUFFLE, ZERO-JOIN — the probe
-    is one collected row and the ADC distance table (128 doubles) is
-    computed driver-side (exactly the table a PQ deployment ships to
-    its search nodes), so the whole search compiles to scan-local
-    ARITHMETIC on element_at(embedding, i): no HOF lambdas, no
-    crossJoin, per-subspace argmin as array_min over 8 literal-coded
-    candidate structs, then TakeOrdered for the top-5. The corpus is
-    read once and never exchanged. (A first cut kept the probe
-    in-plan via crossJoin + zip_with/aggregate folds: 4 s of literal
-    plan build + ~5 s interpreted-HOF execution at sf0.1 on ONE
-    5000-row partition — this spelling is ~20x cheaper and scales as
-    a pure scan.)
+    Scale shape, three strictly-separated passes:
+    (1) TRAIN — one grouped job (pq_codebook_rows), cached;
+    (2) ENCODE — one corpus pass paying the argmin expression per
+        vector ONCE (pq_codes_cached), cached: the index build;
+    (3) SERVE — scan the CODE table (16 bytes/row, not 256), m CASE
+        lookups + a decimal sum per row, TakeOrdered top-5: no join,
+        no exchange, no HOF lambdas (pq_adc_ranked); then ONE
+        point-lookup scan of the raw corpus fetches exactly the 5
+        winners via a pushed vec_id IN filter (row-group stats skip
+        everything else at scale) to attach exact_l2. The first
+        serving spelling inlined the full argmin arithmetic into the
+        serving scan — 70 s at the 10x rehearsal scale on one
+        partition; the encoded-index spelling serves from ~1/16th
+        the bytes with ~50 flops/row and re-reads raw vectors for 5
+        rows only.
 
-    Determinism: the driver-side distance-table fold is the same
-    left-to-right IEEE-double program both engines run in-plan (a
-    collected float32 promotes exactly; repr round-trips exactly
-    through the SQL literal), per-row distances are identical ordered
-    arithmetic on both engines, and the cross-subspace ADC sum
-    quantizes each table entry to DECIMAL(27,6) first (exact,
-    order-free). Argmin ties break to the lowest cent_id (array_min
-    over (d, cent_id, qpd) structs ≡ the oracle's ROW_NUMBER
-    (d, cent_id)); vectors with any non-finite subspace distance
-    lose all codes and drop out (the d < inf guard,
-    NaN-sorts-greatest on both engines)."""
-    e = _pq_valid(load_table(spark, sf_dir, "embeddings"))
+    Determinism: training means are decimal-exact; encoding argmin
+    ties break to the lowest cent_id (array_min over (d, cent_id) ≡
+    the oracle's ROW_NUMBER (d, cent_id)) with the d < inf guard
+    (NaN-sorts-greatest on both engines) nulling the code when no
+    candidate distance is finite; the ADC sum quantizes each
+    driver-computed probe distance to DECIMAL(27,6) first (exact,
+    order-free, NULL-propagating) exactly like the oracle's dtab;
+    every per-row float op is the identical ordered fold on both
+    engines, and repr round-trips every literal exactly."""
     out_schema = "vec_id long, adist double, exact_l2 double"
-    cb = pq_codebook_rows(spark, sf_dir)
-    probe_rows = (
-        e.where(F.col("vec_id") == PQ_PROBE_ID).select("embedding").collect()
-    )
-    by_sub: dict = {}
-    for sub, cid, cent in cb:
-        by_sub.setdefault(sub, []).append((cid, cent))
-    if not probe_rows or set(by_sub) != set(range(PQ_M)):
-        # no probe, or a fully-drained subspace: the oracle's
-        # COUNT(*) = m condition can never hold — empty on both sides
+    st = _pq_serving_state(spark, sf_dir)
+    ranked = pq_adc_ranked(spark, sf_dir, _st=st)
+    if ranked is None:
         return spark.createDataFrame([], out_schema)
-    p = [float(x) for x in probe_rows[0][0]]
-
-    def dbl(v: float) -> str:
-        """Exact SQL double literal (repr round-trips; string cast
-        keeps Spark from parsing a plain decimal literal as DECIMAL).
-        """
-        if v != v:
-            return "CAST('NaN' AS DOUBLE)"
-        if v == float("inf"):
-            return "CAST('Infinity' AS DOUBLE)"
-        if v == float("-inf"):
-            return "CAST('-Infinity' AS DOUBLE)"
-        return f"CAST('{v!r}' AS DOUBLE)"
-
-    def elem(idx: int) -> str:
-        return f"CAST(element_at(embedding, {idx}) AS DOUBLE)"
-
-    best_sql = {}
-    for sub in range(PQ_M):
-        cands = []
-        for cid, cent in by_sub[sub]:
-            terms = []
-            acc = 0.0
-            for i in range(PQ_SUBDIM):
-                idx = sub * PQ_SUBDIM + i + 1
-                c = dbl(cent[i])
-                terms.append(f"(({elem(idx)} - {c}) * ({elem(idx)} - {c}))")
-                # the same left-to-right fold as the oracle's
-                # list_sum — t*t, never t**2 (pow can differ)
-                t = (p[sub * PQ_SUBDIM + i] - cent[i])
-                acc = acc + t * t
-            d = " + ".join(terms)  # left-assoc chain == ordered fold
-            qpd = (
-                f"CAST({dbl(acc)} AS DECIMAL(27,6))"
-                if acc == acc and abs(acc) != float("inf")
-                else "CAST(NULL AS DECIMAL(27,6))"
-            )
-            cands.append(
-                f"named_struct('d', {d}, 'cent_id', {int(cid)}L, "
-                f"'qpd', {qpd})"
-            )
-        best_sql[sub] = f"array_min(array({', '.join(cands)}))"
-
+    top = ranked.collect()  # bounded: k rows
+    if not top:
+        return spark.createDataFrame([], out_schema)
+    p = st["p"]
+    adist_case = "CASE vec_id " + " ".join(
+        f"WHEN {int(r['vec_id'])} THEN {_pq_dbl(float(r['adist']))}"
+        for r in top
+    ) + " END"
     exact_sql = " + ".join(
-        f"(({elem(i + 1)} - {dbl(p[i])}) * ({elem(i + 1)} - {dbl(p[i])}))"
+        f"(({_pq_elem(i + 1)} - {_pq_dbl(p[i])})"
+        f" * ({_pq_elem(i + 1)} - {_pq_dbl(p[i])}))"
         for i in range(PQ_DIM)
     )
-    sel = e.where(F.col("vec_id") != PQ_PROBE_ID).select(
-        "vec_id",
-        F.expr(exact_sql).alias("exact_l2"),
-        *[F.expr(best_sql[sub]).alias(f"b{sub}") for sub in range(PQ_M)],
-    )
-    inf = F.lit(float("inf"))
-    qpds = [
-        F.when(F.col(f"b{sub}")["d"] < inf, F.col(f"b{sub}")["qpd"])
-        for sub in range(PQ_M)
-    ]
-    adist_dec = qpds[0]
-    for q in qpds[1:]:
-        adist_dec = adist_dec + q
+    e = _pq_valid(load_table(spark, sf_dir, "embeddings"))
     return (
-        sel.select(
+        e.where(F.col("vec_id").isin([int(r["vec_id"]) for r in top]))
+        .select(
             "vec_id",
-            adist_dec.cast("double").alias("adist"),
-            "exact_l2",
+            F.expr(adist_case).alias("adist"),
+            F.expr(exact_sql).alias("exact_l2"),
         )
-        .where(F.col("adist").isNotNull())
         .orderBy(F.asc("adist"), F.asc("vec_id"))
         .limit(PQ_TOPK)
     )

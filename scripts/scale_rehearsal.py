@@ -55,6 +55,15 @@ QUERY_SET = [
     "sim_ann_lsh_topk",
     "sim_ann_multiprobe_topk",
     "sim_ann_ivf_kmeans",
+    # r12: the two new operators. The 10x corpus is their stress
+    # shape — every document reappears in all ten copies, so each
+    # sf0.1 prefix-truncation chain of c docs becomes a 10c-clique
+    # inside one prefix bucket (pair output ~x45 per chain while the
+    # corpus is x10; the LSH_BUCKET_CAP bounds the worst bucket);
+    # sim_ann_pq_adc must stay scan-dominated (train once, serve as
+    # one zero-exchange pass).
+    "dedup_prefix_truncation",
+    "sim_ann_pq_adc",
     "graph_pagerank",
     "funnel_conversion",
     # r8 (VERDICT r7 #6): the streaming + warehouse families — the

@@ -346,17 +346,33 @@ def test_cms_heavy_hitters_bounds_and_determinism(spark):
 
 
 def test_pq_adc_serving_is_zero_shuffle(spark):
-    """sim_ann_pq_adc's serving claim, pinned mechanically: the
-    search is ONE corpus scan — codebook and ADC table live in the
-    plan as literals (the training job runs separately and caches),
-    so the serving plan must contain NO shuffle exchange, NO join of
-    any kind, and end in a TakeOrderedAndProject. This is the plan
-    that survives 100 TB: scan-local arithmetic + a bounded top-k."""
-    plan = formatted_plan(q(spark, "sim_ann_pq_adc"))
-    assert "hashpartitioning" not in plan, plan
-    assert "Join" not in plan, plan
-    assert "Exchange" not in plan, plan
-    assert "TakeOrderedAndProject" in plan, plan
+    """sim_ann_pq_adc's serving claim, pinned mechanically on BOTH
+    phases. Phase a (pq_adc_ranked): the search scans the ENCODED
+    code table — 16 bytes/row, never the raw vectors — with the ADC
+    table inlined as literal CASE lookups; no shuffle exchange, no
+    join, TakeOrderedAndProject for the top-k. Phase b (the returned
+    frame): a point-lookup of exactly the k winners — the vec_id IN
+    filter must reach the parquet scan as a PushedFilter (row-group
+    stats skip everything else at scale), again with no exchange and
+    no join. These are the plans that survive 100 TB."""
+    from map_reduce_subnet_spark.operators.llm import pq_adc_ranked
+
+    ranked = pq_adc_ranked(spark, SF_DIR)
+    plan_a = formatted_plan(ranked)
+    assert "hashpartitioning" not in plan_a, plan_a
+    assert "Join" not in plan_a, plan_a
+    assert "Exchange" not in plan_a, plan_a
+    assert "TakeOrderedAndProject" in plan_a, plan_a
+
+    final = q(spark, "sim_ann_pq_adc")
+    plan_b = formatted_plan(final)
+    assert "hashpartitioning" not in plan_b, plan_b
+    assert "Join" not in plan_b, plan_b
+    assert "Exchange" not in plan_b, plan_b
+    assert "TakeOrderedAndProject" in plan_b, plan_b
+    assert any("vec_id" in f and "In" in f for f in pushed_filters(final)), (
+        pushed_filters(final)
+    )
 
 
 def test_prefix_truncation_pairs_join_broadcast_side(spark):
