@@ -34,17 +34,20 @@ from pyspark.sql import functions as F
 # CROSS-ENGINE PORTABILITY DOMAIN (measured r12, scripts/
 # overflow_probe.py): the differential contract additionally assumes
 # the double→DECIMAL(27,6) cast itself rounds identically in both
-# engines. Spark converts through BigDecimal (exact); DuckDB SCALES IN
-# FLOATING POINT (x·10⁶ as a double, then rounds), so the two casts
-# agree only while x·10⁶ is exactly representable — |x| ≲ 2⁵³/10⁶ ≈
-# 9.0e9. Measured: CAST(1e20 AS DECIMAL(27,6)) is exactly 1e20 in
-# Spark but 100000000000000004764.729344 in DuckDB (8 keys drift in
-# the last 2 ulps at 1e20 magnitude). At |x| ≥ 1e21 BOTH engines
-# abort the cast (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE, DuckDB
-# ConversionException) — a symmetric refusal, not a divergence. The
-# fixture magnitudes (~5e4) sit 5 orders inside the exact band; the
-# r13 out-of-domain round decides saturate-vs-exclude semantics for
-# the band edge (NOTES.md "EXTREME-MAGNITUDE PROBE").
+# engines. Spark converts through BigDecimal (exact); DuckDB SCALES
+# IN FLOATING POINT (x·10⁶ as a double, then rounds) — a DOUBLE
+# ROUNDING whose multiply step can carry the value across a .5
+# integer-fraction boundary before the final round. Measured band
+# (60 random casts per magnitude, Spark vs DuckDB): 0/60 diverge at
+# |x| ≤ 1e9; divergence begins ~5e9 (10/60) and saturates by 1e15
+# (60/60); CAST(1e20 AS DECIMAL(27,6)) is exactly 1e20 in Spark but
+# 100000000000000004764.729344 in DuckDB (8 keys drift in the last 2
+# ulps at 1e20 magnitude). At |x| ≥ 1e21 BOTH engines abort the cast
+# (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE, DuckDB ConversionException)
+# — a symmetric refusal, not a divergence. The fixture magnitudes
+# (~5e4) sit 4+ orders inside the measured-exact band; the r13
+# out-of-domain round decides saturate-vs-exclude semantics for the
+# band edge (NOTES.md "EXTREME-MAGNITUDE PROBE").
 SUM_DECIMAL = "decimal(27,6)"
 
 
