@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 # ulps at 1e20 magnitude). At |x| ≥ 1e21 BOTH engines abort the cast
 # (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE, DuckDB ConversionException)
 # — a symmetric refusal, not a divergence. The fixture magnitudes
-# (~5e4) sit 4+ orders inside the measured-exact band; the r13
+# (max |x| ~5e5, orders.o_totalprice) sit 3+ orders inside the
+# measured-exact band; the r13
 # out-of-domain round decides saturate-vs-exclude semantics for the
 # band edge (NOTES.md "EXTREME-MAGNITUDE PROBE").
 SUM_DECIMAL = "decimal(27,6)"
