@@ -37,94 +37,77 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # --- FRESHNESS SCHEDULE, r12 edition (VERDICT r11 #1) ---
-    # r11 changed 48 keys (the _sql_finite oracle insertion touched 43
-    # oracle strings; the versioned.py atomic-commit rewrite touched
-    # the engine of 5 more) but shipped the r10 list verbatim, so 34
-    # changed keys have no driver row for their current program, and
-    # the 11 r5-vintage stragglers promised for r11 never swept. r12
-    # pays the whole debt: 34 r11-changed-unswept + 11 r5-stale + 5
-    # oldest-r6 backfill = exactly 50. Keys changed AGAIN in r12
-    # (the MV non-finite guard: mv_incremental_refresh,
-    # stream_mv_refresh_true; the vacuum tmp-debris sweep:
-    # table_vacuum) already sit inside this list. The changed-key
-    # rule is now MECHANIZED: scripts/fingerprints.py records
+    # --- FRESHNESS SCHEDULE, r13 edition (VERDICT r12 #1/#2) ---
+    # r13 is the out-of-domain round: six keys took runtime changes
+    # (the three asymmetric magnitude guards + the three mid-band
+    # operand-domain rewrites), and the freshness backlog is the r6
+    # cohort (28 keys, NOTES "FRESHNESS PLAN"). 6 changed + 28
+    # r6-cohort + 16 oldest-r7 backfill = exactly 50. The changed-key
+    # rule is mechanized: scripts/fingerprints.py records
     # key -> md5(oracle + engine source) per round, and
     # tests/test_correctness.py fails if any fingerprint changed
     # without the key appearing here.
     #
-    # (1) the five VersionedTable consumers first — the r11 torn-read
-    # FIX (temp+fsync+link publish) is what most needs driver rows;
-    # two of them (mv_*) also take the r12 MV non-finite guard and
-    # table_vacuum takes the r12 _log/*.tmp debris sweep:
-    "table_timetravel",
-    "table_changefeed",
-    "table_vacuum",
-    "mv_incremental_refresh",
-    "stream_mv_refresh_true",
-    # (2) the remaining 29 r11-changed-unswept keys (_sql_finite
-    # oracle-text consumers), flagship aggregations first:
-    "agg_reduce_sum",
-    "agg_global",
-    "agg_having",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_salted_hotkey",
-    "join_broadcast",
-    "join_bucketed",
-    "join_bloom_runtime",
-    "join_partition_prune_dynamic",
-    "window_moving_avg",
+    # (1) the six r13-changed keys first (VERDICT r12's weak list,
+    # all cleared this round — magnitude guards for the asymmetric
+    # trio, integer-micro-unit / decimal-power-sum rewrites for the
+    # mid-band trio):
+    "privacy_k_anonymize",
     "window_rolling_quantiles",
-    "window_zscore_anomaly",
-    "scan_csv_malformed",
-    "scan_orc_roundtrip",
-    "scan_rowgroup_skip",
-    "scan_schema_evolution",
-    "sink_compaction",
-    "sink_zorder_cluster",
-    "sql_pipe_syntax",
-    "observe_metrics",
-    "sessionize_events",
-    "stream_python_sink_true",
-    "stream_python_source_true",
-    "text_entropy_unigram",
-    "text_stats",
-    "text_zipf_slope",
-    # (3) the eleven r5-vintage stragglers displaced in r10 and
-    # (wrongly) not swept in r11 — closes the r5 cohort entirely
-    # (join_broadcast, the twelfth, is already in (2)):
-    "project_arith",
-    "filter_compound",
-    "filter_null_semantics",
-    "join_left_outer",
-    "join_semi",
-    "join_shuffle_equi",
-    "setop_except_all",
-    "setop_intersect_all",
-    "window_ntile_cume",
-    "window_range_frame",
-    "window_rank_stake",
-    # (4) changed in r12: the int8_dequantized let-binding fix (HOF
-    # invariant #13 — the captured scale embedded array_max over the
-    # whole vector and re-evaluated per element, O(dim²) per row;
-    # measured 27.8 s -> 0.32 s for 200 rows at dim 2048, output
-    # identical, equivalence + linearity pinned). Both consumers take
-    # changed-key slots — they are also r6-vintage freshness debt:
-    "sim_quantized_recall",
-    "sim_ann_recall",
-    # (4b) NEW in r12 — never driver-swept, category (1) of the
-    # rotation policy (they displace two of the three planned r6
-    # backfill roundtrips, which move to the r13 schedule):
-    # prefix-truncation dedup and product-quantization ANN:
-    "dedup_prefix_truncation",
-    "sim_ann_pq_adc",
-    # (5) backfill: the oldest r6-vintage row that still fits (the
-    # other two roundtrip keys move to r13 with the rest of the r6
-    # cohort, NOTES.md):
-    "sink_csv_roundtrip",
+    "udaf_grouped_agg",
+    "agg_corr",
+    "agg_trend_ols",
+    "agg_skew_kurtosis",
+    # (2) the r6 freshness cohort — 28 keys whose latest driver row
+    # is r6 (incl. the two roundtrips displaced from r12's backfill):
+    "sink_json_roundtrip",
+    "sink_roundtrip",
+    "scan_variant_props",
+    "scan_python_datasource",
+    "sink_python_datasource",
+    "udtf_python_lateral",
+    "stream_dedup_within_watermark_true",
+    "stream_state_inspect",
+    "stream_stateful_ema",
+    "stream_stateful_ema_batches",
+    "stream_stream_join_true",
+    "stream_watermark_late",
+    "join_interval_overlap",
+    "join_skew_aqe",
+    "agg_bitmap_distinct",
+    "agg_percentile",
+    "dedup_simhash",
+    "embed_neardup_cosine",
+    "graph_pagerank",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
+    "multimodal_image_resize",
+    "retention_cohort",
+    "sim_ann_ivf",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
+    # (3) backfill: 16 of the 35 r7-vintage keys (flagship scans /
+    # aggregations / dedup first; the remaining 19 take the r14
+    # sweep with the rest of the r7 cohort — target per NOTES: by
+    # r14 no key's latest driver row predates r8):
+    "scan_filter_pushdown",
+    "scan_json_props",
+    "join_anti",
+    "join_cross_bipartite",
+    "agg_approx_distinct",
+    "agg_count_distinct",
+    "agg_distinct_arg",
+    "agg_normalize_l1",
+    "agg_hll_sketch_merge",
+    "dedup_exact",
+    "dedup_chunk_level",
+    "agg_cms_heavy_hitters",
+    "agg_gini_concentration",
+    "agg_robust_mad",
+    "join_asof_nearest",
+    "merge_scd2_history",
 ]
 
 

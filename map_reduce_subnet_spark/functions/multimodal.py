@@ -20,12 +20,16 @@ Decode support is split by what the container can honestly do:
   extension skipping, sub-block reassembly and 4-pass de-interlacing;
   validated against real-world encoder output.
   ``multimodal_decode_gif`` runs it end to end.
-- **Codec-compressed formats (JPEG/MP4/Opus...) remain a
-  clearly-marked stub** (NotImplementedError): real decoding needs
-  codec libraries (Pillow/ffmpeg) that are not in this environment.
-  The surrounding Spark plumbing (schema, batch iteration, partition
-  behavior) is identical for both paths, so swapping in a real codec
-  lights up the rest.
+- **Baseline JPEG decodes for real too** (``decode_jpeg``, r8): a
+  pure-python T.81 baseline decoder — canonical Huffman entropy
+  decode, dequantize, IDCT, YCbCr→RGB — validated against
+  regenerating oracles; progressive/subsampled JPEG raises a
+  documented guard.
+- **Video/audio codec formats (MP4/Opus...) remain a clearly-marked
+  stub** (NotImplementedError): real decoding needs codec libraries
+  (ffmpeg) that are not in this environment. The surrounding Spark
+  plumbing (schema, batch iteration, partition behavior) is identical
+  for both paths, so swapping in a real codec lights up the rest.
 
 Scale: mapInPandas streams Arrow batches through Python — constant
 memory per task regardless of partition size; binary payloads never

@@ -76,6 +76,30 @@ def _finite(c: Column) -> Column:
     return F.when(F.abs(c) < F.lit(float("inf")), c)
 
 
+def _bounded(c: Column, bound: float) -> Column:
+    """Magnitude-bounded variant of :func:`_finite` (r13, the
+    out-of-domain round): observations with ``|c| >= bound`` are
+    dropped to NULL alongside NaN/±Inf — the guard a key applies when
+    its downstream integer/decimal program is only defined (or only
+    cross-engine exact) inside a measured operand domain. ``bound``
+    must be a finite double literal, which keeps the Spark predicate
+    in the same 'strictly less than' form as :func:`_finite` — under
+    Spark's NaN-is-largest ordering ABS(NaN) < bound is false, so the
+    one comparison drops NULL (inert), NaN, ±Inf, AND out-of-domain
+    magnitudes identically to the DuckDB mirror (DuckDB also orders
+    NaN greater than every value, so the truth table agrees). See the
+    REWRITE HAZARD note on :func:`_finite` before refactoring."""
+    return F.when(F.abs(c) < F.lit(float(bound)), c)
+
+
+def _sql_bounded(expr: str, bound: float) -> str:
+    """DuckDB mirror of :func:`_bounded`. ABS < bound (not ISFINITE
+    AND a range test): DuckDB compares NaN greater than every value,
+    so the single predicate drops NULL/NaN/±Inf/out-of-domain exactly
+    like the Spark side."""
+    return f"(CASE WHEN ABS({expr}) < {bound!r} THEN ({expr}) END)"
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent SUM: decimal-exact, surfaced as double.
     Non-finite observations are dropped (see :func:`_finite`)."""

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from map_reduce_subnet_spark.functions.stable import (
+    _finite,
+    _sql_finite,
     davg,
     dstddev,
     dsum,
@@ -776,12 +778,25 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_skew_kurtosis",
     oracle="""
 WITH q AS (
-    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qi FROM lineitem
+    -- DECIMAL(9,0) is the operand-domain precondition (r13): integer
+    -- → decimal casts are exact on both engines, |q| < 1e9 keeps q⁴
+    -- inside DECIMAL(38,0) / DuckDB's width-36 product type, and a
+    -- quantity at |q| >= 1e9 aborts the cast LOUDLY and symmetrically
+    -- (the band-edge refusal posture). The r12 probe measured the
+    -- previous INT64 power sums aborting at |q| ~ 1.7e8 (q⁴ > 2^63)
+    -- on both engines — a refusal 3 decades before the domain edge.
+    -- The outer widen to width 19 is exact and forces DuckDB's
+    -- decimal multiply onto HUGEINT storage (width <= 18 operands
+    -- multiply in raw INT64 there and overflow at ~9.2e18).
+    SELECT l_returnflag,
+           CAST(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(9,0))
+                AS DECIMAL(19,0)) AS qd
+    FROM lineitem
 ), sums AS (
     SELECT l_returnflag, COUNT(*) AS n,
-           SUM(qi) AS s1, SUM(qi * qi) AS s2,
-           SUM((qi * qi) * qi) AS s3,
-           SUM((qi * qi) * (qi * qi)) AS s4
+           SUM(qd) AS s1, SUM(qd * qd) AS s2,
+           SUM((qd * qd) * qd) AS s3,
+           SUM((qd * qd) * (qd * qd)) AS s4
     FROM q GROUP BY l_returnflag
 ), m AS (
     SELECT l_returnflag, n,
@@ -815,11 +830,15 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree across engines on bias correction (sample g1 vs
     Fisher-Pearson G1), which makes them un-oracle-able, and their
     one-pass moment updates are float-order-dependent. Here the
-    integer-valued measure (l_quantity ≤ 50 — pinned by the oracle's
-    lossless BIGINT cast) yields EXACT integer sums Σq..Σq⁴ that any
-    reduction order reproduces (q⁴ ≤ 6.25e6, so even 1e9 rows per
-    group fit int64; at larger scales the same sums widen to
-    DECIMAL(38,0) and stay exact). The central-moment conversion
+    integer-valued measure (BIGINT-cast, then DECIMAL(9,0) — the r13
+    operand-domain precondition) yields EXACT decimal-integer sums
+    Σq..Σq⁴ that any reduction order reproduces: integer→decimal
+    casts are exact on both engines (no float scaling step, so the
+    double→decimal divergence band never applies), decimal products
+    are exact integer arithmetic, and |q| < 1e9 keeps q⁴ within the
+    width-38/width-36 product types — a quantity beyond the domain
+    aborts the cast loudly and SYMMETRICALLY (the r12 probe measured
+    the previous INT64 sums overflowing at |q| ~ 1.7e8 instead). The central-moment conversion
     (m2 = r2 − mean², m3/m4 via the binomial expansion, powers
     spelled as explicit products — no libm pow) is then an identical
     scalar float program on identical operands in both engines, hence
@@ -836,15 +855,19 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism, not ulp-accuracy, is what the oracle enforces.)
     """
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.col("l_quantity").cast("long").alias("qi")
+        "l_returnflag",
+        # DECIMAL(9,0) = the operand-domain precondition (see oracle
+        # comment): q⁴ stays exact decimal integer arithmetic up to
+        # |q| < 1e9, loud symmetric abort beyond
+        F.col("l_quantity").cast("long").cast("decimal(9,0)").alias("qd"),
     )
     sums = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum("qi").alias("s1"),
-        F.sum(F.col("qi") * F.col("qi")).alias("s2"),
-        F.sum((F.col("qi") * F.col("qi")) * F.col("qi")).alias("s3"),
+        F.sum("qd").alias("s1"),
+        F.sum(F.col("qd") * F.col("qd")).alias("s2"),
+        F.sum((F.col("qd") * F.col("qd")) * F.col("qd")).alias("s3"),
         F.sum(
-            (F.col("qi") * F.col("qi")) * (F.col("qi") * F.col("qi"))
+            (F.col("qd") * F.col("qd")) * (F.col("qd") * F.col("qd"))
         ).alias("s4"),
     )
     nd = F.col("n").cast("double")
@@ -1005,16 +1028,38 @@ WITH daily AS (
            -- negatives — see agg_time_decay / NOTES invariant #12)
            CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
                       / CAST(86400000000 AS DOUBLE)) AS BIGINT) AS day,
-           value
+           -- operand-domain precondition (r13): the measure is
+           -- quantized to DECIMAL(15,6) — exact inside the measured
+           -- |x| <= 1e9 cross-engine cast band, LOUD symmetric abort
+           -- beyond it — and the x·y / y² summands are then decimal
+           -- × decimal products (exact integer arithmetic, identical
+           -- in both engines), never a double→decimal cast of a
+           -- product that can cross the band (the r12 mid-band
+           -- divergence this rewrite closes). v6 = the measure in
+           -- integer MICRO-UNITS: inner cast = the loud domain,
+           -- widen to width 19 (forces DuckDB's decimal multiply
+           -- onto HUGEINT storage — width <= 18 operands multiply in
+           -- raw INT64 there and overflow at unscaled ~9.2e18),
+           -- ×1e6 then scale-0 recast, all exact. Scale-0 matters at
+           -- the OUTPUT boundary too: DuckDB converts decimal→double
+           -- as (double)unscaled / 10^scale — a double rounding that
+           -- diverges from Spark's correctly-rounded conversion at
+           -- 1 ulp for large scale-6/12 sums — while a scale-0
+           -- decimal→double is one correctly-rounded conversion on
+           -- both engines, and the explicit /1e6 (/1e12) afterwards
+           -- is the identical IEEE op on both sides.
+           CAST(CAST(CAST({_sql_finite('value')} AS DECIMAL(15,6))
+                     AS DECIMAL(19,6)) * 1000000 AS DECIMAL(19,0)) AS v6
     FROM events
 ), sums AS (
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(day) AS BIGINT) AS sx,
            CAST(SUM(day * day) AS BIGINT) AS sxx,
-           {sql_dsum('value')} AS sy,
-           {sql_dsum('CAST(day AS DOUBLE) * value')} AS sxy,
-           {sql_dsum('value * value')} AS syy
+           CAST(SUM(v6) AS DOUBLE) / 1e6 AS sy,
+           CAST(SUM(CAST(day AS DECIMAL(19,0)) * v6) AS DOUBLE) / 1e6
+               AS sxy,
+           CAST(SUM(v6 * v6) AS DOUBLE) / 1e12 AS syy
     FROM daily GROUP BY event_type
 )
 SELECT event_type, n,
@@ -1042,11 +1087,19 @@ def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-power-sums-then-closed-form discipline as text_zipf_slope
     and agg_skew_kurtosis, generalized to a two-variable regression.
 
-    Exactness: x = integer day (exact int64 sums for Σx, Σx²); the
-    value-side sums (Σy, Σxy, Σy²) go through the decimal-stabilized
-    dsum so they are order-independent; slope/intercept/r² are one
-    fixed expression tree of those sums — bit-exact across engines,
-    no iterative fitting anywhere.
+    Exactness (r13 rewrite): x = integer day (exact int64 sums for
+    Σx, Σx²); the measure is quantized ONCE to DECIMAL(15,6) — exact
+    inside the measured |x| ≤ 1e9 cross-engine cast band, loud
+    symmetric abort beyond (the operand-domain precondition) — and
+    Σy, Σxy, Σy² are then decimal×decimal sums (exact integer
+    arithmetic, order-independent, identical in both engines);
+    slope/intercept/r² are one fixed expression tree of those sums —
+    bit-exact across engines, no iterative fitting anywhere. The r12
+    mid-band probe caught the previous spelling (dsum of the DOUBLE
+    product day·value) diverging at raw ~1e8: the product summand
+    crossed the double→decimal cast band and the cancellation form
+    n·Σxy − Σx·Σy amplified the ulp drift; multiplying IN decimal
+    removes the product cast entirely.
 
     Degenerate groups (tie-corpus differential catch, late r9): a
     group whose observations all share one day has zero x-variance —
@@ -1071,15 +1124,29 @@ def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000))
         .cast("long")
         .alias("day"),
-        "value",
+        # v6 = measure in integer micro-units: the DECIMAL(15,6)
+        # quantization is the operand-domain precondition (exact for
+        # |value| < 1e9, loud symmetric cast abort beyond); ×1e6 +
+        # scale-0 recast keeps every downstream sum at scale 0, whose
+        # decimal→double output cast is a SINGLE correctly-rounded
+        # conversion on both engines (see oracle comment)
+        (_finite(F.col("value")).cast("decimal(15,6)") * F.lit(1000000))
+        .cast("decimal(19,0)")
+        .alias("v6"),
     )
+    dd = F.col("day").cast("decimal(12,0)")
     sums = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("day").alias("sx"),
         F.sum(F.col("day") * F.col("day")).alias("sxx"),
-        dsum("value", "sy"),
-        dsum(F.col("day").cast("double") * F.col("value"), "sxy"),
-        dsum(F.col("value") * F.col("value"), "syy"),
+        # decimal×decimal summands: exact, order-independent,
+        # band-proof (never a double→decimal cast of a product);
+        # the /1e6 and /1e12 descale divisions are the identical
+        # IEEE double op on both engines
+        (F.sum("v6").cast("double") / F.lit(1e6)).alias("sy"),
+        (F.sum(dd * F.col("v6")).cast("double") / F.lit(1e6)).alias("sxy"),
+        (F.sum(F.col("v6") * F.col("v6")).cast("double") / F.lit(1e12))
+        .alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

@@ -127,40 +127,160 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Operand-domain precondition for agg_corr (r13 out-of-domain round):
+# both measures are quantized to DECIMAL(15,6), which (a) is exact —
+# the double→decimal cast was measured identical across engines for
+# |x| ≤ 1e9 (stable.py::SUM_DECIMAL band notes) and DECIMAL(15,6)
+# admits exactly that range — and (b) IS the loud precondition: a
+# finite measure at |x| ≥ 1e9 aborts the cast on BOTH engines (Spark
+# ANSI NUMERIC_VALUE_OUT_OF_RANGE, DuckDB ConversionException), the
+# symmetric-refusal posture of the decimal band edge, instead of the
+# silent mid-band drift the r12 probe measured when the PRODUCT
+# summands (qty·price ~1e12 at raw 1e8) crossed the cast-divergence
+# band and the cancellation closed form amplified it.
+CORR_FACTOR_DECIMAL = "DECIMAL(15,6)"
+
+
 @query(
     "agg_corr",
-    oracle="""
+    oracle=f"""
+WITH p AS (
+    -- x6/y6 = the measures in integer MICRO-UNITS: the inner
+    -- DECIMAL(15,6) cast is the loud |x| < 1e9 domain precondition;
+    -- the widen to width 19 forces DuckDB's decimal multiply onto
+    -- HUGEINT storage (width <= 18 operands multiply in raw INT64
+    -- there and overflow at unscaled ~9.2e18); ×1e6 + scale-0 recast
+    -- keeps every sum at scale 0, whose decimal→double output cast
+    -- is a SINGLE correctly-rounded conversion on both engines
+    -- (DuckDB double-rounds scale-s decimals via
+    -- (double)unscaled / 10^s) — the /1e6 descale afterwards is the
+    -- identical IEEE op on both sides
+    SELECT l_returnflag,
+           CASE WHEN ISFINITE(l_quantity) AND ISFINITE(l_extendedprice)
+                THEN CAST(CAST(CAST(l_quantity AS {CORR_FACTOR_DECIMAL})
+                               AS DECIMAL(19,6)) * 1000000
+                          AS DECIMAL(19,0)) END AS x6,
+           CASE WHEN ISFINITE(l_quantity) AND ISFINITE(l_extendedprice)
+                THEN CAST(CAST(CAST(l_extendedprice
+                                    AS {CORR_FACTOR_DECIMAL})
+                               AS DECIMAL(19,6)) * 1000000
+                          AS DECIMAL(19,0)) END AS y6
+    FROM lineitem
+), sums AS (
+    SELECT l_returnflag,
+           CAST(COUNT(x6) AS DOUBLE) AS n,
+           CAST(SUM(x6) AS DOUBLE) / 1e6 AS sx,
+           CAST(SUM(y6) AS DOUBLE) / 1e6 AS sy,
+           CAST(SUM(x6 * x6) AS DOUBLE) / 1e12 AS sxx,
+           CAST(SUM(y6 * y6) AS DOUBLE) / 1e12 AS syy,
+           CAST(SUM(x6 * y6) AS DOUBLE) / 1e12 AS sxy,
+           -- exact integer compare: TRUE iff the group is constant
+           -- in that measure (restores the built-ins' exact-zero
+           -- variance for constant groups, which the double closed
+           -- form cannot guarantee under cancellation)
+           (MIN(x6) = MAX(x6)) AS const_x,
+           (MIN(y6) = MAX(y6)) AS const_y
+    FROM p GROUP BY l_returnflag
+), v AS (
+    SELECT l_returnflag, n, sx, sy, sxy,
+           -- GREATEST clamp: near-constant groups can round the
+           -- cancellation form a hair below zero; identical double
+           -- program both sides, clamped identically
+           CASE WHEN const_x THEN 0.0
+                ELSE GREATEST(n * sxx - sx * sx, 0.0) END AS vx,
+           CASE WHEN const_y THEN 0.0
+                ELSE GREATEST(n * syy - sy * sy, 0.0) END AS vy
+    FROM sums
+)
 SELECT l_returnflag,
-       ROUND(covar_samp(l_quantity, l_extendedprice)
-             / NULLIF(stddev_samp(l_quantity)
-                      * stddev_samp(l_extendedprice), 0.0), 9)
-           AS qty_price_corr,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
-FROM lineitem
-GROUP BY l_returnflag
+       ROUND((n * sxy - sx * sy)
+             / NULLIF(sqrt(vx) * sqrt(vy), 0.0), 9) AS qty_price_corr,
+       ROUND((sxy - sx * sy / n) / NULLIF(n - 1.0, 0.0), 4)
+           AS qty_price_covar
+FROM v
 """,
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlation / covariance per group. Engines agree to ~1 ulp
-    (same co-moment recurrences); rounded well inside that.
+    """Correlation / covariance per group, from EXACT decimal
+    co-moment sums (r13 rewrite): both measures are cast to
+    DECIMAL(15,6) per row (exact inside the measured |x| ≤ 1e9
+    cross-engine cast band — CORR_FACTOR_DECIMAL is also the loud
+    operand-domain precondition beyond it), the five sums
+    Σx Σy Σx² Σy² Σxy are computed in decimal — decimal×decimal is
+    exact integer arithmetic, order-independent, identical in both
+    engines — and the closed forms then run as one fixed double
+    program on identical operands, hence bit-exact. The r9 built-in
+    covar_samp/stddev_samp spelling agreed only to ~1 ulp (one-pass
+    co-moment recurrences are float-order-dependent) and the r12
+    mid-band probe measured it diverging at raw ~1e8, where the
+    product summands crossed the cast band and the cancellation form
+    n·Σxy − Σx·Σy amplified the drift past the output rounding.
 
-    Correlation is spelled covar_samp / NULLIF(σx·σy, 0) — the SAME
-    explicit program on both engines — instead of the corr()
-    built-in: under ANSI mode Spark's corr throws DIVIDE_BY_ZERO on a
-    zero-variance group (constant-corpus differential catch, late
-    r9) where DuckDB's returns NULL. The explicit form gives the
-    NULL convention on both engines (invariant #10); n=1 groups are
-    NULL on both already (sample statistics of one row)."""
+    Conventions preserved from the r9 spelling: zero-variance groups
+    → NULL corr (NULLIF, never ANSI DIVIDE_BY_ZERO — invariant #10);
+    n=1 groups → NULL covar (sample convention, NULLIF(n−1)); a row
+    participates only when BOTH measures are finite (pairwise drop —
+    the covar_samp NULL-pair rule extended to NaN/±Inf, symmetric on
+    both engines).
+
+    Scale shape: one scan, five map-side partial decimal sums, one
+    shuffle on the group key — regression-as-an-aggregate, same cost
+    as a COUNT at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    corr = F.covar_samp("l_quantity", "l_extendedprice") / F.nullif(
-        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
-        F.lit(0.0),
+    from map_reduce_subnet_spark.functions.stable import _finite
+
+    xf = _finite(F.col("l_quantity"))
+    yf = _finite(F.col("l_extendedprice"))
+    pair_ok = xf.isNotNull() & yf.isNotNull()
+    dec = CORR_FACTOR_DECIMAL.lower()
+    mega = F.lit(1000000)
+    p = li.select(
+        "l_returnflag",
+        # integer micro-units (see oracle comment): domain-checked
+        # decimal cast, ×1e6, scale-0 recast — all exact
+        (F.when(pair_ok, F.col("l_quantity")).cast(dec) * mega)
+        .cast("decimal(19,0)")
+        .alias("x6"),
+        (F.when(pair_ok, F.col("l_extendedprice")).cast(dec) * mega)
+        .cast("decimal(19,0)")
+        .alias("y6"),
     )
-    return li.groupBy("l_returnflag").agg(
+    sums = p.groupBy("l_returnflag").agg(
+        F.count("x6").cast("double").alias("n"),
+        (F.sum("x6").cast("double") / F.lit(1e6)).alias("sx"),
+        (F.sum("y6").cast("double") / F.lit(1e6)).alias("sy"),
+        (F.sum(F.col("x6") * F.col("x6")).cast("double") / F.lit(1e12))
+        .alias("sxx"),
+        (F.sum(F.col("y6") * F.col("y6")).cast("double") / F.lit(1e12))
+        .alias("syy"),
+        (F.sum(F.col("x6") * F.col("y6")).cast("double") / F.lit(1e12))
+        .alias("sxy"),
+        # exact integer compare (see oracle comment): constant group
+        # ⇒ exact-zero variance, like the built-ins guaranteed
+        (F.min("x6") == F.max("x6")).alias("const_x"),
+        (F.min("y6") == F.max("y6")).alias("const_y"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    zero = F.lit(0.0)
+    vx = F.when(F.col("const_x"), zero).otherwise(
+        F.greatest(n * sxx - sx * sx, zero)
+    )
+    vy = F.when(F.col("const_y"), zero).otherwise(
+        F.greatest(n * syy - sy * sy, zero)
+    )
+    v = sums.select(
+        "l_returnflag", "n", "sx", "sy", "sxy",
+        vx.alias("vx"), vy.alias("vy"),
+    )
+    corr = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt("vx") * F.sqrt("vy"), zero
+    )
+    covar = (sxy - sx * sy / n) / F.nullif(n - F.lit(1.0), zero)
+    return v.select(
+        "l_returnflag",
         F.round(corr, 9).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "qty_price_covar"
-        ),
+        F.round(covar, 4).alias("qty_price_covar"),
     )
 
 

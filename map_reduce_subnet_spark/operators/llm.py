@@ -32,7 +32,9 @@ from map_reduce_subnet_spark.functions import text as tx
 from map_reduce_subnet_spark.functions.checkpoint import stable_checkpoint
 from map_reduce_subnet_spark.functions.stable import (
     SUM_DECIMAL,
+    _bounded,
     _finite,
+    _sql_bounded,
     _sql_finite,
     davg,
     sql_davg,
@@ -6749,6 +6751,15 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KANON_K = 5
+# Operand domain for the width-50 generalization (r13 out-of-domain
+# round; measured by scripts/overflow_probe.py): |value| < 1e18 keeps
+# FLOOR(value/50) at <= 2e16 — comfortably inside INT64 on both
+# engines. Beyond it the engines DIVERGED asymmetrically (DuckDB's
+# BIGINT cast raises at ~4.6e20 where Spark's long conversion
+# saturates), so the magnitude itself is treated like a non-finite
+# measurement: no exact width-50 bucket exists for it and it
+# generalizes to the NULL bucket on BOTH engines.
+KANON_VALUE_DOMAIN = 1e18
 
 
 @query(
@@ -6756,12 +6767,13 @@ KANON_K = 5
     oracle=f"""
 WITH gen AS (
     SELECT event_type,
-           -- drop-non-finite (stable.py convention): a NaN/Inf
-           -- measurement has no width-50 bucket — it generalizes to
-           -- the NULL bucket on both engines (unguarded, DuckDB's
-           -- INT64 cast of FLOOR(inf/50) raises)
-           CAST(FLOOR({_sql_finite('value')} / 50) AS BIGINT)
-               AS value_bucket,
+           -- drop-non-finite + magnitude guard (stable.py
+           -- convention): a NaN/Inf or |x|>=1e18 measurement has no
+           -- exact width-50 bucket — it generalizes to the NULL
+           -- bucket on both engines (unguarded, DuckDB's INT64 cast
+           -- of FLOOR(inf/50) raises; see KANON_VALUE_DOMAIN)
+           CAST(FLOOR({_sql_bounded('value', KANON_VALUE_DOMAIN)} / 50)
+                AS BIGINT) AS value_bucket,
            -- floor(double division) at BOTH levels, NOT BIGINT //:
            -- DuckDB's integer // truncates toward zero and diverges
            -- from Spark's floor chain left of 1970 (negative-domain
@@ -6808,8 +6820,9 @@ def privacy_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         ev.select(
             "event_type",
-            # guarded bucket (see oracle comment): NULL for non-finite
-            F.floor(_finite(F.col("value")) / 50)
+            # guarded bucket (see oracle comment): NULL for
+            # non-finite AND for |value| >= KANON_VALUE_DOMAIN
+            F.floor(_bounded(F.col("value"), KANON_VALUE_DOMAIN) / 50)
             .cast("long")
             .alias("value_bucket"),
             F.floor(
@@ -7148,7 +7161,8 @@ def _pq_l2(a, b):
 
 
 def _pq_dsub(col: str, s: int):
-    """Double-promoted 16-wide subvector ``s`` of a float-array col."""
+    """Double-promoted PQ_SUBDIM-wide (4-element) subvector ``s`` of a
+    float-array col (PQ_M=16 subspaces × PQ_SUBDIM=4 dims)."""
     return F.transform(
         F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM),
         lambda x: x.cast("double"),
@@ -7485,7 +7499,17 @@ def _pq_serving_state(spark: SparkSession, sf_dir: str):
     The per-(sub, cent) probe distance is the same left-to-right
     IEEE-double fold both engines run in-plan (a collected float32
     promotes exactly; t*t, never t**2), quantized to DECIMAL(27,6)
-    exactly like the oracle's dtab CTE (NULL when non-finite)."""
+    exactly like the oracle's dtab CTE (NULL when non-finite).
+
+    Operand-domain bound (ADVICE r12): the DECIMAL(27,6) quantization
+    of qpd is cross-engine exact only for |qpd| <= 1e9 (Spark casts
+    through exact BigDecimal, DuckDB scales in floating point —
+    stable.py::SUM_DECIMAL band notes). qpd is a squared L2 over
+    PQ_SUBDIM=4 elements, so it grows quadratically with embedding
+    magnitude: the bound holds for per-element |x| <~ 1.6e4 (fixture
+    embeddings are unit-scale, 3+ orders inside). A corpus beyond
+    that needs the agg_corr/agg_trend_ols integer-micro-unit
+    treatment (scale-0 sums) or a loud precondition."""
     cb = pq_codebook_rows(spark, sf_dir)
     by_sub: dict = {}
     for sub, cid, cent in cb:

@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from map_reduce_subnet_spark.functions.stable import (
     SUM_DECIMAL,
+    _bounded,
     _finite,
+    _sql_bounded,
     _sql_finite,
 )
 from map_reduce_subnet_spark.operators.registry import query
@@ -386,16 +388,27 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Operand domain for the centi-quantization (r13 out-of-domain round,
+# measured by scripts/overflow_probe.py): |value| < 9e13 keeps
+# cv = floor(value·100) under 2^53, which the docstring's exact-dyadic
+# interpolation proof REQUIRES (cv, b−a, and every interpolation step
+# stay exactly representable doubles) and which keeps DuckDB's INT64
+# cast in range (it raised at |value| >= ~9.2e16 where Spark's long
+# conversion wrapped — the measured asymmetry this guard closes).
+ROLLQ_VALUE_DOMAIN = 9e13
+
+
 @query(
     "window_rolling_quantiles",
     oracle=f"""
 WITH q AS (
-    -- drop-non-finite (stable.py convention): a NaN/Inf value has no
-    -- centi-quantization — cv is NULL and both engines' window
-    -- quantiles skip NULLs (an unguarded FLOOR(inf) is an INT64
-    -- ConversionException in DuckDB, a silent wrap in Spark)
+    -- drop-non-finite + magnitude guard (stable.py convention): a
+    -- NaN/Inf or out-of-domain value has no EXACT centi-quantization
+    -- — cv is NULL and both engines' window quantiles skip NULLs
+    -- (see ROLLQ_VALUE_DOMAIN above)
     SELECT event_id, user_id, ts, value,
-           CAST(FLOOR({_sql_finite('value')} * 100) AS BIGINT) AS cv
+           CAST(FLOOR({_sql_bounded('value', ROLLQ_VALUE_DOMAIN)} * 100)
+                AS BIGINT) AS cv
     FROM events
 )
 SELECT event_id, user_id, cv,
@@ -421,7 +434,9 @@ def window_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical) and the probed quantiles are DYADIC (1/4, 1/2,
     3/4), so every interpolation step — frac = p·(n−1)'s fractional
     part (dyadic), frac·(b−a) (dyadic × small integer), and the
-    final sum — is EXACT float arithmetic. Exact arithmetic makes
+    final sum — is EXACT float arithmetic; the ROLLQ_VALUE_DOMAIN
+    guard pins cv ≤ 2^53 so the exactness argument holds over the
+    whole admitted operand domain, not just fixture magnitudes. Exact arithmetic makes
     the result independent of which algebraically-equivalent
     interpolation formula each engine uses (a + f·(b−a) vs
     (1−f)·a + f·b), which is precisely what rounds 1-ulp
@@ -438,10 +453,12 @@ def window_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        # guarded quantization (see oracle comment): NULL cv for
-        # non-finite values; percentile() skips NULLs like DuckDB's
-        # quantile_cont
-        F.floor(_finite(F.col("value")) * 100).cast("long").alias("cv"),
+        # guarded quantization (see ROLLQ_VALUE_DOMAIN): NULL cv for
+        # non-finite or out-of-domain values; percentile() skips
+        # NULLs like DuckDB's quantile_cont
+        F.floor(_bounded(F.col("value"), ROLLQ_VALUE_DOMAIN) * 100)
+        .cast("long")
+        .alias("cv"),
     )
     w = (
         Window.partitionBy("user_id")

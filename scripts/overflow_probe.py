@@ -5,8 +5,15 @@ Builds the micro corpus with events.value / lineitem prices pushed to
 family key on Spark vs DuckDB, classifying outcomes into
 match / mismatch / spark_err / duck_err / both_err. READ-ONLY: no
 oracle or engine change — the r12 measured facts live in NOTES.md
-("EXTREME-MAGNITUDE PROBE"), and this script is the harness the r13
-out-of-domain round re-runs to prove its fixes.
+("EXTREME-MAGNITUDE PROBE"). The r13 out-of-domain round promoted
+this corpus to permanent suite layer 15
+(tests/test_extreme_magnitude_differential.py, which pins the
+classification per key); keep this script as the exploratory harness
+— its output is the source of truth when re-syncing the layer's
+EXTREME_ABORT_KEYS / EXTREME_DRIFT_KEYS lists. r13 closing state:
+match 199, spark_err 0, duck_err 0 (the r12 asymmetric trio fixed),
+both_err 20 (symmetric band-edge refusals, the decided posture),
+mismatch 7 (unguarded-dsum last-ulp drift at 1e20, out-of-contract).
 
 Usage:  cd /tmp && python /root/repo/scripts/overflow_probe.py
 """
@@ -22,12 +29,15 @@ from pyspark.sql import SparkSession
 
 tables = _micro_tables()
 ev = tables["events"].copy()
-n = len(ev)
 mags = [1e18, -1e18, 1e20, -1e20, 1e22, 1e300]
+# .loc on a too-small frame silently APPENDS half-NaN rows instead of
+# planting (ADVICE r12): assert the labels exist
+assert len(ev) > 3 * (len(mags) - 1), "micro events table shrank"
 for i, m in enumerate(mags):
     ev.loc[3*i, "value"] = m
 tables["events"] = ev
 li = tables["lineitem"].copy()
+assert len(li) >= 2, "micro lineitem table shrank"
 li.loc[0, "l_extendedprice"] = 1e20
 li.loc[1, "l_quantity"] = 1e19
 tables["lineitem"] = li

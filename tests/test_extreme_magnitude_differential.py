@@ -1,0 +1,172 @@
+"""Extreme-magnitude differential — permanent layer 15 (VERDICT r12
+next-round #3/#6): the scripts/overflow_probe.py corpus (events.value
+at ±1e18/±1e20/1e22/1e300, lineitem price 1e20 / quantity 1e19)
+promoted from a standalone scoping script to a suite layer, now that
+the r13 out-of-domain round fixed what was fixable and DECIDED the
+posture for the rest.
+
+The posture, pinned here and in SURVEY §2.2's scope note:
+
+1. **No asymmetric outcomes anywhere.** The r12 probe measured 3 keys
+   where DuckDB errored while Spark sailed on (privacy_k_anonymize,
+   window_rolling_quantiles: double→INT64; udaf_grouped_agg: decimal
+   conversion). r13 magnitude-guarded all three — at these magnitudes
+   they now MATCH (out-of-domain observations drop to the NULL bucket
+   / out of the aggregate, identically on both engines). An
+   asymmetric error appearing in this layer is ALWAYS a bug.
+
+2. **The ≥1e21 band edge is a SYMMETRIC REFUSAL, and that is the
+   CORRECT behavior** (EXTREME_ABORT_KEYS): both engines abort the
+   DECIMAL(27,6)/domain-precondition cast (Spark ANSI
+   NUMERIC_VALUE_OUT_OF_RANGE / CAST_OVERFLOW, DuckDB
+   ConversionException). A loud refusal at the documented domain edge
+   beats a silent wrong answer; saturate semantics were considered
+   and rejected — they would make the engines agree on a NUMBER that
+   misrepresents the data (r13 decision, NOTES).
+
+3. **Between ~5e9 and the band edge, unguarded dsum keys are
+   OUT-OF-CONTRACT** (EXTREME_DRIFT_KEYS): DuckDB's float-scaled
+   double→DECIMAL cast double-rounds the SUMMAND, and at raw ~1e20
+   seven keys surface it as last-2-ulp drift in an unrounded output.
+   The portable contract is |raw operand| ≤ 1e9 (measured-exact band,
+   stable.py::SUM_DECIMAL); keys whose semantics needed more got
+   per-key guards in r13 (the six fixed keys), the rest document the
+   band. The drift pins below keep the list honest: if a key drifts
+   that isn't pinned, or a pinned key stops drifting (e.g. someone
+   ports the integer-micro-unit discipline to it), this layer fails
+   until the list is re-synced.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_subnet_spark.operators import ORACLES, QUERIES
+from tests.conftest import assert_frames_match
+from tests.test_micro_differential import _micro_tables
+from tests.test_perturbed_differential import (
+    PERTURBED_KEYS,
+    PERTURBED_ONLY_KEYS,
+)
+
+# Both engines refuse: the operand (or a product/power of it) crosses
+# the DECIMAL(27,6) / domain-precondition edge and the cast aborts on
+# BOTH sides — the decided posture for out-of-band magnitudes. The
+# r13-fixed trio (agg_corr, agg_trend_ols, agg_skew_kurtosis) sits
+# here BY DESIGN: their DECIMAL(15,6)/(9,0) preconditions refuse
+# loudly at |x| ≥ 1e9 instead of drifting silently.
+EXTREME_ABORT_KEYS = {
+    "agg_corr",
+    "agg_minmax_stats",
+    "agg_skew_kurtosis",
+    "agg_time_decay",
+    "agg_trend_ols",
+    "mv_incremental_refresh",
+    "scan_jsonl_roundtrip",
+    "scan_rowgroup_skip",
+    "sessionize_events",
+    "sink_compaction",
+    "sink_zorder_cluster",
+    "stream_mv_refresh_true",
+    "stream_sliding",
+    "stream_sliding_true",
+    "stream_tumbling",
+    "table_timetravel",
+    "table_vacuum",
+    "timeseries_gapfill",
+    "window_moving_avg",
+    "window_zscore_anomaly",
+}
+
+# Both engines run; outputs differ in the last 1-2 ulps: the summand
+# cast at raw ~1e20 sits 5 decades beyond the measured-exact band and
+# these keys emit the sum un-rounded (attenuated/rounded keys absorb
+# the same divergence and stay in the match set).
+EXTREME_DRIFT_KEYS = {
+    "agg_gini_concentration",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_salted_hotkey",
+    "join_broadcast",
+    "observe_metrics",
+    "scan_orc_roundtrip",
+}
+
+EXTREME_MATCH_KEYS = sorted(
+    set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS)
+    - EXTREME_ABORT_KEYS
+    - EXTREME_DRIFT_KEYS
+)
+
+_EVENT_MAGS = [1e18, -1e18, 1e20, -1e20, 1e22, 1e300]
+
+
+def _extreme_tables():
+    tables = _micro_tables()
+    ev = tables["events"].copy()
+    # .loc on a too-small frame would silently APPEND half-NaN rows
+    # instead of planting (ADVICE r12): assert the labels exist
+    assert len(ev) > 3 * (len(_EVENT_MAGS) - 1), (
+        "micro events table shrank below the planting range"
+    )
+    for i, m in enumerate(_EVENT_MAGS):
+        ev.loc[3 * i, "value"] = m
+    tables["events"] = ev
+    li = tables["lineitem"].copy()
+    assert len(li) >= 2, "micro lineitem table shrank below the plants"
+    li.loc[0, "l_extendedprice"] = 1e20
+    li.loc[1, "l_quantity"] = 1e19
+    tables["lineitem"] = li
+    return tables
+
+
+@pytest.fixture(scope="module")
+def extreme_dir(tmp_path_factory) -> str:
+    dst = tmp_path_factory.mktemp("extreme_fixture")
+    for name, df in _extreme_tables().items():
+        df.to_parquet(dst / f"{name}.parquet")
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def exdb(extreme_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for name in _extreme_tables():
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{extreme_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", EXTREME_MATCH_KEYS)
+def test_extreme_corpus_differential(spark, extreme_dir, exdb, key):
+    got = QUERIES[key](spark, extreme_dir).toPandas()
+    want = exdb.sql(ORACLES[key]).df()
+    assert_frames_match(got, want, f"extreme:{key}")
+
+
+@pytest.mark.parametrize("key", sorted(EXTREME_ABORT_KEYS))
+def test_extreme_abort_is_symmetric(spark, extreme_dir, exdb, key):
+    """Posture pin #2: at the band edge BOTH engines refuse. A key
+    that starts succeeding on one side only has reopened the
+    asymmetry class this layer exists to keep closed."""
+    with pytest.raises(Exception):
+        QUERIES[key](spark, extreme_dir).toPandas()
+    with pytest.raises(Exception):
+        exdb.sql(ORACLES[key]).df()
+
+
+@pytest.mark.parametrize("key", sorted(EXTREME_DRIFT_KEYS))
+def test_extreme_drift_is_real(spark, extreme_dir, exdb, key):
+    """Posture pin #3: the out-of-contract drift list stays measured.
+    Both engines run; the frames differ (last-ulp summand-cast
+    divergence). If a pinned key starts matching, move it to
+    EXTREME_MATCH_KEYS in the same change that explains why."""
+    got = QUERIES[key](spark, extreme_dir).toPandas()
+    want = exdb.sql(ORACLES[key]).df()
+    with pytest.raises(AssertionError):
+        assert_frames_match(got, want, f"extreme:{key}")

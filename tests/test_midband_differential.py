@@ -4,35 +4,32 @@ fixture magnitudes, yet INSIDE the measured decimal-cast exact band
 r12 probes behind it, NOTES "EXTREME-MAGNITUDE PROBE").
 
 This layer widens the VERIFIED domain of the differential contract:
-223 keys hash-match with 1e8-magnitude events.value / lineitem
-measures planted in the adversarial micro corpus. The three excluded
-keys are the r12-measured portability boundary, pinned below so the
-exclusion can never go stale:
+EVERY differential-family key hash-matches with 1e8-magnitude
+events.value / lineitem measures planted in the adversarial micro
+corpus. The r12 probe shipped this layer with three excluded keys —
+the measured portability boundary of that round; the r13
+out-of-domain round closed all three (MIDBAND_DIVERGENT_KEYS is now
+EMPTY by design and stays as the regression tripwire):
 
-* ``agg_trend_ols`` / ``agg_corr`` — the band constrains the CAST
-  OPERAND, and their summands are PRODUCTS (value*day, qty*price):
-  raw 1e8 pushes the operand to ~1e12, where DuckDB's float-scaled
-  double->DECIMAL cast double-rounds differently from Spark's exact
-  BigDecimal path; their cancellation-amplifying closed forms
-  (n*Sxy - Sx*Sy) then surface the ulp-level summand divergence in
-  unrounded output columns. (Keys whose closed forms ATTENUATE —
-  dstddev's /n + sqrt + ROUND 6 — absorb a measured 5% summand
-  divergence and stay green; they are in the 223.)
-* ``agg_skew_kurtosis`` — its exact integer power sums overflow
-  INT64 at raw ~1.7e8 (q^4): BOTH engines abort (Spark ANSI
-  ARITHMETIC_OVERFLOW, DuckDB OutOfRangeException in the INT64
-  multiply) — a symmetric refusal like the >=1e21 decimal band edge,
-  not a divergence; pinned so the symmetric-abort claim stays
-  measured.
+* ``agg_trend_ols`` / ``agg_corr`` — their PRODUCT summands
+  (value*day, qty*price) crossed the double->DECIMAL cast-divergence
+  band at raw ~1e8 and their cancellation closed forms amplified the
+  ulp drift. Fixed by the integer-micro-unit discipline: quantize
+  each FACTOR once through the loud DECIMAL(15,6) domain
+  precondition, multiply IN decimal (exact integer arithmetic), keep
+  every sum at scale 0 so the decimal->double output cast is a single
+  correctly-rounded conversion on both engines.
+* ``agg_skew_kurtosis`` — its INT64 power sums overflowed at raw
+  ~1.7e8 (q^4 > 2^63) on BOTH engines. Fixed by DECIMAL power sums
+  over the DECIMAL(9,0) domain precondition (|q| < 1e9, loud
+  symmetric abort beyond).
 
-The r13 out-of-domain round owns the fix (per-key operand-domain
-preconditions, not one global band); when a key is fixed, its
-divergence pin below FAILS, forcing this list back in sync.
+If a key lands back in MIDBAND_DIVERGENT_KEYS, a magnitude regression
+slipped into an operand path — find it, don't re-exclude.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
 
 from map_reduce_subnet_spark.operators import ORACLES, QUERIES
@@ -43,14 +40,12 @@ from tests.test_perturbed_differential import (
     PERTURBED_ONLY_KEYS,
 )
 
-# The r12-measured mid-band portability boundary (module docstring).
-# Each carries a divergence pin below — a fixed key cannot sit here
-# unnoticed.
-MIDBAND_DIVERGENT_KEYS = {
-    "agg_corr",
-    "agg_skew_kurtosis",
-    "agg_trend_ols",
-}
+# Emptied in r13 (the out-of-domain round): every differential-family
+# key now matches at mid-band magnitudes. Kept as the tripwire — a
+# key may ONLY appear here with a measured failure mode documented in
+# the module docstring, and the full-registry parametrize below makes
+# any new divergence loud in every suite run.
+MIDBAND_DIVERGENT_KEYS: set[str] = set()
 
 MIDBAND_KEYS = sorted(
     set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS) - MIDBAND_DIVERGENT_KEYS
@@ -65,10 +60,17 @@ _EVENT_MAGS = [1.2e8, -0.9e8, 3.4e8, -2.5e8, 4.9e8, 7.7e7]
 def _midband_tables():
     tables = _micro_tables()
     ev = tables["events"].copy()
+    # .loc on a too-small frame would silently APPEND half-NaN rows
+    # instead of planting (ADVICE r12): assert the labels exist
+    assert len(ev) > 3 * (len(_EVENT_MAGS) - 1), (
+        "micro events table shrank below the planting range; "
+        "re-derive the plant labels"
+    )
     for i, m in enumerate(_EVENT_MAGS):
         ev.loc[3 * i, "value"] = m
     tables["events"] = ev
     li = tables["lineitem"].copy()
+    assert len(li) >= 2, "micro lineitem table shrank below the plants"
     li.loc[0, "l_extendedprice"] = 2.3e8
     li.loc[1, "l_quantity"] = 1.7e8
     tables["lineitem"] = li
@@ -104,22 +106,10 @@ def test_midband_corpus_differential(spark, midband_dir, mbdb, key):
     assert_frames_match(got, want, f"midband:{key}")
 
 
-def test_midband_exclusions_still_diverge(spark, midband_dir, mbdb):
-    """The exclusion list is real, not stale: each excluded key must
-    still FAIL the differential on this corpus in its measured mode.
-    When the r13 per-key domain preconditions land, this test fails
-    first and the fixed key moves back into MIDBAND_KEYS."""
-    # integer power sums: BOTH engines refuse at this magnitude — a
-    # symmetric abort, pinned on each side
-    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
-        QUERIES["agg_skew_kurtosis"](spark, midband_dir).toPandas()
-    with pytest.raises(Exception, match="Overflow|Out of Range"):
-        mbdb.sql(ORACLES["agg_skew_kurtosis"]).df()
-
-    # product-operand cast divergence amplified by the cancellation
-    # closed forms: both run, values drift
-    for key in ("agg_corr", "agg_trend_ols"):
-        got = QUERIES[key](spark, midband_dir).toPandas()
-        want = mbdb.sql(ORACLES[key]).df()
-        with pytest.raises(AssertionError):
-            assert_frames_match(got, want, f"midband:{key}")
+def test_midband_exclusion_list_is_empty():
+    """The r13 out-of-domain round cleared the r12 boundary keys; the
+    whole registry must stay inside this layer. A future exclusion
+    needs a measured failure mode pinned in the module docstring —
+    and should be a fix, not an exclusion, unless the divergence is a
+    cross-engine primitive neither side controls."""
+    assert MIDBAND_DIVERGENT_KEYS == set()
