@@ -48,9 +48,15 @@ _SWEEP_PRIORITY = [
     # tests/test_correctness.py fails if any fingerprint changed
     # without the key appearing here.
     #
-    # (1) the six r13-changed keys first (VERDICT r12's weak list,
-    # all cleared this round — magnitude guards for the asymmetric
-    # trio, integer-micro-unit / decimal-power-sum rewrites for the
+    # (1a) NEW in r13 — never driver-swept, category (1) of the
+    # rotation policy (they displace the last two r7 backfill slots,
+    # join_asof_nearest / merge_scd2_history, to the r14 schedule):
+    # CEP sequence-pattern detection and dynamic partition overwrite:
+    "events_cep_pattern",
+    "sink_dynamic_partition_overwrite",
+    # (1b) the six r13-changed keys (VERDICT r12's weak list, all
+    # cleared this round — magnitude guards for the asymmetric trio,
+    # integer-micro-unit / decimal-power-sum rewrites for the
     # mid-band trio):
     "privacy_k_anonymize",
     "window_rolling_quantiles",
@@ -106,8 +112,6 @@ _SWEEP_PRIORITY = [
     "agg_cms_heavy_hitters",
     "agg_gini_concentration",
     "agg_robust_mad",
-    "join_asof_nearest",
-    "merge_scd2_history",
 ]
 
 

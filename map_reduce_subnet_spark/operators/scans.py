@@ -1114,3 +1114,79 @@ def scan_rowgroup_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(skippable).alias("skippable_exists"),
     )
     return _materialize_and_clean(spark, agg, root)
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum(
+           "value * (CASE WHEN event_type IN ('click', 'view') "
+           "THEN CAST(2 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)"
+       )} AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE — the idempotent-backfill write
+    every partitioned 100 TB table lives by: a recomputed batch
+    REPLACES exactly the partitions it carries rows for and leaves
+    every other partition untouched (static overwrite mode would drop
+    the whole table; append would duplicate). Rehearsal: the events
+    table is written partitioned by event_type, then a revision batch
+    (the 'click'/'view' partitions recomputed with value×2 — ×2 is
+    the reference's forward transform, neurons/miner.py:146, and
+    exact in IEEE doubles) is overwritten in dynamic mode; the
+    read-back aggregate proves BOTH halves of the contract in one
+    hash — touched partitions carry exactly the revised rows (no
+    append-duplication: counts match the source), untouched
+    partitions carry exactly the original rows (no static-mode drop).
+
+    Grounding: periodic weight sink with resync (reference
+    neurons/validator.py:149-163, miner.py:179-180) — each sink
+    replaces the stale slice, never the whole history.
+
+    Scale shape: the write shuffles nothing (partitionBy on a scan is
+    a per-task dynamic-partition write); dynamic mode prunes the
+    delete set to the partitions present in the incoming batch, so a
+    one-day backfill on a 10-year table touches one directory. The
+    read-back is a partition-pruned scan + one partial+final agg.
+    A NULL partition key round-trips through the writer's default
+    partition dir and comes back NULL — the oracle's NULL group
+    pins that."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"mrs_dpo_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        ev.write.partitionBy("event_type").parquet(root)
+        revision = ev.where(
+            F.col("event_type").isin("click", "view")
+        ).withColumn("value", F.col("value") * F.lit(2.0))
+        (
+            revision.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(root)
+        )
+        agg = (
+            spark.read.parquet(root)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                dsum("value", "sum_value"),
+            )
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -373,3 +373,98 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+# CEP pattern parameters: the ordered stage types and the max
+# anchor→close time span. 24 h in integer microseconds — the gap
+# arithmetic stays in BIGINT epoch micros (exact for all longs) like
+# sessionize_events. The bound is chosen to BITE on the fixtures
+# (per-user cadence is hours: at sf0.01 the 76 contiguous triples
+# span 2.3 h–60 h, so a one-day window admits some and rejects
+# others — a constraint the differential can actually observe at
+# every SF, measured r13).
+CEP_STAGES = ("view", "click", "purchase")
+CEP_SPAN_US = 86_400_000_000
+
+
+@query(
+    "events_cep_pattern",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS ts_us,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3,
+           lead(event_id, 2) OVER w AS close_event_id,
+           lead(epoch_us(ts), 2) OVER w AS ts3_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       event_id AS anchor_event_id,
+       close_event_id,
+       ts_us AS anchor_ts_us,
+       (ts3_us - ts_us) AS span_us
+FROM seq
+WHERE event_type = '{CEP_STAGES[0]}' AND t2 = '{CEP_STAGES[1]}'
+  AND t3 = '{CEP_STAGES[2]}'
+  AND ts3_us - ts_us <= {CEP_SPAN_US}
+""",
+)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLEX-EVENT-PROCESSING pattern match — the MATCH_RECOGNIZE /
+    Flink-CEP capability in its contiguous form: per user, emit every
+    occurrence of the ordered stage sequence view → click → purchase
+    appearing as three CONSECUTIVE events (by ts, event_id) whose
+    total span is ≤ 24 h (CEP_SPAN_US). This is per-OCCURRENCE sequence detection
+    — funnel_conversion answers "how many users ever progressed"
+    (per-user, any-gap); this answers "where exactly did the
+    conversion pattern fire" (the rows an alerting/attribution
+    pipeline joins back to). The non-contiguous bounded-gap variant
+    composes the forward as-of joins already in family C
+    (join_asof / join_point_in_time) — stage k's frame as-of-joined
+    onto stage k+1 with the span as tolerance.
+
+    Exactness: the match predicate is pure string equality plus
+    BIGINT epoch-microsecond arithmetic (exact for all longs; the
+    sessionize_events discipline) and the per-user order is
+    deterministic under the (ts, event_id) tiebreak, so lead()
+    observes the identical sequence in both engines.
+
+    Scale shape: ONE shuffle on user_id, one Sort, one WindowExec
+    evaluating all four lead() columns over the SAME frame (bounded
+    2-row lookahead, constant memory per position — never a
+    per-user collect), then a scan-local filter. At 100 TB this is
+    the cheapest possible CEP plan: cost ≡ sessionization.
+    Grounding: ordered request/response step sequences per peer
+    (reference neurons/miner.py:151-169, validator.py:120-141)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+        F.lead("event_id", 2).over(w).alias("close_event_id"),
+        F.lead("ts_us", 2).over(w).alias("ts3_us"),
+    )
+    return seq.where(
+        (F.col("event_type") == CEP_STAGES[0])
+        & (F.col("t2") == CEP_STAGES[1])
+        & (F.col("t3") == CEP_STAGES[2])
+        & (F.col("ts3_us") - F.col("ts_us") <= F.lit(CEP_SPAN_US))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("anchor_event_id"),
+        "close_event_id",
+        F.col("ts_us").alias("anchor_ts_us"),
+        (F.col("ts3_us") - F.col("ts_us")).alias("span_us"),
+    )

@@ -64,6 +64,14 @@ QUERY_SET = [
     # one zero-exchange pass).
     "dedup_prefix_truncation",
     "sim_ann_pq_adc",
+    # r13: the two new operators. CEP is sessionization-priced (one
+    # user_id shuffle + one Window with bounded 2-row lookahead) —
+    # the 10x question is only sort volume per user; dynamic
+    # partition overwrite is write-dominated — the 10x question is
+    # that the revision write stays per-task (no shuffle) and the
+    # delete set stays pruned to the touched partitions.
+    "events_cep_pattern",
+    "sink_dynamic_partition_overwrite",
     "graph_pagerank",
     "funnel_conversion",
     # r8 (VERDICT r7 #6): the streaming + warehouse families — the

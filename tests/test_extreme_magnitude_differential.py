@@ -66,6 +66,7 @@ EXTREME_ABORT_KEYS = {
     "scan_rowgroup_skip",
     "sessionize_events",
     "sink_compaction",
+    "sink_dynamic_partition_overwrite",
     "sink_zorder_cluster",
     "stream_mv_refresh_true",
     "stream_sliding",

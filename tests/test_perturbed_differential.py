@@ -101,6 +101,9 @@ def pddb(perturbed_dir):
 # per-fixture cache they share so the expensive subtrees (shingle /
 # candidate-pair materialization) build once and amortize.
 PERTURBED_KEYS = [
+    # round-13 additions (new operators join every corpus layer)
+    "events_cep_pattern",
+    "sink_dynamic_partition_overwrite",
     # round-12 additions (new operators join every corpus layer)
     "dedup_prefix_truncation",
     "sim_ann_pq_adc",
@@ -367,7 +370,7 @@ PERTURBED_ONLY_KEYS = [
     # skew-split assertion lives in tests/test_plans.py (sf0.01), NOT
     # in the query, so on any corpus the key is a plain result
     # differential (the isolated-session AQE confs only change the
-    # physical strategy, never the rows). 226/226 keys covered.
+    # physical strategy, never the rows). 228/228 keys covered.
     "join_skew_aqe",
 ]
 

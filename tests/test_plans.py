@@ -384,3 +384,18 @@ def test_prefix_truncation_pairs_join_broadcast_side(spark):
     assert not has_cartesian(df)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cep_pattern_is_one_exchange_one_window(spark):
+    """events_cep_pattern is sessionization-priced CEP: exactly one
+    Exchange (the user_id hash shuffle) and ONE WindowExec evaluating
+    all four lead() columns over the same (ts, event_id) frame — a
+    second exchange or window would mean the leads diverged in their
+    specs, and a SinglePartition exchange would mean the per-user
+    pattern scan collapsed onto one task."""
+    df = q(spark, "events_cep_pattern")
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2, plan

@@ -692,3 +692,128 @@ def test_int8_dequantized_scales_linearly_and_roundtrips(spark):
         f"int8_dequantized dim 2048 took {t_big:.1f}s vs {t_small:.1f}s "
         "at dim 512 — super-linear, captured-scale quadratic again?"
     )
+
+
+def _cep_events(rows):
+    """Minimal full-schema events frame for planted CEP fixtures."""
+    import json as _json
+
+    return pd.DataFrame(
+        {
+            "event_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "ts": pd.to_datetime([r[1] for r in rows]).astype(
+                "datetime64[us]"
+            ),
+            "user_id": np.array([r[2] for r in rows], dtype=np.int64),
+            "event_type": [r[3] for r in rows],
+            "value": np.full(len(rows), 1.5),
+            "props": [_json.dumps({"k": i}) for i in range(len(rows))],
+        }
+    )
+
+
+def test_events_cep_pattern_matches_planted_chains(spark, tmp_path):
+    """Planted chains pin each clause of the CEP predicate: stage
+    order, CONTIGUITY (an interloper event of the same user breaks a
+    match; another user's interleaved event does not), the 24 h span
+    bound, and the (ts, event_id) tie-break."""
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00.000137")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: clean match, span 2 h
+        (10, t0, 1, "view"),
+        (11, t0 + h, 1, "click"),
+        (12, t0 + 2 * h, 1, "purchase"),
+        # user 2: right order, 13 h gaps -> span 26 h > 24 h: NO match
+        (20, t0, 2, "view"),
+        (21, t0 + 13 * h, 2, "click"),
+        (22, t0 + 26 * h, 2, "purchase"),
+        # user 3: interloper breaks contiguity: NO match
+        (30, t0, 3, "view"),
+        (31, t0 + h, 3, "error"),
+        (32, t0 + 2 * h, 3, "click"),
+        (33, t0 + 3 * h, 3, "purchase"),
+        # user 4 matches even though user 5's event interleaves in ts
+        (40, t0, 4, "view"),
+        (50, t0 + h / 2, 5, "signup"),
+        (41, t0 + h, 4, "click"),
+        (42, t0 + 2 * h, 4, "purchase"),
+        # user 6: wrong order: NO match
+        (60, t0, 6, "click"),
+        (61, t0 + h, 6, "view"),
+        (62, t0 + 2 * h, 6, "purchase"),
+        # user 7: view/click share a timestamp; event_id breaks the
+        # tie into the matching order
+        (70, t0, 7, "view"),
+        (71, t0, 7, "click"),
+        (72, t0 + h, 7, "purchase"),
+    ]
+    d = tmp_path / "cep_fixture"
+    d.mkdir()
+    _cep_events(rows).to_parquet(d / "events.parquet")
+    got = sorted(
+        (r["user_id"], r["anchor_event_id"], r["span_us"])
+        for r in QUERIES["events_cep_pattern"](spark, str(d)).collect()
+    )
+    assert got == [
+        (1, 10, 2 * 3600 * 1_000_000),
+        (4, 40, 2 * 3600 * 1_000_000),
+        (7, 70, 3600 * 1_000_000),
+    ], got
+
+
+def test_dynamic_partition_overwrite_leaves_untouched_files(
+    spark, tmp_path
+):
+    """The layout-level half of the dynamic-overwrite contract, which
+    the query's aggregate cannot distinguish from a
+    rewrite-with-identical-data: the revision write must REPLACE the
+    part files of the partitions it carries and leave the other
+    partitions' files PHYSICALLY untouched (same names — a full-table
+    rewrite would re-emit them under fresh task UUIDs)."""
+    import glob
+    import os
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    root = str(tmp_path / "dpo_tbl")
+    ev.write.partitionBy("event_type").parquet(root)
+
+    def files(ptn):
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(
+                os.path.join(root, f"event_type={ptn}", "part-*")
+            )
+        )
+
+    error_before = files("error")
+    click_before = files("click")
+    assert error_before and click_before, "fixture lacks partitions"
+
+    revision = ev.where(
+        F.col("event_type").isin("click", "view")
+    ).withColumn("value", F.col("value") * F.lit(2.0))
+    (
+        revision.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(root)
+    )
+
+    assert files("error") == error_before, (
+        "dynamic overwrite rewrote an untouched partition"
+    )
+    assert files("click") != click_before, (
+        "dynamic overwrite did not replace a touched partition"
+    )
+    # and the data halves: untouched partition keeps original values,
+    # touched partition carries exactly the revised rows (no append)
+    back = spark.read.parquet(root)
+    n_click_src = ev.where(F.col("event_type") == "click").count()
+    assert (
+        back.where(F.col("event_type") == "click").count() == n_click_src
+    ), "touched partition row count changed (append or drop)"
