@@ -202,14 +202,18 @@ FROM v
 )
 def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / covariance per group, from EXACT decimal
-    co-moment sums (r13 rewrite): both measures are cast to
-    DECIMAL(15,6) per row (exact inside the measured |x| ≤ 1e9
-    cross-engine cast band — CORR_FACTOR_DECIMAL is also the loud
-    operand-domain precondition beyond it), the five sums
-    Σx Σy Σx² Σy² Σxy are computed in decimal — decimal×decimal is
-    exact integer arithmetic, order-independent, identical in both
-    engines — and the closed forms then run as one fixed double
-    program on identical operands, hence bit-exact. The r9 built-in
+    co-moment sums (r13 rewrite): both measures are carried as
+    integer MICRO-UNITS — cast through DECIMAL(15,6) per row (exact
+    inside the measured |x| ≤ 1e9 cross-engine cast band;
+    CORR_FACTOR_DECIMAL is also the loud operand-domain precondition
+    beyond it), ×1e6, recast to scale 0 — so the five sums
+    Σx Σy Σx² Σy² Σxy are exact decimal-integer arithmetic
+    (order-independent, identical in both engines), their
+    decimal→double OUTPUT casts are single correctly-rounded
+    conversions on both sides (a scale-s sum is double-rounded in
+    DuckDB via (double)unscaled/10^s), the /1e6 (/1e12) descales are
+    the identical IEEE op, and the closed forms then run as one fixed
+    double program on identical operands, hence bit-exact. The r9 built-in
     covar_samp/stddev_samp spelling agreed only to ~1 ulp (one-pass
     co-moment recurrences are float-order-dependent) and the r12
     mid-band probe measured it diverging at raw ~1e8, where the

@@ -1177,8 +1177,16 @@ def sink_dynamic_partition_overwrite(
             .partitionBy("event_type")
             .parquet(root)
         )
+        # explicit read-back schema: schema inference over a
+        # partition layout is a driver-side footer sweep at scale,
+        # and an all-empty layout (routine for an empty upstream
+        # slice) has no footers to infer from at all
         agg = (
-            spark.read.parquet(root)
+            spark.read.schema(
+                "event_id long, user_id long, value double, "
+                "event_type string"
+            )
+            .parquet(root)
             .groupBy("event_type")
             .agg(
                 F.count("*").alias("n_events"),

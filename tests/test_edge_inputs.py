@@ -108,11 +108,21 @@ def _write_events_encoded(tmp_path, encoding: str) -> str:
     # panes stay multi-window
     ts_us = [base_us + i * 180_000_000 + i * 7 for i in range(n)]
     etypes = ["error", "purchase", "a", "b"]
+    user_ids = [i % 3 for i in range(n)]
+    event_types = [etypes[i % 4] for i in range(n)]
+    # one planted CEP triple on its own user (events_cep_pattern must
+    # see nonzero rows in the matrix, like interval-overlap does):
+    # contiguous view -> click -> purchase, 3-min steps << 24 h span
+    for j in range(3):
+        ts_us.append(ts_us[-1] + 180_000_000 + 7)
+        user_ids.append(7)
+        event_types.append(["view", "click", "purchase"][j])
+    n += 3
     cols = {
         "event_id": pa.array(range(n), pa.int64()),
         "ts": pa.array(ts_us, pa.timestamp("us")),
-        "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
-        "event_type": pa.array([etypes[i % 4] for i in range(n)]),
+        "user_id": pa.array(user_ids, pa.int64()),
+        "event_type": pa.array(event_types),
         "value": pa.array([float(i) for i in range(n)], pa.float64()),
         "props": pa.array(['{"k":%d}' % i for i in range(n)]),
     }
@@ -158,6 +168,7 @@ def test_ts_matrix_batch_queries_agree(spark, tmp_path):
         "stream_watermark_late",
         "sessionize_events",
         "join_interval_overlap",
+        "events_cep_pattern",
     ):
         results = []
         for enc in _TS_ENCODINGS:
@@ -197,7 +208,8 @@ def test_ts_matrix_streaming_reader_agrees(spark, tmp_path):
             (r["event_id"], r["ts"].isoformat()) for r in sink.collect()
         )
     assert seen["ns"] == seen["us_ntz"] == seen["us_utc"]
-    assert len(seen["ns"]) == 24
+    # 24 base rows + the 3-event planted CEP triple
+    assert len(seen["ns"]) == 27
 
 
 def test_streaming_reader_rejects_mixed_encodings(spark, tmp_path):
@@ -291,6 +303,11 @@ _EMPTY_SWEEP_KEYS = (
     "text_source_drift_jsd",
     "agg_trend_ols",
     "sample_contrastive_pairs",  # empty corpus: zero-doc rank frame
+    # round-13 additions:
+    "events_cep_pattern",        # empty stream: no windows, no rows
+    "sink_dynamic_partition_overwrite",  # all-empty layout: the
+    # explicit read-back schema is what makes a footer-less partition
+    # dir readable (caught by this sweep when the key was added)
 )
 
 
