@@ -49,11 +49,15 @@ _SWEEP_PRIORITY = [
     # without the key appearing here.
     #
     # (1a) NEW in r13 — never driver-swept, category (1) of the
-    # rotation policy (they displace the last two r7 backfill slots,
-    # join_asof_nearest / merge_scd2_history, to the r14 schedule):
-    # CEP sequence-pattern detection and dynamic partition overwrite:
+    # rotation policy (they displace the last four r7 backfill slots,
+    # join_asof_nearest / merge_scd2_history / agg_gini_concentration
+    # / agg_robust_mad, to the r14 schedule): CEP sequence-pattern
+    # detection (batch + live state-store twin), dynamic partition
+    # overwrite, and blocked edit-distance dedup:
     "events_cep_pattern",
+    "stream_cep_true",
     "sink_dynamic_partition_overwrite",
+    "dedup_fuzzy_blocked",
     # (1b) the six r13-changed keys (VERDICT r12's weak list, all
     # cleared this round — magnitude guards for the asymmetric trio,
     # integer-micro-unit / decimal-power-sum rewrites for the
@@ -110,8 +114,6 @@ _SWEEP_PRIORITY = [
     "dedup_exact",
     "dedup_chunk_level",
     "agg_cms_heavy_hitters",
-    "agg_gini_concentration",
-    "agg_robust_mad",
 ]
 
 

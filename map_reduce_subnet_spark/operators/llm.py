@@ -7131,6 +7131,165 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_BLOCK_WORDS = 4  # block key = md5(first 4 words)
+FUZZY_MAX_DIST = 16  # edit budget; Spark computes O(len·budget)
+FUZZY_MAX_CHARS = 4096  # per-pair cost bound: levenshtein is O(len²)
+
+
+@query(
+    "dedup_fuzzy_blocked",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+cand AS (
+    -- participation preconditions (mirrored on the Spark side):
+    -- >= {FUZZY_BLOCK_WORDS} words (the block key needs them),
+    -- <= {FUZZY_MAX_CHARS} chars (bounds the O(len²) verify),
+    -- ASCII only (strlen bytes = length chars): DuckDB's levenshtein is
+    -- BYTE-level while Spark's is CODEPOINT-level — identical
+    -- exactly on 1-byte-per-char text (measured r13:
+    -- 'héllo wörld' vs 'hello world' is 4 bytes / 2 codepoints)
+    SELECT doc_id,
+           md5(array_to_string(
+               list_slice(w, 1, {FUZZY_BLOCK_WORDS}), ' ')) AS bk
+    FROM tok
+    WHERE len(w) >= {FUZZY_BLOCK_WORDS}
+      AND length(text) <= {FUZZY_MAX_CHARS}
+      AND strlen(text) = length(text)
+),
+capped AS (
+    SELECT doc_id, bk FROM (
+        SELECT doc_id, bk,
+               ROW_NUMBER() OVER (PARTITION BY bk ORDER BY doc_id) AS rn
+        FROM cand
+    ) WHERE rn <= {LSH_BUCKET_CAP}
+),
+pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM capped a JOIN capped b
+      ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+scored AS (
+    -- the verify is GUARDED INSIDE a CASE, not by a separate WHERE:
+    -- both engines then short-circuit the O(len²)/O(len·budget)
+    -- levenshtein per row behind two cheap tests — text inequality
+    -- (the dist >= 1 bound: 89.5% of candidate pairs on the
+    -- duplicate-heavy 10x rehearsal corpus were IDENTICAL texts) and
+    -- the classic |len(a)-len(b)| <= dist length-gap lower bound. A
+    -- standalone WHERE is NOT safe here: Catalyst folds post-join
+    -- predicates into the join condition in arbitrary order, and the
+    -- r13 rehearsal measured the levenshtein running FIRST for all
+    -- 252k probes (28 s at sf1 vs 1 s with the CASE guard).
+    SELECT p.a_id, p.b_id,
+           CASE WHEN ta.text <> tb.text
+                 AND abs(length(ta.text) - length(tb.text))
+                     <= {FUZZY_MAX_DIST}
+                THEN CAST(levenshtein(ta.text, tb.text) AS BIGINT)
+           END AS edit_dist
+    FROM pairs p
+    JOIN documents ta ON ta.doc_id = p.a_id
+    JOIN documents tb ON tb.doc_id = p.b_id
+)
+SELECT a_id, b_id, edit_dist
+FROM scored
+WHERE edit_dist BETWEEN 1 AND {FUZZY_MAX_DIST}
+""",
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED EDIT-DISTANCE dedup (record-linkage blocking, the ER
+    classic): near-duplicate pairs whose Levenshtein distance is in
+    [1, {FUZZY_MAX_DIST}] — the character-level complement of the
+    set-similarity family (Jaccard/MinHash see token overlap and miss
+    small in-word edits: OCR noise, typo farms, template fills;
+    dedup_exact's job — distance 0 — is excluded by the lower bound).
+
+    Candidate generation is BLOCKED, never pairwise: a small-edit
+    pair almost always shares its first {FUZZY_BLOCK_WORDS} words, so
+    docs bucket on md5(first-{FUZZY_BLOCK_WORDS}-words) with the
+    LSH_BUCKET_CAP lowest-id cap (_capped_buckets); only in-bucket
+    pairs are verified. Edits inside the first words move a doc to
+    another block — the standard blocking recall trade, bought back
+    in production with a second key pass (e.g. last-{FUZZY_BLOCK_WORDS}
+    words), exactly how multi-band LSH buys recall.
+
+    Participation preconditions (identical both engines): at least
+    {FUZZY_BLOCK_WORDS} words; at most {FUZZY_MAX_CHARS} chars (the
+    verify is O(len²) per pair — unbounded docs would make one pair a
+    straggler task); ASCII only (octet_length = length), because
+    DuckDB's levenshtein counts BYTES while Spark's counts
+    CODEPOINTS — they agree exactly on 1-byte text, so the contract
+    is pinned to the byte≡codepoint domain and non-ASCII docs route
+    to a codepoint-aware variant at deployment (the all-ASCII
+    byte-feature precondition pattern).
+
+    Scale shape: one corpus shuffle on the block key (the capped
+    groupBy); each doc has exactly ONE block key, so no pair appears
+    twice and no distinct is needed; the rare pair table joins back
+    to the corpus broadcast-side (AQE); the verify runs Spark's
+    thresholded levenshtein — O(len·{FUZZY_MAX_DIST}) per pair, not
+    O(len²), returning -1 past the budget (filtered, matching the
+    oracle's full-distance BETWEEN)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tx.words("text")
+    cand = d.where(
+        (F.size(w) >= FUZZY_BLOCK_WORDS)
+        & (F.length("text") <= FUZZY_MAX_CHARS)
+        & (F.octet_length("text") == F.length("text"))
+    ).select(
+        F.md5(F.concat_ws(" ", F.slice(w, 1, FUZZY_BLOCK_WORDS))).alias(
+            "bk"
+        ),
+        "doc_id",
+    )
+    buckets = _capped_buckets(cand, ["bk"], "doc_id")
+    pairs = buckets.select(
+        F.explode(_bucket_pairs(F.col("ids"))).alias("p")
+    ).select("p.a_id", "p.b_id")
+    a = d.select(
+        F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+    )
+    # Three spellings here are load-bearing, each caught by the r13
+    # 10x rehearsal (136 s at sf1 before; ~2 s after):
+    # 1. the CASE GUARD — identical texts (89.5% of candidates on the
+    #    duplicate-heavy rehearsal corpus) and over-budget length
+    #    gaps never reach the levenshtein;
+    # 2. the LET-BOUND filter (invariant #13) — the distance is
+    #    computed ONCE as a lambda value and filtered inside the
+    #    array, so no plan-level Filter exists for Catalyst to fold
+    #    into the join condition (where codegen subexpression
+    #    elimination re-evaluated the guarded levenshtein for every
+    #    probe, 3x);
+    # 3. the REPARTITION before the verify — both text joins are
+    #    broadcasts over the documents SCAN, whose parallelism is
+    #    byte-planned (SCALE.md lesson 1: ~MB of compressed text =
+    #    ONE task), so without it the whole O(pairs·len·budget)
+    #    verify ran single-threaded (measured: 1 partition, 150 s
+    #    unguarded / 13 s guarded at sf1). One shuffle of the tiny
+    #    (ids, texts) candidate frame buys cluster-wide verify
+    #    parallelism.
+    cheap = (F.col("a_text") != F.col("b_text")) & (
+        F.abs(F.length("a_text") - F.length("b_text"))
+        <= F.lit(FUZZY_MAX_DIST)
+    )
+    dist = F.when(
+        cheap, F.levenshtein("a_text", "b_text", FUZZY_MAX_DIST)
+    ).cast("long")
+    packed = F.filter(
+        F.array(dist),
+        lambda dd: (dd >= F.lit(1)) & (dd <= F.lit(FUZZY_MAX_DIST)),
+    )
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .repartition(F.col("a_id"))
+        .select("a_id", "b_id", F.explode(packed).alias("edit_dist"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Product-quantization ANN (r12)
 # --------------------------------------------------------------------------

@@ -386,10 +386,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 CEP_STAGES = ("view", "click", "purchase")
 CEP_SPAN_US = 86_400_000_000
 
-
-@query(
-    "events_cep_pattern",
-    oracle=f"""
+# Shared by events_cep_pattern (batch) and streaming/jobs.py's
+# stream_cep_true (the live state-store twin): both drain the same
+# fixture, and every match is emitted exactly once in either mode, so
+# ONE oracle certifies both.
+CEP_ORACLE = f"""
 WITH seq AS (
     SELECT user_id, event_id, event_type,
            epoch_us(ts) AS ts_us,
@@ -409,8 +410,10 @@ FROM seq
 WHERE event_type = '{CEP_STAGES[0]}' AND t2 = '{CEP_STAGES[1]}'
   AND t3 = '{CEP_STAGES[2]}'
   AND ts3_us - ts_us <= {CEP_SPAN_US}
-""",
-)
+"""
+
+
+@query("events_cep_pattern", oracle=CEP_ORACLE)
 def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMPLEX-EVENT-PROCESSING pattern match — the MATCH_RECOGNIZE /
     Flink-CEP capability in its contiguous form: per user, emit every

@@ -1411,3 +1411,147 @@ def stream_mv_refresh_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def cep_pattern_stream(ev: DataFrame) -> DataFrame:
+    """Live CEP over an event stream: per-user state = the last TWO
+    events (type, epoch-µs, id); each arriving event closes a match
+    iff (prev2, prev1, current) equals the stage sequence and the
+    anchor→close span is within CEP_SPAN_US — the
+    applyInPandasWithState form of operators/streaming_batch.py::
+    events_cep_pattern's lead() window, with APPEND output (a match
+    is emitted exactly once, when its closing event arrives; batches
+    with no completed match emit nothing for that user).
+
+    Exposed module-level so tests can drive it over a multi-batch
+    source and prove the state carries PARTIAL matches across
+    micro-batch boundaries (a triple whose first two stages arrive in
+    batch k and whose close arrives in batch k+1 must still fire) —
+    the property the batch twin gets for free from its global sort
+    and a streaming CEP engine exists to provide."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from map_reduce_subnet_spark.operators.streaming_batch import (
+        CEP_SPAN_US,
+        CEP_STAGES,
+    )
+
+    stages = tuple(CEP_STAGES)
+    span = int(CEP_SPAN_US)
+
+    def match_cep(key, pdf_iter, state):
+        # closure: shipped by value; executors don't import this repo
+        import pandas as pd
+
+        if state.exists:
+            t1, t2, ts1, ts2, id1, id2 = state.get
+        else:
+            t1 = t2 = None
+            ts1 = ts2 = id1 = id2 = -1
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        out = []
+        for t3, ts3, id3 in zip(
+            rows["event_type"], ts_us, rows["event_id"]
+        ):
+            if (
+                (t1, t2, t3) == stages
+                and ts3 - ts1 <= span
+            ):
+                out.append((key[0], id1, int(id3), int(ts1),
+                            int(ts3 - ts1)))
+            t1, t2 = t2, str(t3)
+            ts1, ts2 = ts2, int(ts3)
+            id1, id2 = id2, int(id3)
+        state.update((t1, t2, ts1, ts2, id1, id2))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "anchor_event_id",
+                "close_event_id",
+                "anchor_ts_us",
+                "span_us",
+            ],
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        match_cep,
+        outputStructType=(
+            "user_id LONG, anchor_event_id LONG, close_event_id LONG, "
+            "anchor_ts_us LONG, span_us LONG"
+        ),
+        stateStructType=(
+            "t1 STRING, t2 STRING, ts1 LONG, ts2 LONG, id1 LONG, id2 LONG"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+from map_reduce_subnet_spark.operators.streaming_batch import (  # noqa: E402
+    CEP_ORACLE as _CEP_ORACLE,
+)
+
+
+@query("stream_cep_true", oracle=_CEP_ORACLE)
+def stream_cep_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming CEP — the state-store twin of
+    events_cep_pattern, driven over FOUR time-contiguous micro-batches
+    (the stream_stateful_ema_batches harness): the events fixture is
+    split into 4 files fed one per trigger (ascending mtimes), so any
+    pattern occurrence straddling a file boundary is only found if the
+    per-user last-two-events state survives in the state store between
+    triggers. Append-mode emission = each match exactly once, when its
+    closing event arrives — which is why the union of all batches'
+    emissions equals the batch twin's full-fixture answer and ONE
+    oracle (CEP_ORACLE) certifies both keys.
+
+    Scale shape: state is O(1) per user (two tuples — type, ts, id),
+    the smallest state a 3-stage contiguous CEP can carry; each
+    micro-batch shuffles on user_id into the state store's
+    partitioning, exactly like the stateful EMA. Grounding: ordered
+    request/response step sequences per peer carried across rounds
+    (reference neurons/miner.py:151-169, validator.py:146)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    tbl = pq_mod.read_table(f"{sf_dir}/events.parquet")
+    pdf_order = (
+        tbl.select(["ts", "event_id"])
+        .to_pandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .index
+    )
+    tbl = tbl.take(pa.array(pdf_order, type=pa.int64()))
+    src = os.path.join(
+        tempfile.gettempdir(), f"mrs_cep_batches_{uuid.uuid4().hex[:12]}"
+    )
+    os.makedirs(src)
+    n_files = 4
+    step = (tbl.num_rows + n_files - 1) // n_files
+    now = _time.time()
+    try:
+        for i in range(n_files):
+            p = os.path.join(src, f"part{i}.parquet")
+            pq_mod.write_table(tbl.slice(i * step, step), p)
+            os.utime(p, (now + i, now + i))  # mtime order = time order
+        ev = _read_events_stream(
+            spark,
+            os.path.join(src, "part0.parquet"),
+            src,
+            maxFilesPerTrigger="1",
+        )
+        sink = _run_to_memory(
+            cep_pattern_stream(ev), spark, output_mode="append"
+        )
+        rows = sink.collect()
+        schema = sink.schema
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -72,6 +72,14 @@ QUERY_SET = [
     # delete set stays pruned to the touched partitions.
     "events_cep_pattern",
     "sink_dynamic_partition_overwrite",
+    # r13 batch 2: blocked fuzzy dedup's 10x question is the pair
+    # population on the duplicate-heavy corpus (each sf0.1 near-dup
+    # chain becomes a 10c-clique inside one block — the
+    # LSH_BUCKET_CAP bounds the worst block) with an O(len·budget)
+    # levenshtein verify per pair; the live CEP twin's question is
+    # state-store growth (O(1) per user) across batches at 10x rows.
+    "dedup_fuzzy_blocked",
+    "stream_cep_true",
     "graph_pagerank",
     "funnel_conversion",
     # r8 (VERDICT r7 #6): the streaming + warehouse families — the

@@ -308,6 +308,8 @@ _EMPTY_SWEEP_KEYS = (
     "sink_dynamic_partition_overwrite",  # all-empty layout: the
     # explicit read-back schema is what makes a footer-less partition
     # dir readable (caught by this sweep when the key was added)
+    "dedup_fuzzy_blocked",       # empty corpus: no blocks, no pairs
+    "stream_cep_true",           # 4 empty micro-batch files, no state
 )
 
 

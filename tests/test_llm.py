@@ -1786,3 +1786,47 @@ def test_pq_adc_missing_probe_yields_empty(spark, tmp_path):
     got = QUERIES["sim_ann_pq_adc"](spark, str(tmp_path)).toPandas()
     assert len(got) == 0
     assert list(got.columns) == ["vec_id", "adist", "exact_l2"]
+
+
+def test_dedup_fuzzy_blocked_planted(spark, tmp_path):
+    """Planted docs pin each clause of the blocked fuzzy-dedup
+    contract: a small-edit pair fires with its exact distance; exact
+    duplicates (distance 0) are excluded; a same-block pair beyond
+    the 16-edit budget is excluded; a first-word typo moves the doc
+    to ANOTHER block so it never pairs (the documented blocking
+    recall trade); non-ASCII and <4-word docs don't participate."""
+    import pandas as pd
+
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    texts = [
+        base,                                        # 0
+        base.replace("jumps", "jmups"),              # 1: dist 2 to 0/2
+        base,                                        # 2: exact dup of 0
+        "the quick brown fox " + " ".join(           # 3: same block,
+            ["completely"] * 12                      #    way past budget
+        ),
+        "teh quick brown fox jumps over the lazy dog tonight",  # 4:
+        # first-word typo -> different block, never paired
+        base + " café",                         # 5: non-ASCII
+        "one two three",                             # 6: < 4 words
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "fuzzy_fixture"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["edit_dist"])
+        for r in QUERIES["dedup_fuzzy_blocked"](spark, str(d)).collect()
+    )
+    # (0,2) is distance 0 -> excluded; doc 1 pairs with both copies
+    assert got == [(0, 1, 2), (1, 2, 2)], got

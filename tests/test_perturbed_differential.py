@@ -104,6 +104,7 @@ PERTURBED_KEYS = [
     # round-13 additions (new operators join every corpus layer)
     "events_cep_pattern",
     "sink_dynamic_partition_overwrite",
+    "dedup_fuzzy_blocked",
     # round-12 additions (new operators join every corpus layer)
     "dedup_prefix_truncation",
     "sim_ann_pq_adc",
@@ -326,6 +327,7 @@ PERTURBED_ONLY_KEYS = [
     # preconditions survive subsetting) and the scratch/catalog keys
     # rebuild their per-dir caches once for the module:
     # streaming-true
+    "stream_cep_true",
     "stream_tumbling_true",
     "stream_sliding_true",
     "stream_session_true",
@@ -370,7 +372,7 @@ PERTURBED_ONLY_KEYS = [
     # skew-split assertion lives in tests/test_plans.py (sf0.01), NOT
     # in the query, so on any corpus the key is a plain result
     # differential (the isolated-session AQE confs only change the
-    # physical strategy, never the rows). 228/228 keys covered.
+    # physical strategy, never the rows). 230/230 keys covered.
     "join_skew_aqe",
 ]
 

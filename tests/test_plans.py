@@ -399,3 +399,30 @@ def test_cep_pattern_is_one_exchange_one_window(spark):
     assert "hashpartitioning(user_id" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2, plan
+
+
+def test_fuzzy_blocked_is_two_shuffles_broadcast_verify(spark):
+    """dedup_fuzzy_blocked must keep the truncation-dedup shape plus
+    its verify repartition: exactly TWO hash exchanges — the capped
+    block-key groupBy, and the deliberate repartition that spreads
+    the O(pairs·len·budget) levenshtein across the cluster (without
+    it the verify inherits the byte-planned documents-scan
+    parallelism: ONE task at rehearsal scale — SCALE.md lesson 1).
+    The rare pair table rides broadcasts to both text fetches; never
+    a cartesian. The let-bound explode must also hold: no plan-level
+    Filter carrying a levenshtein (Catalyst would fold it into the
+    join condition where codegen subexpression elimination evaluates
+    it eagerly per probe)."""
+    df = q(spark, "dedup_fuzzy_blocked")
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 2, plan
+    assert not has_cartesian(df), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    for blk in plan.split("\n\n"):
+        if blk.startswith("(") and ") Filter" in blk.split("\n")[0]:
+            assert "levenshtein" not in blk, blk
+    joins = [
+        blk for blk in plan.split("\n\n") if "Join condition" in blk
+    ]
+    assert all("levenshtein" not in blk for blk in joins), joins

@@ -592,3 +592,70 @@ def test_upsert_merge_replay_idempotent(spark):
     assert by_user.loc[9, "last_event_id"] == 98  # untouched carries over
     null_rows = once[once["user_id"].isna()]
     assert len(null_rows) == 1 and null_rows["last_event_id"].iloc[0] == 5
+
+
+def test_cep_state_carries_partial_match_across_batches(spark, tmp_path):
+    """The property the live CEP twin exists for: a pattern whose
+    first two stages arrive in micro-batch 0 and whose closing event
+    arrives in micro-batch 1 must still fire — the per-user
+    last-two-events state has to survive the trigger boundary. Also
+    pins append-mode exactly-once (the boundary match is emitted in
+    exactly one batch) and the no-match case (a user whose triple
+    never completes emits nothing)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_subnet_spark.streaming.jobs import (
+        _read_events_stream,
+        _run_to_memory,
+        cep_pattern_stream,
+    )
+
+    base = 1_700_000_000_000_000  # µs
+    m = 60_000_000  # one minute
+    # user 1: view+click in file 0, purchase in file 1 (the boundary
+    # straddle); user 2: view+click then an interloper — never fires
+    f0 = [
+        (10, base + 0 * m, 1, "view"),
+        (11, base + 1 * m, 1, "click"),
+        (20, base + 0 * m, 2, "view"),
+        (21, base + 1 * m, 2, "click"),
+    ]
+    f1 = [
+        (12, base + 2 * m, 1, "purchase"),
+        (22, base + 2 * m, 2, "error"),
+        (23, base + 3 * m, 2, "purchase"),
+    ]
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+
+    src = tmp_path / "cep_batches"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate((f0, f1)):
+        p = str(src / f"part{i}.parquet")
+        pq_mod.write_table(tbl(rows), p)
+        os.utime(p, (now + i, now + i))
+    ev = _read_events_stream(
+        spark, str(src / "part0.parquet"), str(src), maxFilesPerTrigger="1"
+    )
+    got = sorted(
+        tuple(r)
+        for r in _run_to_memory(
+            cep_pattern_stream(ev), spark, output_mode="append"
+        ).collect()
+    )
+    assert got == [(1, 10, 12, base, 2 * m)], got
