@@ -1428,7 +1428,14 @@ def cep_pattern_stream(ev: DataFrame) -> DataFrame:
     micro-batch boundaries (a triple whose first two stages arrive in
     batch k and whose close arrives in batch k+1 must still fire) —
     the property the batch twin gets for free from its global sort
-    and a streaming CEP engine exists to provide."""
+    and a streaming CEP engine exists to provide.
+
+    Epoch microseconds are computed IN-PLAN (unix_micros) before the
+    stateful operator, never from the worker-side pandas timestamps:
+    Arrow renders TimestampType into pandas through the session time
+    zone, so a pandas .astype('int64') is only epoch-correct under
+    UTC — unix_micros is timezone-proof (span_us, a difference, would
+    survive either way; anchor_ts_us would not)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from map_reduce_subnet_spark.operators.streaming_batch import (
@@ -1438,6 +1445,7 @@ def cep_pattern_stream(ev: DataFrame) -> DataFrame:
 
     stages = tuple(CEP_STAGES)
     span = int(CEP_SPAN_US)
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
 
     def match_cep(key, pdf_iter, state):
         # closure: shipped by value; executors don't import this repo
@@ -1448,8 +1456,8 @@ def cep_pattern_stream(ev: DataFrame) -> DataFrame:
         else:
             t1 = t2 = None
             ts1 = ts2 = id1 = id2 = -1
-        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
-        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+        ts_us = rows["ts_us"]
         out = []
         for t3, ts3, id3 in zip(
             rows["event_type"], ts_us, rows["event_id"]
