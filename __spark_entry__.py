@@ -37,83 +37,78 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # --- FRESHNESS SCHEDULE, r13 edition (VERDICT r12 #1/#2) ---
-    # r13 is the out-of-domain round: six keys took runtime changes
-    # (the three asymmetric magnitude guards + the three mid-band
-    # operand-domain rewrites), and the freshness backlog is the r6
-    # cohort (28 keys, NOTES "FRESHNESS PLAN"). 6 changed + 28
-    # r6-cohort + 16 oldest-r7 backfill = exactly 50. The changed-key
+    # --- FRESHNESS SCHEDULE, r14 edition (VERDICT r13 #1/#3) ---
+    # r14 composition: 8 changed keys (the 7 EXTREME_DRIFT keys
+    # ported to stable.py::dsum_wide + window_rolling_quantiles'
+    # ROLLQ_VALUE_DOMAIN halve) + the full 22-key remainder of the
+    # r7-vintage cohort (agg_gini_concentration is in both sets,
+    # counted once under "changed") + r8 backfill to the cap. Any
+    # NEW keys this round displace backfill slots from the END of
+    # the r8 tranche. Target met (NOTES "R14 PLAN"): after this
+    # sweep no key's latest driver row predates r8. The changed-key
     # rule is mechanized: scripts/fingerprints.py records
     # key -> md5(oracle + engine source) per round, and
     # tests/test_correctness.py fails if any fingerprint changed
     # without the key appearing here.
     #
-    # (1a) NEW in r13 — never driver-swept, category (1) of the
-    # rotation policy (they displace the last four r7 backfill slots,
-    # join_asof_nearest / merge_scd2_history / agg_gini_concentration
-    # / agg_robust_mad, to the r14 schedule): CEP sequence-pattern
-    # detection (batch + live state-store twin), dynamic partition
-    # overwrite, and blocked edit-distance dedup:
-    "events_cep_pattern",
-    "stream_cep_true",
-    "sink_dynamic_partition_overwrite",
-    "dedup_fuzzy_blocked",
-    # (1b) the six r13-changed keys (VERDICT r12's weak list, all
-    # cleared this round — magnitude guards for the asymmetric trio,
-    # integer-micro-unit / decimal-power-sum rewrites for the
-    # mid-band trio):
-    "privacy_k_anonymize",
+    # (1) changed this round — the wide-domain two-limb sum port
+    # (clears the r13 EXTREME_DRIFT pins; agg_salted_hotkey via the
+    # functions/skew.py::salted_sum rewrite) and the rolling-quantile
+    # domain halve (ADVICE r13):
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_salted_hotkey",
+    "agg_gini_concentration",
+    "join_broadcast",
+    "observe_metrics",
+    "scan_orc_roundtrip",
     "window_rolling_quantiles",
-    "udaf_grouped_agg",
-    "agg_corr",
-    "agg_trend_ols",
-    "agg_skew_kurtosis",
-    # (2) the r6 freshness cohort — 28 keys whose latest driver row
-    # is r6 (incl. the two roundtrips displaced from r12's backfill):
-    "sink_json_roundtrip",
-    "sink_roundtrip",
-    "scan_variant_props",
-    "scan_python_datasource",
-    "sink_python_datasource",
-    "udtf_python_lateral",
-    "stream_dedup_within_watermark_true",
-    "stream_state_inspect",
-    "stream_stateful_ema",
-    "stream_stateful_ema_batches",
-    "stream_stream_join_true",
-    "stream_watermark_late",
-    "join_interval_overlap",
-    "join_skew_aqe",
-    "agg_bitmap_distinct",
-    "agg_percentile",
-    "dedup_simhash",
-    "embed_neardup_cosine",
-    "graph_pagerank",
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
-    "multimodal_frame_sample",
-    "multimodal_image_resize",
-    "retention_cohort",
-    "sim_ann_ivf",
-    "sim_ann_ivf_kmeans",
-    "sim_ann_lsh_topk",
-    "sim_ann_multiprobe_topk",
-    # (3) backfill: 16 of the 35 r7-vintage keys (flagship scans /
-    # aggregations / dedup first; the remaining 19 take the r14
-    # sweep with the rest of the r7 cohort — target per NOTES: by
-    # r14 no key's latest driver row predates r8):
-    "scan_filter_pushdown",
-    "scan_json_props",
-    "join_anti",
-    "join_cross_bipartite",
-    "agg_approx_distinct",
-    "agg_count_distinct",
-    "agg_distinct_arg",
-    "agg_normalize_l1",
-    "agg_hll_sketch_merge",
-    "dedup_exact",
-    "dedup_chunk_level",
-    "agg_cms_heavy_hitters",
+    # (2) the r7-vintage freshness cohort — the 22 remaining keys
+    # whose latest driver row is r7 (VERDICT r13 next-round #1):
+    "agg_approx_percentile",
+    "agg_max_by",
+    "agg_pivot",
+    "agg_robust_mad",
+    "agg_string_agg",
+    "agg_unpivot",
+    "gen_date_spine",
+    "join_asof_nearest",
+    "join_broadcast_nested_loop",
+    "merge_scd2_history",
+    "merge_upsert",
+    "multimodal_audio_stats",
+    "project_try_cast",
+    "sample_ksample_per_stratum",
+    "scan_xml_roundtrip",
+    "str_posexplode",
+    "stream_tumbling_distinct_true",
+    "text_chunking",
+    "text_pii_scrub",
+    "text_quality_gopher",
+    "window_cumulative_uniques",
+    "window_first_last",
+    # (3) backfill: the oldest r8 rows, diverse families first; new
+    # r14 keys displace from the END of this tranche:
+    "agg_mutual_information",
+    "dedup_substring_spans",
+    "graph_triangle_count",
+    "join_point_in_time",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_image_ahash",
+    "multimodal_join",
+    "sample_systematic",
+    "sample_temperature",
+    "sample_weighted_reservoir",
+    "scan_binaryfile_media",
+    "sim_cosine_topk",
+    "stream_pit_join_true",
+    "stream_tumbling_true",
+    "text_fingerprint",
+    "text_hashing_vectorizer",
+    "text_langid",
+    "text_lm_bigram_score",
+    "text_lm_unigram_score",
 ]
 
 

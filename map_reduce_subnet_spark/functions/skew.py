@@ -41,14 +41,31 @@ def salted_sum(
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-stage exact sum over a (possibly) hot key: spread each key
-    over n_salts reducers, then combine. Decimal-exact, so the result
-    is identical to the direct groupBy regardless of split."""
-    salted = with_salt(df, n_salts)
-    stage1 = (
-        salted.groupBy(key, "_salt")
-        .agg(F.sum(value.cast("decimal(27,6)")).alias("_partial"))
+    over n_salts reducers, then combine. Exact integer (two-limb
+    decimal) staging, so the result is identical to the direct
+    wide-domain sum regardless of split — and cross-engine portable
+    out to |x| < 2^40·1e9 (r14: stable.py::dsum_wide's quantize/split
+    program, carried as the (Σh, Σl) limb pair through BOTH stages
+    and recombined only at the end; the r13 DECIMAL(27,6) staging
+    inherited dsum's input-cast drift above ~5e9)."""
+    from map_reduce_subnet_spark.functions.stable import (
+        WIDE_SHIFT,
+        _finite,
+        _wide_limbs,
     )
-    return (
-        stage1.groupBy(key)
-        .agg(F.sum("_partial").cast("double").alias(out))
+
+    scale = float(2**WIDE_SHIFT)
+    h, l = _wide_limbs(_finite(value), WIDE_SHIFT)
+    salted = with_salt(df, n_salts)
+    stage1 = salted.groupBy(key, "_salt").agg(
+        F.sum(h).alias("_ph"), F.sum(l).alias("_pl")
+    )
+    return stage1.groupBy(key).agg(
+        (
+            (
+                F.sum("_ph").cast("double") * F.lit(scale)
+                + F.sum("_pl").cast("double")
+            )
+            / F.lit(1e6)
+        ).alias(out)
     )

@@ -108,6 +108,99 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+# --- wide-domain portable sum (r14, VERDICT r13 next-round #3) ------
+#
+# dsum's residual cross-engine divergence is the double→DECIMAL(27,6)
+# INPUT cast itself: Spark converts through the double's SHORTEST
+# DECIMAL REPRESENTATION (BigDecimal.valueOf ⇒ ≤17 significant
+# digits — measured r14: CAST(1.0000000000000002e20 AS DECIMAL(33,0))
+# = 100000000000000020000 in Spark), while DuckDB scales the EXACT
+# double value in floating point (same cast = 100000000000000016384).
+# No decimal width fixes that — above ~2^53 the two conversion RULES
+# disagree. The portable program below never casts a >2^53 double to
+# decimal:
+#
+#   q = ROUND(x·1e6)          -- micro-unit quantization, computed in
+#                             -- DOUBLE: the multiply is the same IEEE
+#                             -- op on both engines, and ROUND(double)
+#                             -- is half-away-from-zero on both
+#                             -- (std::round in DuckDB; Spark's
+#                             -- HALF_UP over the shortest repr agrees
+#                             -- everywhere: exact .5 ties are
+#                             -- shortest-repr-exact, near-ties stay
+#                             -- on their side because the repr is
+#                             -- within ulp/2; ≥2^53 it is identity).
+#                             -- q is an INTEGER-VALUED double.
+#   h = FLOOR(q / 2^shift)    -- power-of-two scaling is exact; floor
+#   l = q − h·2^shift         -- exact (result representable ⇒ IEEE
+#                             -- subtraction exact); l ∈ [0, 2^shift)
+#   Σ = (double)Σh · 2^shift + (double)Σl      -- per-limb decimal
+#                             -- sums are exact integer arithmetic;
+#                             -- their scale-0 decimal→double casts
+#                             -- are single correctly-rounded
+#                             -- conversions on BOTH engines (DuckDB
+#                             -- double-rounds only scale>0 decimals
+#                             -- via (double)unscaled/10^s); the
+#                             -- recombine is one identical IEEE
+#                             -- program on identical operands.
+#
+# Exactness domain: h must stay a <2^53 integer AND inside its
+# DECIMAL(15,0) cast, so |x| < 2^shift·1e9 (shift=40 ⇒ |x| <
+# ~1.0995e21, the same band edge as dsum's DECIMAL(27,6)); beyond it
+# the h cast aborts LOUDLY AND SYMMETRICALLY (Spark ANSI
+# NUMERIC_VALUE_OUT_OF_RANGE, DuckDB ConversionException — measured:
+# both abort at 1.2e21/1e22/1e300). Validated r14 (/tmp probe, 13
+# magnitude bands 1..9e20 × 4 trials × 252 rows + mixed-magnitude
+# plants + exact .5 micro-ties + NaN/±Inf/NULL): 0 mismatches.
+#
+# Cost: two decimal partial sums instead of one, plus four codegen'd
+# per-row double ops — same shuffle shape, still map-side combinable.
+# dsum stays the default (cheaper, exact inside |x| ≤ 1e9 where every
+# fixture and realistic corpus lives); dsum_wide is for keys whose
+# DIFFERENTIAL CONTRACT must hold out to the band edge (the r13
+# EXTREME_DRIFT cohort).
+WIDE_SHIFT = 40
+
+
+def _wide_limbs(c: Column, shift: int) -> tuple[Column, Column]:
+    scale = float(2**shift)
+    l_digits = len(str(2**shift))
+    q = F.round(c * F.lit(1e6))
+    h = F.floor(q / F.lit(scale))
+    l = q - h.cast("double") * F.lit(scale)
+    return h.cast("decimal(15,0)"), l.cast(f"decimal({l_digits},0)")
+
+
+def dsum_wide(
+    col: Column | str, alias: str | None = None, shift: int = WIDE_SHIFT
+) -> Column:
+    """Order-independent SUM, cross-engine exact out to the
+    |x| < 2^shift·1e9 band edge (see the block comment above).
+    Non-finite observations are dropped (see :func:`_finite`)."""
+    c = _finite(F.col(col) if isinstance(col, str) else col)
+    h, l = _wide_limbs(c, shift)
+    out = (
+        F.sum(h).cast("double") * F.lit(float(2**shift))
+        + F.sum(l).cast("double")
+    ) / F.lit(1e6)
+    return out.alias(alias) if alias else out
+
+
+def sql_dsum_wide(expr: str, shift: int = WIDE_SHIFT) -> str:
+    """DuckDB mirror of :func:`dsum_wide` for oracle strings."""
+    scale = f"CAST({2**shift} AS DOUBLE)"
+    l_digits = len(str(2**shift))
+    g = _sql_finite(expr)
+    q = f"ROUND(({g}) * 1e6)"
+    h = f"FLOOR({q} / {scale})"
+    lo = f"({q} - {h} * {scale})"
+    return (
+        f"((CAST(SUM(CAST({h} AS DECIMAL(15,0))) AS DOUBLE) * {scale}"
+        f" + CAST(SUM(CAST({lo} AS DECIMAL({l_digits},0))) AS DOUBLE))"
+        f" / 1e6)"
+    )
+
+
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent AVG: exact decimal sum / count, as double.
     Non-finite observations are dropped from BOTH numerator and

@@ -23,9 +23,11 @@ from map_reduce_subnet_spark.functions.stable import (
     davg,
     dstddev,
     dsum,
+    dsum_wide,
     sql_davg,
     sql_dstddev,
     sql_dsum,
+    sql_dsum_wide,
 )
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
@@ -78,18 +80,25 @@ def agg_reduce_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global",
     oracle=f"""
 SELECT COUNT(*) AS n_rows,
-       {sql_dsum('l_quantity')} AS sum_qty,
-       {sql_dsum('l_extendedprice')} AS sum_price,
+       {sql_dsum_wide('l_quantity')} AS sum_qty,
+       {sql_dsum_wide('l_extendedprice')} AS sum_price,
        {sql_davg('l_discount')} AS avg_disc
 FROM lineitem
 """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grand totals, no grouping (the normalize denominator)."""
+    """Grand totals, no grouping (the normalize denominator).
+
+    r14: the two unrounded sums carry the wide-domain two-limb
+    program (stable.py::dsum_wide) — exact cross-engine out to the
+    |x| < ~1.1e21 band edge, where dsum's DECIMAL(27,6) input cast
+    drifted in the last 2 ulps at raw ~1e20 (the r13 EXTREME_DRIFT
+    pin, now cleared). avg_disc keeps davg: l_discount is a [0,1]
+    ratio column, 9 decades inside dsum's measured-exact band."""
     return load_table(spark, sf_dir, "lineitem").agg(
         F.count("*").alias("n_rows"),
-        dsum("l_quantity", "sum_qty"),
-        dsum("l_extendedprice", "sum_price"),
+        dsum_wide("l_quantity", "sum_qty"),
+        dsum_wide("l_extendedprice", "sum_price"),
         davg("l_discount", "avg_disc"),
     )
 
@@ -245,7 +254,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_grouping_sets",
     oracle=f"""
-SELECT l_returnflag, l_linestatus, {sql_dsum('l_extendedprice')} AS sum_price
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum_wide('l_extendedprice')} AS sum_price
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """,
@@ -253,13 +263,15 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via the native DataFrame API (no temp
     view — a fixed view name would collide if the harness ever runs
-    queries concurrently on one session)."""
+    queries concurrently on one session). The unrounded sum is
+    wide-domain (dsum_wide, r14 — clears the r13 EXTREME_DRIFT pin at
+    raw ~1e20)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupingSets(
         [["l_returnflag"], ["l_linestatus"], []],
         "l_returnflag",
         "l_linestatus",
-    ).agg(dsum("l_extendedprice", "sum_price"))
+    ).agg(dsum_wide("l_extendedprice", "sum_price"))
 
 
 @query(
@@ -429,7 +441,7 @@ def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_hotkey",
     oracle=f"""
 SELECT CASE WHEN l_quantity <= 45 THEN 'hot' ELSE l_linestatus END AS k,
-       {sql_dsum('l_extendedprice')} AS total
+       {sql_dsum_wide('l_extendedprice')} AS total
 FROM lineitem
 GROUP BY 1
 """,
@@ -439,9 +451,11 @@ def agg_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem lands on one 'hot' value) — the power-law hot-key story
     at 100 TB made driver-visible: functions/skew.py::salted_sum
     spreads each key over 16 salt buckets (stage 1) then combines the
-    partials (stage 2). Decimal staging makes the two-stage result
-    EXACTLY equal to the direct SUM, which is what the oracle runs —
-    salting is a physical re-plan, not an approximation.
+    partials (stage 2). Exact two-limb integer staging (r14:
+    stable.py::dsum_wide's quantize/split carried through both
+    stages) makes the two-stage result EXACTLY equal to the direct
+    wide-domain SUM, which is what the oracle runs — salting is a
+    physical re-plan, not an approximation.
 
     Self-lint: the plan must contain TWO shuffle exchanges (the
     (key, salt) spread and the key combine) — one would mean the salt

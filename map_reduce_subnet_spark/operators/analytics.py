@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
+from map_reduce_subnet_spark.functions.stable import (
+    dsum,
+    dsum_wide,
+    sql_dsum,
+    sql_dsum_wide,
+)
 from map_reduce_subnet_spark.plans.inspect import count_exchanges
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
@@ -676,7 +681,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_discounted,
-       {sql_dsum("l_extendedprice")} AS sum_price
+       {sql_dsum_wide("l_extendedprice")} AS sum_price
 FROM lineitem
 """,
 )
@@ -701,7 +706,11 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("l_discount") > 0.05).cast("long")).alias(
             "n_discounted"
         ),
-        dsum("l_extendedprice", "sum_price"),
+        # wide-domain sum (r14): observed metrics allow arithmetic
+        # over multiple aggregates, so the two-limb recombine rides
+        # the side channel unchanged (clears the r13 EXTREME_DRIFT
+        # pin at raw ~1e20)
+        dsum_wide("l_extendedprice", "sum_price"),
     )
     observed.write.format("noop").mode("overwrite").save()
     row = obs.get
@@ -770,27 +779,32 @@ def window_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_gini_concentration",
-    oracle="""
+    oracle=f"""
 WITH rev AS (
     SELECT l_suppkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+           {sql_dsum_wide('l_extendedprice * (1 - l_discount)')}
+               AS revenue
     FROM lineitem GROUP BY l_suppkey
 ), ranked AS (
     SELECT revenue,
            ROW_NUMBER() OVER (ORDER BY revenue, l_suppkey) AS i,
            COUNT(*) OVER () AS n
     FROM rev
+), sums AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
+           {sql_dsum_wide('revenue')} AS total_revenue,
+           -- rank-weighted sum at shift 45: i·revenue can sit
+           -- n_suppliers× above the largest revenue, so the limb
+           -- split needs the wider exactness band (edge ~3.5e22)
+           {sql_dsum_wide('i * revenue', 45)} AS iw
+    FROM ranked
 )
-SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
-       CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue,
-       CAST(2.0 AS DOUBLE)
-           * CAST(SUM(CAST(i * revenue AS DECIMAL(27,6))) AS DOUBLE)
-           / (CAST(MAX(n) AS DOUBLE)
-              * CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE))
-           - (CAST(MAX(n) AS DOUBLE) + CAST(1.0 AS DOUBLE))
-             / CAST(MAX(n) AS DOUBLE) AS gini
-FROM ranked
+SELECT n_suppliers, total_revenue,
+       CAST(2.0 AS DOUBLE) * iw
+           / (CAST(n_suppliers AS DOUBLE) * total_revenue)
+           - (CAST(n_suppliers AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / CAST(n_suppliers AS DOUBLE) AS gini
+FROM sums
 """,
 )
 def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,9 +815,13 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n, so the whole
     computation is one partial-agg'd revenue rollup, one sort of the
     SUPPLIER-cardinality frame (never the fact table), and a scalar
-    aggregate. Rank-weighted and plain sums are decimal-quantized
-    (order-independent); the closing expression is the identical
-    IEEE double program in both engines.
+    aggregate. Rank-weighted and plain sums are wide-domain two-limb
+    quantized (stable.py::dsum_wide, r14 — order-independent AND
+    cross-engine exact out to the band edge, clearing the r13
+    EXTREME_DRIFT pin; the rank-weighted sum uses shift 45 because
+    i·revenue can sit n_suppliers× above the largest revenue); the
+    closing expression is the identical IEEE double program in both
+    engines.
 
     The global row_number window runs over suppliers (10k at sf1),
     not lineitems — the bounded-dimension exception the window-scale
@@ -812,7 +830,7 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            dsum(
+            dsum_wide(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")),
                 "revenue",
             )
@@ -825,12 +843,8 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ranked.agg(
         F.count("*").alias("n_suppliers"),
-        F.sum(F.col("revenue").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("total_revenue"),
-        F.sum((F.col("i") * F.col("revenue")).cast("decimal(27,6)"))
-        .cast("double")
-        .alias("iw"),
+        dsum_wide("revenue", "total_revenue"),
+        dsum_wide(F.col("i") * F.col("revenue"), "iw", shift=45),
     )
     nd = F.col("n_suppliers").cast("double")
     return agg.select(

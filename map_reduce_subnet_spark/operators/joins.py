@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
+from map_reduce_subnet_spark.functions.stable import (
+    dsum,
+    dsum_wide,
+    sql_dsum,
+    sql_dsum_wide,
+)
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.plans.inspect import count_exchanges
 from map_reduce_subnet_spark.sources.tables import load_table
@@ -29,7 +34,8 @@ from map_reduce_subnet_spark.sources.tables import load_table
 @query(
     "join_broadcast",
     oracle=f"""
-SELECT r_name, n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+SELECT r_name, n_name,
+       {sql_dsum_wide('l_extendedprice * (1 - l_discount)')} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -40,7 +46,10 @@ GROUP BY r_name, n_name
 )
 def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact ⋈ broadcast dims: the fan-out-to-all-peers topology. The
-    three dim tables ship to every task; lineitem never shuffles."""
+    three dim tables ship to every task; lineitem never shuffles.
+    The revenue summand (an identical per-row double product on both
+    engines) feeds the wide-domain sum (dsum_wide, r14 — clears the
+    r13 EXTREME_DRIFT pin at raw ~1e20)."""
     li = load_table(spark, sf_dir, "lineitem")
     su = F.broadcast(load_table(spark, sf_dir, "supplier"))
     na = F.broadcast(load_table(spark, sf_dir, "nation"))
@@ -51,7 +60,10 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(re, na.n_regionkey == re.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            dsum_wide(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
             F.count("*").alias("n_items"),
         )
     )

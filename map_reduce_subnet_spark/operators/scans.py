@@ -22,7 +22,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from map_reduce_subnet_spark.functions.stable import dsum, sql_dsum
+from map_reduce_subnet_spark.functions.stable import (
+    dsum,
+    dsum_wide,
+    sql_dsum,
+    sql_dsum_wide,
+)
 from map_reduce_subnet_spark.operators.registry import query
 from map_reduce_subnet_spark.sources.tables import load_table
 
@@ -380,7 +385,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
-       {sql_dsum('l_extendedprice')} AS sum_price
+       {sql_dsum_wide('l_extendedprice')} AS sum_price
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,
@@ -413,7 +418,10 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.orc(out)
         agg = back.groupBy("l_returnflag", "l_linestatus").agg(
             F.count("*").alias("n_rows"),
-            dsum("l_extendedprice", "sum_price"),
+            # wide-domain sum (r14): the ORC roundtrip stores doubles
+            # natively, so the read-back operand is bit-identical and
+            # the EXTREME_DRIFT pin at raw ~1e20 clears with dsum_wide
+            dsum_wide("l_extendedprice", "sum_price"),
         )
         rows = agg.collect()
         schema = agg.schema

@@ -389,13 +389,18 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Operand domain for the centi-quantization (r13 out-of-domain round,
-# measured by scripts/overflow_probe.py): |value| < 9e13 keeps
-# cv = floor(value·100) under 2^53, which the docstring's exact-dyadic
-# interpolation proof REQUIRES (cv, b−a, and every interpolation step
-# stay exactly representable doubles) and which keeps DuckDB's INT64
-# cast in range (it raised at |value| >= ~9.2e16 where Spark's long
-# conversion wrapped — the measured asymmetry this guard closes).
-ROLLQ_VALUE_DOMAIN = 9e13
+# measured by scripts/overflow_probe.py; tightened r14 per ADVICE):
+# the docstring's exact-dyadic interpolation proof needs not just
+# |cv| ≤ 2^53 but every interpolation OPERAND exact — including b−a
+# for adjacent order statistics, which can reach 2·max|cv|. The r13
+# bound (9e13 → |cv| ≤ 9e15) left b−a up to 1.8e16 > 2^53, a 1-ulp
+# cross-engine divergence band near the domain edge. |value| < 4.5e13
+# keeps |cv| ≤ 4.5e15 and b−a ≤ 9e15 < 2^53, so cv, b−a, and every
+# interpolation step are exactly representable doubles over the WHOLE
+# admitted domain. (The original asymmetry — DuckDB raising on INT64
+# casts at |value| ≥ ~9.2e16 while Spark's long conversion wrapped —
+# is a fortiori closed by the tighter bound.)
+ROLLQ_VALUE_DOMAIN = 4.5e13
 
 
 @query(
@@ -435,8 +440,10 @@ def window_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     3/4), so every interpolation step — frac = p·(n−1)'s fractional
     part (dyadic), frac·(b−a) (dyadic × small integer), and the
     final sum — is EXACT float arithmetic; the ROLLQ_VALUE_DOMAIN
-    guard pins cv ≤ 2^53 so the exactness argument holds over the
-    whole admitted operand domain, not just fixture magnitudes. Exact arithmetic makes
+    guard pins |cv| ≤ 4.5e15 so that cv AND the order-statistic
+    difference b−a (≤ 2·max|cv| = 9e15 < 2^53) stay exactly
+    representable over the whole admitted operand domain, not just
+    fixture magnitudes. Exact arithmetic makes
     the result independent of which algebraically-equivalent
     interpolation formula each engine uses (a + f·(b−a) vs
     (1−f)·a + f·b), which is precisely what rounds 1-ulp

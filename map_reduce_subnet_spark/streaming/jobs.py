@@ -1430,6 +1430,20 @@ def cep_pattern_stream(ev: DataFrame) -> DataFrame:
     the property the batch twin gets for free from its global sort
     and a streaming CEP engine exists to provide.
 
+    ARRIVAL-ORDER PRECONDITION (ADVICE r13): state is the last-two
+    events and sorting happens only WITHIN a micro-batch, so the
+    operator assumes per-user event-time monotone arrival ACROSS
+    triggers — an event arriving with ts_us earlier than the newest
+    event already in state (cross-batch late data) is folded into
+    state as if it were newest, which can fabricate or miss matches.
+    The harness feeds time-contiguous slices, which satisfies the
+    precondition by construction; a production deployment must either
+    feed from a source ordered per key (e.g. a keyed log partition)
+    or put a watermark-sorted buffer in front. This is the standard
+    contract for last-k-event CEP state; a full out-of-order CEP
+    needs an event buffer keyed by watermark, which is a different
+    (heavier) operator.
+
     Epoch microseconds are computed IN-PLAN (unix_micros) before the
     stateful operator, never from the worker-side pandas timestamps:
     Arrow renders TimestampType into pandas through the session time

@@ -10,10 +10,11 @@ this corpus to permanent suite layer 15
 (tests/test_extreme_magnitude_differential.py, which pins the
 classification per key); keep this script as the exploratory harness
 — its output is the source of truth when re-syncing the layer's
-EXTREME_ABORT_KEYS / EXTREME_DRIFT_KEYS lists. r13 closing state:
-match 199, spark_err 0, duck_err 0 (the r12 asymmetric trio fixed),
-both_err 20 (symmetric band-edge refusals, the decided posture),
-mismatch 7 (unguarded-dsum last-ulp drift at 1e20, out-of-contract).
+EXTREME_ABORT_KEYS list. r14 closing state: match 206, spark_err 0,
+duck_err 0, both_err 20 (symmetric band-edge refusals, the decided
+posture), mismatch 0 (the 7 unguarded-dsum keys that drifted at 1e20
+in r13 were ported to stable.py::dsum_wide, emptying the drift class
+— layer 15 no longer carries a pinned-drift escape hatch).
 
 Usage:  cd /tmp && python /root/repo/scripts/overflow_probe.py
 """

@@ -24,17 +24,20 @@ The posture, pinned here and in SURVEY §2.2's scope note:
    and rejected — they would make the engines agree on a NUMBER that
    misrepresents the data (r13 decision, NOTES).
 
-3. **Between ~5e9 and the band edge, unguarded dsum keys are
-   OUT-OF-CONTRACT** (EXTREME_DRIFT_KEYS): DuckDB's float-scaled
-   double→DECIMAL cast double-rounds the SUMMAND, and at raw ~1e20
-   seven keys surface it as last-2-ulp drift in an unrounded output.
-   The portable contract is |raw operand| ≤ 1e9 (measured-exact band,
-   stable.py::SUM_DECIMAL); keys whose semantics needed more got
-   per-key guards in r13 (the six fixed keys), the rest document the
-   band. The drift pins below keep the list honest: if a key drifts
-   that isn't pinned, or a pinned key stops drifting (e.g. someone
-   ports the integer-micro-unit discipline to it), this layer fails
-   until the list is re-synced.
+3. **The drift class is EMPTY as of r14.** Between ~5e9 and the band
+   edge, unguarded dsum keys were OUT-OF-CONTRACT (the r13
+   EXTREME_DRIFT_KEYS): DuckDB's float-scaled double→DECIMAL cast
+   double-rounds the SUMMAND, and at raw ~1e20 seven keys surfaced it
+   as last-2-ulp drift in an unrounded output. r14 ported those seven
+   (agg_gini_concentration, agg_global, agg_grouping_sets,
+   agg_salted_hotkey, join_broadcast, observe_metrics,
+   scan_orc_roundtrip) to the wide-domain two-limb sum
+   (stable.py::dsum_wide — quantize in double, split below 2^53,
+   per-limb exact decimal sums, identical-IEEE recombine), which is
+   cross-engine exact out to the SAME |x| < ~1.1e21 band edge and
+   aborts symmetrically beyond it. They now sit in
+   EXTREME_MATCH_KEYS; a key drifting on this corpus is ALWAYS a bug
+   (there is no pinned-drift escape hatch anymore).
 """
 
 from __future__ import annotations
@@ -79,24 +82,8 @@ EXTREME_ABORT_KEYS = {
     "window_zscore_anomaly",
 }
 
-# Both engines run; outputs differ in the last 1-2 ulps: the summand
-# cast at raw ~1e20 sits 5 decades beyond the measured-exact band and
-# these keys emit the sum un-rounded (attenuated/rounded keys absorb
-# the same divergence and stay in the match set).
-EXTREME_DRIFT_KEYS = {
-    "agg_gini_concentration",
-    "agg_global",
-    "agg_grouping_sets",
-    "agg_salted_hotkey",
-    "join_broadcast",
-    "observe_metrics",
-    "scan_orc_roundtrip",
-}
-
 EXTREME_MATCH_KEYS = sorted(
-    set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS)
-    - EXTREME_ABORT_KEYS
-    - EXTREME_DRIFT_KEYS
+    set(PERTURBED_KEYS + PERTURBED_ONLY_KEYS) - EXTREME_ABORT_KEYS
 )
 
 _EVENT_MAGS = [1e18, -1e18, 1e20, -1e20, 1e22, 1e300]
@@ -161,13 +148,3 @@ def test_extreme_abort_is_symmetric(spark, extreme_dir, exdb, key):
         exdb.sql(ORACLES[key]).df()
 
 
-@pytest.mark.parametrize("key", sorted(EXTREME_DRIFT_KEYS))
-def test_extreme_drift_is_real(spark, extreme_dir, exdb, key):
-    """Posture pin #3: the out-of-contract drift list stays measured.
-    Both engines run; the frames differ (last-ulp summand-cast
-    divergence). If a pinned key starts matching, move it to
-    EXTREME_MATCH_KEYS in the same change that explains why."""
-    got = QUERIES[key](spark, extreme_dir).toPandas()
-    want = exdb.sql(ORACLES[key]).df()
-    with pytest.raises(AssertionError):
-        assert_frames_match(got, want, f"extreme:{key}")

@@ -86,12 +86,28 @@ def test_lakehouse_semantics_on_delta(tmp_path):
     """Self-activating Delta leg: the SAME assertions against a real
     Delta table (snapshot writes = mode('overwrite'), time travel =
     versionAsOf, CDC = readChangeFeed). Builds its own session so the
-    Delta extension configs apply."""
+    Delta extension configs apply.
+
+    CAVEAT (ADVICE r13): this leg has NEVER executed — delta-spark is
+    uninstallable in the build container, so the gate has only ever
+    skipped. CDF is therefore enabled via the SESSION DEFAULT
+    (spark.databricks.delta.properties.defaults.enableChangeDataFeed),
+    which path-based creates inherit as a table property — NOT as a
+    DataFrameWriter .option(), which most delta-spark versions ignore
+    (CDF is a table property, TBLPROPERTIES / session default, not a
+    write option). First run on a real cluster should confirm the
+    readChangeFeed assertions light up."""
     from delta import configure_spark_with_delta_pip
     from pyspark.sql import SparkSession
 
-    builder = SparkSession.builder.master("local[4]").appName(
-        "lakehouse-gate"
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("lakehouse-gate")
+        .config(
+            "spark.databricks.delta.properties.defaults."
+            "enableChangeDataFeed",
+            "true",
+        )
     )
     for k, v in DELTA_SESSION_CONFIGS.items():
         builder = builder.config(k, v)
@@ -101,7 +117,6 @@ def test_lakehouse_semantics_on_delta(tmp_path):
         (
             spark.createDataFrame(_snap(V0_ROWS))
             .write.format("delta")
-            .option("delta.enableChangeDataFeed", "true")
             .save(path)
         )
         (

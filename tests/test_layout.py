@@ -61,14 +61,15 @@ def test_partitioned_roundtrip_preserves_rows(spark, partitioned_orders):
 
 
 def test_salted_sum_is_exact(spark):
+    """Salting is a physical re-plan, not an approximation: the
+    two-stage salted sum equals the direct one-stage wide-domain sum
+    bit-for-bit (same quantize/split program, different plan)."""
+    from map_reduce_subnet_spark.functions.stable import dsum_wide
+
     o = load_table(spark, SF_DIR, "orders")
     direct = (
         o.groupBy("o_custkey")
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-            .cast("double")
-            .alias("total")
-        )
+        .agg(dsum_wide(F.col("o_totalprice"), "total"))
         .toPandas()
         .set_index("o_custkey")
         .sort_index()
