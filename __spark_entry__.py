@@ -51,6 +51,10 @@ _SWEEP_PRIORITY = [
     # tests/test_correctness.py fails if any fingerprint changed
     # without the key appearing here.
     #
+    # (0) NEW in r14 — never driver-swept, category (1) of the
+    # rotation policy (each displaces one slot from the END of the
+    # r8 backfill tranche):
+    "events_cep_gapped",
     # (1) changed this round — the wide-domain two-limb sum port
     # (clears the r13 EXTREME_DRIFT pins; agg_salted_hotkey via the
     # functions/skew.py::salted_sum rewrite) and the rolling-quantile
@@ -108,7 +112,6 @@ _SWEEP_PRIORITY = [
     "text_hashing_vectorizer",
     "text_langid",
     "text_lm_bigram_score",
-    "text_lm_unigram_score",
 ]
 
 

@@ -386,6 +386,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 CEP_STAGES = ("view", "click", "purchase")
 CEP_SPAN_US = 86_400_000_000
 
+# Per-stage gap bound for the NON-CONTIGUOUS variant
+# (events_cep_gapped): each consecutive stage pair must close within
+# 12 h. Chosen to BITE on the fixtures the same way CEP_SPAN_US does:
+# per-user cadence is hours, so at sf0.01 the bound admits 81 of the
+# candidate view anchors and rejects the rest (measured r14) — a
+# constraint the differential can observe at every SF.
+CEP_GAP_US = 43_200_000_000
+
 # Shared by events_cep_pattern (batch) and streaming/jobs.py's
 # stream_cep_true (the live state-store twin): both drain the same
 # fixture, and every match is emitted exactly once in either mode, so
@@ -424,9 +432,10 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-user, any-gap); this answers "where exactly did the
     conversion pattern fire" (the rows an alerting/attribution
     pipeline joins back to). The non-contiguous bounded-gap variant
-    composes the forward as-of joins already in family C
-    (join_asof / join_point_in_time) — stage k's frame as-of-joined
-    onto stage k+1 with the span as tolerance.
+    is events_cep_gapped below (r14) — the forward-as-of composition
+    of family C (join_asof / join_point_in_time), expressed as two
+    chained suffix-min windows so it shares this operator's single
+    shuffle.
 
     Exactness: the match predicate is pure string equality plus
     BIGINT epoch-microsecond arithmetic (exact for all longs; the
@@ -470,4 +479,151 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close_event_id",
         F.col("ts_us").alias("anchor_ts_us"),
         (F.col("ts3_us") - F.col("ts_us")).alias("span_us"),
+    )
+
+
+# Shared by events_cep_gapped and tests: the skip-till-next match is
+# two chained "earliest following stage" lookups, each a suffix min
+# over the per-user (ts, event_id) sequence. The oracle encodes the
+# (ts_us, event_id) sequence key as a zero-padded 19+19-char string so
+# MIN() over a window is lexicographic = sequence order in DuckDB
+# (struct-ordered MIN is Spark-side only); both encodings are the
+# same total order because epoch-µs and event ids are nonnegative
+# int64s on every fixture (asserted by the harness schema).
+CEP_GAPPED_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS ts_us,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0')
+               || lpad(CAST(event_id AS VARCHAR), 19, '0') AS k
+    FROM events
+), p1 AS (
+    -- earliest purchase strictly AFTER each row in sequence order
+    -- (DESC ordering + [unbounded preceding, 1 preceding] = the
+    -- ascending-order suffix excluding the current row)
+    SELECT *, min(CASE WHEN event_type = '{CEP_STAGES[2]}' THEN k END)
+                  OVER w AS pk
+    FROM seq
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), p2 AS (
+    -- earliest click strictly AFTER each row, carrying THAT click's
+    -- own next-purchase key as a fixed-width suffix ('~' sorts above
+    -- every digit, so a purchase-less click still wins on its k
+    -- prefix and the match is then rejected — skip-till-next, no
+    -- backtracking)
+    SELECT *, min(CASE WHEN event_type = '{CEP_STAGES[1]}'
+                       THEN k || coalesce(pk, repeat('~', 38)) END)
+                  OVER w AS ck
+    FROM p1
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       event_id AS anchor_event_id,
+       CAST(substr(ck, 20, 19) AS BIGINT) AS mid_event_id,
+       CAST(substr(ck, 58, 19) AS BIGINT) AS close_event_id,
+       ts_us AS anchor_ts_us,
+       CAST(substr(ck, 39, 19) AS BIGINT) - ts_us AS span_us
+FROM p2
+WHERE event_type = '{CEP_STAGES[0]}'
+  AND ck IS NOT NULL
+  AND CAST(substr(ck, 1, 19) AS BIGINT) - ts_us <= {CEP_GAP_US}
+  AND substr(ck, 39, 1) != '~'
+  AND CAST(substr(ck, 39, 19) AS BIGINT)
+      - CAST(substr(ck, 1, 19) AS BIGINT) <= {CEP_GAP_US}
+"""
+
+
+@query("events_cep_gapped", oracle=CEP_GAPPED_ORACLE)
+def events_cep_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-CONTIGUOUS bounded-gap CEP (VERDICT r13 next-round #2) —
+    the form real attribution/alerting runs, where contiguity breaks
+    the moment an unrelated event interleaves: per user, match
+    view → click → purchase where stages need NOT be adjacent, under
+    SKIP-TILL-NEXT semantics — the anchor view's match is the FIRST
+    click strictly after it in (ts, event_id) sequence order, and
+    that click's match is the FIRST purchase strictly after it; each
+    consecutive stage pair must close within CEP_GAP_US (12 h). No
+    backtracking: if the first click after a view has no purchase
+    within its gap, that view does not match (the as-of contract —
+    the nearest following stage IS the match, tolerance then accepts
+    or rejects it). Emits one row per matched anchor with all three
+    event ids and the total span.
+
+    This is the forward-as-of composition SURVEY §2.2.I commits to
+    (stage k's frame as-of-joined onto stage k+1 with the gap as
+    tolerance), but expressed WITHOUT a self-join: "earliest stage-3
+    after each stage-2 row" is a suffix MIN over the per-user
+    sequence, and "earliest stage-2 after each stage-1 row, with that
+    row's stage-3 result" is a second suffix MIN over a struct that
+    carries the first pass's answer as payload (struct MIN orders
+    lexicographically and (ts_us, event_id) is unique per user, so
+    the payload never influences which click wins). Both windows
+    share one partitioning and one sort, so the whole match costs ONE
+    shuffle on user_id — same price as events_cep_pattern, strictly
+    cheaper than the two shuffled self-joins the literal as-of
+    composition would run, and with no per-user state beyond the
+    window frame.
+
+    Frame direction: the windows order DESC with
+    [unboundedPreceding, -1 row] rather than ASC with
+    [1 following, unboundedFollowing] — the same row set (the strict
+    ascending suffix), but Spark evaluates unbounded-PRECEDING frames
+    incrementally (O(n) per partition) while unbounded-FOLLOWING
+    frames recompute per row (O(n²) on a million-event user at
+    100 TB). MIN is order-insensitive, so only the frame bookkeeping
+    changes.
+
+    Exactness: string equality + BIGINT epoch-µs arithmetic (the
+    sessionize_events discipline); the oracle's padded-string
+    encoding and the engine's struct ordering realize the same total
+    order over nonnegative (ts_us, event_id).
+
+    Grounding: ordered request/response step sequences per peer
+    (reference neurons/miner.py:151-169, validator.py:120-141), as
+    events_cep_pattern, with the adjacency requirement dropped."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pk = F.min(
+        F.when(
+            F.col("event_type") == CEP_STAGES[2],
+            F.struct(F.col("ts_us").alias("p_ts"),
+                     F.col("event_id").alias("p_id")),
+        )
+    ).over(w)
+    s1 = ev.withColumn("pk", pk)
+    ck = F.min(
+        F.when(
+            F.col("event_type") == CEP_STAGES[1],
+            F.struct(
+                F.col("ts_us").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+                F.col("pk").alias("cpk"),
+            ),
+        )
+    ).over(w)
+    s2 = s1.withColumn("ck", ck)
+    return s2.where(
+        (F.col("event_type") == CEP_STAGES[0])
+        & F.col("ck").isNotNull()
+        & (F.col("ck.c_ts") - F.col("ts_us") <= F.lit(CEP_GAP_US))
+        & F.col("ck.cpk").isNotNull()
+        & (F.col("ck.cpk.p_ts") - F.col("ck.c_ts") <= F.lit(CEP_GAP_US))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("anchor_event_id"),
+        F.col("ck.c_id").alias("mid_event_id"),
+        F.col("ck.cpk.p_id").alias("close_event_id"),
+        F.col("ts_us").alias("anchor_ts_us"),
+        (F.col("ck.cpk.p_ts") - F.col("ts_us")).alias("span_us"),
     )

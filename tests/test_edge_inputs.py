@@ -169,6 +169,7 @@ def test_ts_matrix_batch_queries_agree(spark, tmp_path):
         "sessionize_events",
         "join_interval_overlap",
         "events_cep_pattern",
+        "events_cep_gapped",
     ):
         results = []
         for enc in _TS_ENCODINGS:
@@ -303,6 +304,8 @@ _EMPTY_SWEEP_KEYS = (
     "text_source_drift_jsd",
     "agg_trend_ols",
     "sample_contrastive_pairs",  # empty corpus: zero-doc rank frame
+    # round-14 additions:
+    "events_cep_gapped",         # empty stream: no suffix, no rows
     # round-13 additions:
     "events_cep_pattern",        # empty stream: no windows, no rows
     "sink_dynamic_partition_overwrite",  # all-empty layout: the

@@ -101,7 +101,9 @@ def pddb(perturbed_dir):
 # per-fixture cache they share so the expensive subtrees (shingle /
 # candidate-pair materialization) build once and amortize.
 PERTURBED_KEYS = [
-    # round-13 additions (new operators join every corpus layer)
+    # round-14 additions (new operators join every corpus layer)
+    "events_cep_gapped",
+    # round-13 additions
     "events_cep_pattern",
     "sink_dynamic_partition_overwrite",
     "dedup_fuzzy_blocked",

@@ -401,6 +401,27 @@ def test_cep_pattern_is_one_exchange_one_window(spark):
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2, plan
 
 
+def test_cep_gapped_is_one_exchange_one_sort_two_windows(spark):
+    """events_cep_gapped is the forward-as-of composition priced as
+    sessionization: exactly ONE Exchange (user_id hash) and ONE Sort
+    shared by the two chained suffix-min Windows — a second exchange
+    or sort would mean the two window specs diverged (the literal
+    as-of self-join shape this operator exists to avoid costs two
+    shuffles); a SinglePartition exchange would mean the per-user
+    scan collapsed onto one task. The frame must be
+    unbounded-PRECEDING (incremental O(n) evaluation) — an
+    unboundedfollowing$ frame marker means someone flipped the
+    direction back to the O(n²) spelling."""
+    df = q(spark, "events_cep_gapped")
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Sort (") == 1, plan
+    assert plan.count("Window (") == 2, plan
+    assert "unboundedfollowing$" not in plan, plan
+
+
 def test_fuzzy_blocked_is_two_shuffles_broadcast_verify(spark):
     """dedup_fuzzy_blocked must keep the truncation-dedup shape plus
     its verify repartition: exactly TWO hash exchanges — the capped

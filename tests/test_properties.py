@@ -712,6 +712,73 @@ def _cep_events(rows):
     )
 
 
+def test_events_cep_gapped_matches_planted_chains(spark, tmp_path):
+    """Planted chains pin each clause of the GAPPED (skip-till-next)
+    CEP predicate: non-contiguity (interlopers do NOT break a match),
+    the per-stage 12 h gap bound, NO-BACKTRACKING (the first click
+    after the anchor IS the match — a later click with a valid
+    purchase cannot rescue it), and the strict-after sequence rule."""
+    from map_reduce_subnet_spark.operators import QUERIES
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00.000137")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: gapped match WITH interlopers between every stage
+        (10, t0, 1, "view"),
+        (11, t0 + h, 1, "error"),
+        (12, t0 + 2 * h, 1, "click"),
+        (13, t0 + 3 * h, 1, "signup"),
+        (14, t0 + 4 * h, 1, "purchase"),
+        # user 2: click 13 h after view > 12 h gap: NO match
+        (20, t0, 2, "view"),
+        (21, t0 + 13 * h, 2, "click"),
+        (22, t0 + 14 * h, 2, "purchase"),
+        # user 3: purchase 13 h after click > 12 h gap: NO match
+        (30, t0, 3, "view"),
+        (31, t0 + h, 3, "click"),
+        (32, t0 + 14 * h, 3, "purchase"),
+        # user 4: NO-BACKTRACKING — first click after the view has no
+        # purchase within ITS 12 h gap; the later click would chain
+        # to the purchase, but skip-till-next never revisits
+        (40, t0, 4, "view"),
+        (41, t0 + h, 4, "click"),
+        (42, t0 + 11 * h, 4, "click"),
+        (43, t0 + 14 * h, 4, "purchase"),
+        # user 5: purchase BEFORE the click does not close a match;
+        # the one after it does (strict sequence order per stage)
+        (50, t0, 5, "view"),
+        (51, t0 + h, 5, "purchase"),
+        (52, t0 + 2 * h, 5, "click"),
+        (53, t0 + 3 * h, 5, "purchase"),
+        # user 6: two anchors share the SAME click+purchase (each
+        # view matches independently; stages are not consumed)
+        (60, t0, 6, "view"),
+        (61, t0 + h, 6, "view"),
+        (62, t0 + 2 * h, 6, "click"),
+        (63, t0 + 3 * h, 6, "purchase"),
+    ]
+    d = tmp_path / "cep_gapped_fixture"
+    d.mkdir()
+    _cep_events(rows).to_parquet(d / "events.parquet")
+    got = sorted(
+        (
+            r["user_id"],
+            r["anchor_event_id"],
+            r["mid_event_id"],
+            r["close_event_id"],
+            r["span_us"],
+        )
+        for r in QUERIES["events_cep_gapped"](spark, str(d)).collect()
+    )
+    us_h = 3600 * 1_000_000
+    assert got == [
+        (1, 10, 12, 14, 4 * us_h),
+        (5, 50, 52, 53, 3 * us_h),
+        (6, 60, 62, 63, 3 * us_h),
+        (6, 61, 62, 63, 2 * us_h),
+    ], got
+
+
 def test_events_cep_pattern_matches_planted_chains(spark, tmp_path):
     """Planted chains pin each clause of the CEP predicate: stage
     order, CONTIGUITY (an interloper event of the same user breaks a
