@@ -55,7 +55,10 @@ _SWEEP_PRIORITY = [
     # rotation policy (each displaces one slot from the END of the
     # r8 backfill tranche):
     "events_cep_gapped",
+    "sim_ann_ivfpq",
     # (1) changed this round — the wide-domain two-limb sum port
+    # plus sim_ann_recall's two new ADC legs (pq_adc / ivfpq_adc):
+    "sim_ann_recall",
     # (clears the r13 EXTREME_DRIFT pins; agg_salted_hotkey via the
     # functions/skew.py::salted_sum rewrite) and the rolling-quantile
     # domain halve (ADVICE r13):
@@ -110,8 +113,6 @@ _SWEEP_PRIORITY = [
     "stream_tumbling_true",
     "text_fingerprint",
     "text_hashing_vectorizer",
-    "text_langid",
-    "text_lm_bigram_score",
 ]
 
 

@@ -1488,6 +1488,59 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- product-quantization constants + shared helpers (moved above
+# the recall harness in r14: _ann_recall_oracle's ADC legs consume
+# them at module-evaluation time) ---------------------------------
+PQ_M = 16  # subspaces (finer subspaces beat bigger codebooks for ADC
+# resolution: measured recall@5 on the fixture corpus — m=4/k=8 0.0,
+# m=8/k=8 0.0, m=16/k=8 0.4 at identical 512-double codebook size)
+PQ_SUBDIM = 4  # dims per subspace (embeddings are 64-wide)
+PQ_DIM = PQ_M * PQ_SUBDIM
+PQ_K = 8  # codes per subspace codebook
+PQ_TOPK = 5
+PQ_PROBE_ID = 42  # same probe as the IVF family
+_SQL_INF = "CAST('infinity' AS DOUBLE)"
+
+
+def _pq_l2(a, b):
+    """Squared L2 between two double-array columns: element squares
+    via zip_with (evaluated once per element), left-to-right double
+    fold from 0.0 — the ordered spelling DuckDB's
+    list_sum(list_transform(range ...)) reproduces bit-exactly (the
+    sim_cosine_topk parity discipline, PQ's L2 flavor)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_dsub(col: str, s: int):
+    """Double-promoted PQ_SUBDIM-wide (4-element) subvector ``s`` of a
+    float-array col (PQ_M=16 subspaces × PQ_SUBDIM=4 dims)."""
+    return F.transform(
+        F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM),
+        lambda x: x.cast("double"),
+    )
+
+
+def _pq_sql_l2(a: str, b: str, n: int = PQ_SUBDIM) -> str:
+    """Ordered squared-L2 fold between two double-list SQL exprs."""
+    return (
+        f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _pq_sql_subvec(col: str) -> str:
+    """Double-promoted subvector slice of a FLOAT[] column at the
+    (cross-joined) subspace index ``s.sub``."""
+    return (
+        f"list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> CAST({col}[i + s.sub * {PQ_SUBDIM}] AS DOUBLE))"
+    )
+
+
 def _exact_topk_cte(name: str, emb: str, n_probes: int, k: int) -> str:
     """Per-probe exact-cosine top-k CTE over ``emb`` (an embeddings
     relation alias'd e with columns vec_id, embedding) — the shared
@@ -1511,15 +1564,19 @@ def _exact_topk_cte(name: str, emb: str, n_probes: int, k: int) -> str:
 
 
 def _ann_recall_oracle(n_probes: int, k: int) -> str:
-    """DuckDB twin of the ENTIRE 5-leg recall harness — the capstone
+    """DuckDB twin of the ENTIRE 7-leg recall harness — the capstone
     of the unrolling discipline: every leg (pinned-IVF cells,
     Lloyd-trained cells, float LSH bands, Hamming-1 multiprobe,
-    int8-dequantized LSH) is the bit-identical float/integer program,
-    so even the tuning-time MEASUREMENT itself is differential-oracle
+    int8-dequantized LSH, flat PQ/ADC, and IVF×PQ — the r14 IVFADC
+    composition) is the bit-identical float/integer program, so even
+    the tuning-time MEASUREMENT itself is differential-oracle
     checked. Composes _lloyd_ctes/_assign_cte (trained + pinned
     cells), _sketch_ctes twice off one hyper literal (float corpus
-    and int8-dequantized corpus), and per-leg exact-cosine top-k with
-    the shared tie-break."""
+    and int8-dequantized corpus), the _pq_oracle training/encode CTEs
+    (renamed pq* — the Lloyd CTEs own assign1/means1/cents1) with a
+    per-PROBE ADC distance table, and per-leg top-k with the shared
+    tie-break (cos DESC for the cosine legs, adist ASC for the ADC
+    legs)."""
 
     def leg(name: str, cand: str) -> str:
         return f"""{name} AS (
@@ -1584,6 +1641,105 @@ FROM {name} q JOIN exact x ON q.p_id = x.p_id AND q.vec_id = x.vec_id"""
             WHERE pbs.vec_id < {n_probes} AND cb.vec_id <> pbs.vec_id
         ) c JOIN deq e ON e.vec_id = c.vec_id
         JOIN probes p ON p.p_id = c.p_id"""
+
+    def adc_leg(name: str, cand: str) -> str:
+        return f"""{name} AS (
+    SELECT p_id, vec_id FROM (
+        SELECT p_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_id ORDER BY adist ASC, vec_id ASC
+               ) AS rn
+        FROM ({cand}) WHERE adist IS NOT NULL
+    ) WHERE rn <= {k}
+)"""
+
+    subs_tbl = f"(SELECT unnest(range(0, {PQ_M})) AS sub) s"
+    d_vc = _pq_sql_l2("v.subvec", "c.cent")
+    pq_ctes = f"""pqvalid AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {PQ_DIM}
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+pqtrain AS (
+    SELECT vec_id, embedding FROM pqvalid
+    WHERE len(list_filter(embedding,
+          x -> NOT (abs(CAST(x AS DOUBLE)) < {_SQL_INF}))) = 0
+),
+pqsubsq AS (
+    SELECT t.vec_id, s.sub, {_pq_sql_subvec("t.embedding")} AS subvec
+    FROM pqtrain t CROSS JOIN {subs_tbl}
+),
+pqseeds AS (
+    SELECT sub, CAST(vec_id AS BIGINT) AS cent_id, subvec AS cent
+    FROM pqsubsq WHERE vec_id < {PQ_K}
+),
+pqa1 AS (
+    SELECT sub, vec_id, subvec, cent_id FROM (
+        SELECT v.sub, v.vec_id, v.subvec, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.sub
+                   ORDER BY {d_vc} ASC, c.cent_id ASC
+               ) AS rn
+        FROM pqsubsq v JOIN pqseeds c ON v.sub = c.sub
+        WHERE {d_vc} < {_SQL_INF}
+    ) WHERE rn = 1
+),
+pqm1 AS (
+    SELECT a.sub, a.cent_id, p.pos,
+           CAST(SUM(CAST(a.subvec[p.pos] AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM pqa1 a
+    CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS pos) p
+    GROUP BY 1, 2, 3
+),
+pqc1 AS (
+    SELECT sub, cent_id, list(m ORDER BY pos) AS cent
+    FROM pqm1 GROUP BY sub, cent_id
+),
+pqservee AS (
+    SELECT v.vec_id, s.sub, {_pq_sql_subvec("v.embedding")} AS subvec
+    FROM pqvalid v CROSS JOIN {subs_tbl}
+),
+pqcodes AS (
+    SELECT sub, vec_id, cent_id FROM (
+        SELECT v.sub, v.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.sub
+                   ORDER BY {d_vc} ASC, c.cent_id ASC
+               ) AS rn
+        FROM pqservee v JOIN pqc1 c ON v.sub = c.sub
+        WHERE {d_vc} < {_SQL_INF}
+    ) WHERE rn = 1
+),
+pqpsubs AS (
+    SELECT p.p_id, s.sub, {_pq_sql_subvec("p.probe")} AS psub
+    FROM probes p CROSS JOIN {subs_tbl}
+),
+pqdtab AS (
+    SELECT ps.p_id, c.sub, c.cent_id,
+           CAST((CASE WHEN ISFINITE({_pq_sql_l2("ps.psub", "c.cent")})
+                 THEN {_pq_sql_l2("ps.psub", "c.cent")} END)
+                AS DECIMAL(27,6)) AS qpd
+    FROM pqc1 c JOIN pqpsubs ps ON ps.sub = c.sub
+),
+pqadists AS (
+    SELECT d.p_id, k.vec_id,
+           CASE WHEN COUNT(*) = {PQ_M} AND COUNT(d.qpd) = {PQ_M}
+                THEN CAST(SUM(d.qpd) AS DOUBLE) END AS adist
+    FROM pqcodes k
+    JOIN pqdtab d ON d.sub = k.sub AND d.cent_id = k.cent_id
+    GROUP BY d.p_id, k.vec_id
+)"""
+    pqf_cand = f"""
+        SELECT p_id, vec_id, adist FROM pqadists
+        WHERE vec_id <> p_id"""
+    ivfpq_cand = f"""
+        SELECT a.p_id, a.vec_id, a.adist
+        FROM pqadists a
+        JOIN assign_km af ON af.vec_id = a.vec_id
+        JOIN assign_km pa ON pa.vec_id = a.p_id
+         AND af.cent_id = pa.cent_id
+        WHERE a.vec_id <> a.p_id"""
     return f"""
 WITH probes AS (
     SELECT vec_id AS p_id, embedding AS probe
@@ -1616,11 +1772,14 @@ mp_pb AS (
                   t -> xor(bucket, 1::BIGINT << t))) AS bucket
     FROM bands WHERE vec_id < {n_probes}
 ),
+{pq_ctes},
 {leg("leg_ivf", ivf_cand)},
 {leg("leg_km", km_cand)},
 {leg("leg_lsh", lsh_cand)},
 {leg("leg_mp", mp_cand)},
-{leg("leg_q", q_cand)}
+{leg("leg_q", q_cand)},
+{adc_leg("leg_pqf", pqf_cand)},
+{adc_leg("leg_ivfpq", ivfpq_cand)}
 {recall_row("leg_ivf", "ivf")}
 UNION ALL
 {recall_row("leg_km", "ivf_kmeans")}
@@ -1630,6 +1789,10 @@ UNION ALL
 {recall_row("leg_mp", "lsh_multiprobe")}
 UNION ALL
 {recall_row("leg_q", "lsh_int8_quant")}
+UNION ALL
+{recall_row("leg_pqf", "pq_adc")}
+UNION ALL
+{recall_row("leg_ivfpq", "ivfpq_adc")}
 """
 
 
@@ -1644,12 +1807,17 @@ ANN_RECALL_K = 10
 # promoted rows->SQL late r6: even the measurement harness is
 # differential-checked (see _ann_recall_oracle)
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the four approximate methods (IVF cells, sign-LSH
-    bands, multi-probe LSH, int8-quantized LSH) against the exact
-    brute-force top-10, averaged over 20 probe vectors — turns "the ANN runs" into "the
-    ANN is this good", the number a deployment tunes bands/cells
-    against. The lsh vs lsh_multiprobe pair prices the multi-probe
-    trade directly: recall lift per 9x bucket occupancy.
+    """Recall@10 of the SEVEN approximate methods (pinned-IVF cells,
+    Lloyd-trained IVF cells, sign-LSH bands, multi-probe LSH,
+    int8-quantized LSH, flat PQ/ADC, and IVF×PQ — the IVFADC
+    composition, r14) against the exact brute-force top-10, averaged
+    over 20 probe vectors — turns "the ANN runs" into "the ANN is
+    this good", the number a deployment tunes bands/cells against.
+    The lsh vs lsh_multiprobe pair prices the multi-probe trade
+    directly (recall lift per 9x bucket occupancy); the pq_adc vs
+    ivfpq_adc pair prices CELL RESTRICTION on top of quantized
+    ranking (what FAISS's nprobe trades), and ivf_kmeans vs ivfpq_adc
+    prices QUANTIZED RANKING on top of cell restriction.
 
     Everything is set-at-a-time, no per-probe driver loop: the corpus
     is scored against all 20 broadcast probes at once, per-probe top-k
@@ -1856,6 +2024,97 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh_q = topk(lsh_q_cand)
 
+    # --- PQ/ADC legs: rank by the asymmetric quantized distance from
+    # the ENCODED code table (pq_codes_cached — the index artifact,
+    # never the raw vectors), all 20 probes at once: the per-probe
+    # ADC distance table (probe-subvector × codebook squared-L2,
+    # DECIMAL(27,6)-quantized like _pq_oracle's dtab) is a broadcast
+    # 20×16×8-row frame; codes melt map-side (posexplode) and join
+    # it, then group to per-(probe, vector) sums with the COUNT = m
+    # completeness guard. pq_adc ranks the whole code table (flat);
+    # ivfpq_adc restricts candidates to the probe's TRAINED cell
+    # first (the FAISS IVFADC serving shape) — recall priced at
+    # 1/k-cells of the flat leg's scan.
+    cbdf = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(s_), int(c_), [float(x) for x in cent_])
+                for s_, c_, cent_ in pq_codebook_rows(spark, sf_dir)
+            ],
+            "sub long, cent_id long, cent array<double>",
+        )
+    )
+    probe_subs = probes.select(
+        "p_id",
+        F.posexplode(
+            F.array(*[_pq_dsub("probe", s) for s in range(PQ_M)])
+        ).alias("sub", "psub"),
+    ).select("p_id", F.col("sub").cast("long").alias("sub"), "psub")
+    qpd_raw = _pq_l2(F.col("psub"), F.col("cent"))
+    dtab = F.broadcast(
+        probe_subs.join(cbdf, "sub").select(
+            "p_id",
+            "sub",
+            "cent_id",
+            F.when(qpd_raw < F.lit(float("inf")), qpd_raw)
+            .cast("decimal(27,6)")
+            .alias("qpd"),
+        )
+    )
+    codes_df = pq_codes_cached(spark, sf_dir)
+    if codes_df is not None:
+        codes_long = codes_df.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.col(f"c{s}") for s in range(PQ_M)])
+            ).alias("sub", "code"),
+        ).select(
+            "vec_id", F.col("sub").cast("long").alias("sub"), "code"
+        )
+    else:
+        # drained subspace: no encodable corpus — the oracle's
+        # COUNT(*) = m guard empties its adists identically
+        codes_long = spark.createDataFrame(
+            [], "vec_id long, sub long, code long"
+        )
+    adists = stable_checkpoint(
+        codes_long.join(
+            dtab,
+            (codes_long["sub"] == dtab["sub"])
+            & (codes_long["code"] == dtab["cent_id"]),
+        )
+        .groupBy("p_id", "vec_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("qpd").alias("nq"),
+            F.sum("qpd").cast("double").alias("s"),
+        )
+        .where((F.col("n") == PQ_M) & (F.col("nq") == PQ_M))
+        .where(F.col("vec_id") != F.col("p_id"))
+        .select("p_id", "vec_id", F.col("s").alias("adist"))
+    )
+    adc_w = Window.partitionBy("p_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+
+    def adc_topk(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(adc_w))
+            .where(F.col("rn") <= k)
+            .select("p_id", "vec_id")
+        )
+
+    pq_flat = adc_topk(adists)
+    ivfpq = adc_topk(
+        adists.join(
+            assigned_t.select("vec_id", F.col("cent_id").alias("v_cell")),
+            "vec_id",
+        )
+        .join(probe_cells_t.select("p_id", "probe_cell"), "p_id")
+        .where(F.col("v_cell") == F.col("probe_cell"))
+        .select("p_id", "vec_id", "adist")
+    )
+
     denom = float(n_probes * k)
 
     def recall_row(ann, method):
@@ -1879,6 +2138,8 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(recall_row(lsh, "lsh"))
         .unionAll(recall_row(lsh_mp, "lsh_multiprobe"))
         .unionAll(recall_row(lsh_q, "lsh_int8_quant"))
+        .unionAll(recall_row(pq_flat, "pq_adc"))
+        .unionAll(recall_row(ivfpq, "ivfpq_adc"))
     )
 
 
@@ -7295,39 +7556,6 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-PQ_M = 16  # subspaces (finer subspaces beat bigger codebooks for ADC
-# resolution: measured recall@5 on the fixture corpus — m=4/k=8 0.0,
-# m=8/k=8 0.0, m=16/k=8 0.4 at identical 512-double codebook size)
-PQ_SUBDIM = 4  # dims per subspace (embeddings are 64-wide)
-PQ_DIM = PQ_M * PQ_SUBDIM
-PQ_K = 8  # codes per subspace codebook
-PQ_TOPK = 5
-PQ_PROBE_ID = 42  # same probe as the IVF family
-_SQL_INF = "CAST('infinity' AS DOUBLE)"
-
-
-def _pq_l2(a, b):
-    """Squared L2 between two double-array columns: element squares
-    via zip_with (evaluated once per element), left-to-right double
-    fold from 0.0 — the ordered spelling DuckDB's
-    list_sum(list_transform(range ...)) reproduces bit-exactly (the
-    sim_cosine_topk parity discipline, PQ's L2 flavor)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _pq_dsub(col: str, s: int):
-    """Double-promoted PQ_SUBDIM-wide (4-element) subvector ``s`` of a
-    float-array col (PQ_M=16 subspaces × PQ_SUBDIM=4 dims)."""
-    return F.transform(
-        F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM),
-        lambda x: x.cast("double"),
-    )
-
-
 def _pq_valid(e: DataFrame) -> DataFrame:
     """Serving-set filter: well-formed vectors only (present, full
     width, no NULL elements). Non-finite VALUES stay in — they fall
@@ -7443,23 +7671,6 @@ def pq_codebook_rows(spark: SparkSession, sf_dir: str) -> list:
     return sorted(
         ((r["sub"], r["cent_id"], list(r["cent"])) for r in rows),
         key=lambda t: (t[0], t[1]),
-    )
-
-
-def _pq_sql_l2(a: str, b: str, n: int = PQ_SUBDIM) -> str:
-    """Ordered squared-L2 fold between two double-list SQL exprs."""
-    return (
-        f"list_sum(list_transform(range(1, {n} + 1), "
-        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-    )
-
-
-def _pq_sql_subvec(col: str) -> str:
-    """Double-promoted subvector slice of a FLOAT[] column at the
-    (cross-joined) subspace index ``s.sub``."""
-    return (
-        f"list_transform(range(1, {PQ_SUBDIM} + 1), "
-        f"i -> CAST({col}[i + s.sub * {PQ_SUBDIM}] AS DOUBLE))"
     )
 
 
@@ -7802,6 +8013,265 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id").isin([int(r["vec_id"]) for r in top]))
         .select(
             "vec_id",
+            F.expr(adist_case).alias("adist"),
+            F.expr(exact_sql).alias("exact_l2"),
+        )
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
+    )
+
+
+# --- IVF × PQ: the FAISS IVFADC composition (r14, VERDICT r13 #5) --
+
+
+def ivfpq_index_cached(spark: SparkSession, sf_dir: str, _by_sub=None):
+    """The IVFADC index artifact: one row per PQ-valid vector —
+    ``vec_id`` + the m=16 PQ codes + the vector's Lloyd-trained IVF
+    cell — written as parquet PARTITIONED BY cell_id. The partition
+    directories ARE the inverted lists: a serving query filters on a
+    literal cell_id and Spark's static partition pruning reads ONLY
+    the probe's directory, never touching the other cells' files —
+    the Spark-native realization of FAISS's posting-list fetch.
+    Composes the two existing cached artifacts (pq_codes_cached's
+    encoded corpus + lloyd_centroids' trained centroids), so beyond
+    the one assignment pass the build cost is zero; cached per
+    fixture like both parents. Returns None when the PQ codebook is
+    degenerate (drained subspace)."""
+    from map_reduce_subnet_spark.functions.cache import (
+        fixture_cache_dir,
+        is_cached,
+    )
+
+    codes = pq_codes_cached(spark, sf_dir, _by_sub=_by_sub)
+    if codes is None:
+        return None
+    schema = (
+        "vec_id long, "
+        + ", ".join(f"c{s} long" for s in range(PQ_M))
+        + ", cell_id long"
+    )
+    cache = fixture_cache_dir(
+        sf_dir, "embeddings", f"ivfpq8x3_{PQ_M}x{PQ_K}x{PQ_SUBDIM}i1"
+    )
+    if not is_cached(cache):
+        e = load_table(spark, sf_dir, "embeddings")
+        cents_arr = F.broadcast(
+            sim.centroid_array(lloyd_centroids(spark, e, sf_dir=sf_dir))
+        )
+        cells = e.crossJoin(cents_arr).select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
+                "cent_id"
+            ].alias("cell_id"),
+        )
+        codes.join(cells, "vec_id").write.mode("overwrite").partitionBy(
+            "cell_id"
+        ).parquet(cache)
+    return spark.read.schema(schema).parquet(cache)
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin of sim_ann_ivfpq: the _pq_oracle program (PQ CTEs
+    renamed pq* — the Lloyd CTEs own assign1/means1/cents1) joined
+    with the _kmeans_oracle cell assignment, candidates restricted to
+    the probe's trained cell before ADC ranking."""
+    subs_tbl = f"(SELECT unnest(range(0, {PQ_M})) AS sub) s"
+    d_vc = _pq_sql_l2("v.subvec", "c.cent")
+    exact = (
+        f"list_sum(list_transform(range(1, {PQ_DIM} + 1), "
+        f"i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(probe.p[i] AS DOUBLE))"
+        f" * (CAST(v.embedding[i] AS DOUBLE) - CAST(probe.p[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH {_lloyd_ctes(8, 3)},
+{_assign_cte("assign_final", "cents3")},
+pc AS (SELECT cent_id FROM assign_final WHERE vec_id = {PQ_PROBE_ID}),
+pqvalid AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {PQ_DIM}
+      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+pqtrain AS (
+    SELECT vec_id, embedding FROM pqvalid
+    WHERE len(list_filter(embedding,
+          x -> NOT (abs(CAST(x AS DOUBLE)) < {_SQL_INF}))) = 0
+),
+pqsubsq AS (
+    SELECT t.vec_id, s.sub, {_pq_sql_subvec("t.embedding")} AS subvec
+    FROM pqtrain t CROSS JOIN {subs_tbl}
+),
+pqseeds AS (
+    SELECT sub, CAST(vec_id AS BIGINT) AS cent_id, subvec AS cent
+    FROM pqsubsq WHERE vec_id < {PQ_K}
+),
+pqassign1 AS (
+    SELECT sub, vec_id, subvec, cent_id FROM (
+        SELECT v.sub, v.vec_id, v.subvec, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.sub
+                   ORDER BY {d_vc} ASC, c.cent_id ASC
+               ) AS rn
+        FROM pqsubsq v JOIN pqseeds c ON v.sub = c.sub
+        WHERE {d_vc} < {_SQL_INF}
+    ) WHERE rn = 1
+),
+pqmeans1 AS (
+    SELECT a.sub, a.cent_id, p.pos,
+           CAST(SUM(CAST(a.subvec[p.pos] AS DECIMAL(27,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM pqassign1 a
+    CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS pos) p
+    GROUP BY 1, 2, 3
+),
+pqcents1 AS (
+    SELECT sub, cent_id, list(m ORDER BY pos) AS cent
+    FROM pqmeans1 GROUP BY sub, cent_id
+),
+pqservee AS (
+    SELECT v.vec_id, s.sub, {_pq_sql_subvec("v.embedding")} AS subvec
+    FROM pqvalid v CROSS JOIN {subs_tbl}
+),
+probe AS (SELECT embedding AS p FROM pqvalid WHERE vec_id = {PQ_PROBE_ID}),
+pqpsubs AS (
+    SELECT s.sub, {_pq_sql_subvec("probe.p")} AS psub
+    FROM probe CROSS JOIN {subs_tbl}
+),
+pqdtab AS (
+    SELECT c.sub, c.cent_id,
+           CAST((CASE WHEN ISFINITE({_pq_sql_l2("ps.psub", "c.cent")})
+                 THEN {_pq_sql_l2("ps.psub", "c.cent")} END)
+                AS DECIMAL(27,6)) AS qpd
+    FROM pqcents1 c JOIN pqpsubs ps ON ps.sub = c.sub
+),
+pqcodes AS (
+    SELECT sub, vec_id, cent_id FROM (
+        SELECT v.sub, v.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id, v.sub
+                   ORDER BY {d_vc} ASC, c.cent_id ASC
+               ) AS rn
+        FROM pqservee v JOIN pqcents1 c ON v.sub = c.sub
+        WHERE {d_vc} < {_SQL_INF}
+    ) WHERE rn = 1
+),
+pqadists AS (
+    SELECT k.vec_id,
+           CASE WHEN COUNT(*) = {PQ_M} AND COUNT(d.qpd) = {PQ_M}
+                THEN CAST(SUM(d.qpd) AS DOUBLE) END AS adist
+    FROM pqcodes k JOIN pqdtab d ON d.sub = k.sub AND d.cent_id = k.cent_id
+    GROUP BY k.vec_id
+)
+SELECT a.vec_id, pc.cent_id AS cell_id, a.adist, {exact} AS exact_l2
+FROM pqadists a
+JOIN assign_final af ON af.vec_id = a.vec_id
+JOIN pc ON af.cent_id = pc.cent_id
+JOIN pqvalid v ON v.vec_id = a.vec_id, probe
+WHERE a.adist IS NOT NULL AND a.vec_id <> {PQ_PROBE_ID}
+ORDER BY a.adist ASC, a.vec_id ASC
+LIMIT {PQ_TOPK}
+"""
+
+
+@query("sim_ann_ivfpq", oracle=_ivfpq_oracle())
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ — the FAISS IVFADC shape, the standard billion-scale
+    serving config (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011, §IV): the PQ/ADC ranking of
+    sim_ann_pq_adc restricted to the probe's Lloyd-trained IVF cell
+    (sim_ann_ivf_kmeans's partitioner), so a query scans ONE inverted
+    list of quantized codes instead of the whole code table. Output:
+    top-5 of the probe's cell by ADC distance, each with its exact L2
+    and the serving cell id — the row prices cell restriction and
+    quantization together.
+
+    Scale shape — the part that matters at 100 TB: the index artifact
+    (ivfpq_index_cached) is the PQ code table JOINED with the cell
+    assignment, written PARTITIONED BY cell_id, so the directories
+    are the inverted lists. Serving is: ONE bounded 1-row collect for
+    the probe's cell (the same broadcast argmax fold every IVF leg
+    runs — computed in-plan, so it is bit-identical to the oracle's
+    assign_final by construction), then a scan whose literal
+    cell_id filter becomes a STATIC PARTITION PRUNE (only the probe's
+    directory is read — 1/k of the code table's 16 bytes/row), m
+    decimal CASE lookups + a sum per row, TakeOrdered top-5, and one
+    pushed-vec_id point-lookup of the raw corpus for the 5 winners'
+    exact L2. No join on the serving path, no exchange before the
+    top-k, raw vectors read for exactly 5 rows.
+
+    Determinism: identical to the two parents — the ADC expression
+    duplicates pq_adc_ranked's CASE construction rather than sharing
+    a helper so this key's registration does not re-fingerprint
+    sim_ann_pq_adc (the sweep-rotation blast-radius discipline);
+    training means decimal-exact, ties to lowest cent_id, d < inf
+    code guard, DECIMAL(27,6)-quantized driver-computed probe
+    distances (the |qpd| <= 1e9 operand-domain note on
+    _pq_serving_state applies unchanged)."""
+    out_schema = "vec_id long, cell_id long, adist double, exact_l2 double"
+    st = _pq_serving_state(spark, sf_dir)
+    if st is None:
+        return spark.createDataFrame([], out_schema)
+    idx = ivfpq_index_cached(spark, sf_dir, _by_sub=st["by_sub"])
+    if idx is None:
+        return spark.createDataFrame([], out_schema)
+    e = load_table(spark, sf_dir, "embeddings")
+    cents_arr = F.broadcast(
+        sim.centroid_array(lloyd_centroids(spark, e, sf_dir=sf_dir))
+    )
+    pc_rows = (
+        e.where(F.col("vec_id") == PQ_PROBE_ID)
+        .crossJoin(cents_arr)
+        .select(
+            sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
+                "cent_id"
+            ].alias("cell")
+        )
+        .collect()  # bounded: one row (the probe's cell)
+    )
+    if not pc_rows or pc_rows[0]["cell"] is None:
+        return spark.createDataFrame([], out_schema)
+    probe_cell = int(pc_rows[0]["cell"])
+    qpds = []
+    for sub in range(PQ_M):
+        whens = " ".join(
+            f"WHEN {cid} THEN {lit}"
+            for cid, lit in sorted(st["qpd_sql"][sub].items())
+        )
+        qpds.append(
+            F.expr(
+                f"(CASE c{sub} {whens} "
+                f"ELSE CAST(NULL AS DECIMAL(27,6)) END)"
+            )
+        )
+    adist_dec = qpds[0]
+    for q_ in qpds[1:]:
+        adist_dec = adist_dec + q_
+    ranked = (
+        idx.where(F.col("cell_id") == F.lit(probe_cell))
+        .where(F.col("vec_id") != PQ_PROBE_ID)
+        .select("vec_id", adist_dec.cast("double").alias("adist"))
+        .where(F.col("adist").isNotNull())
+        .orderBy(F.asc("adist"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
+    )
+    top = ranked.collect()  # bounded: k rows
+    if not top:
+        return spark.createDataFrame([], out_schema)
+    p = st["p"]
+    adist_case = "CASE vec_id " + " ".join(
+        f"WHEN {int(r['vec_id'])} THEN {_pq_dbl(float(r['adist']))}"
+        for r in top
+    ) + " END"
+    exact_sql = " + ".join(
+        f"(({_pq_elem(i + 1)} - {_pq_dbl(p[i])})"
+        f" * ({_pq_elem(i + 1)} - {_pq_dbl(p[i])}))"
+        for i in range(PQ_DIM)
+    )
+    return (
+        _pq_valid(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id").isin([int(r["vec_id"]) for r in top]))
+        .select(
+            "vec_id",
+            F.lit(probe_cell).cast("long").alias("cell_id"),
             F.expr(adist_case).alias("adist"),
             F.expr(exact_sql).alias("exact_l2"),
         )

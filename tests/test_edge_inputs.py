@@ -306,6 +306,8 @@ _EMPTY_SWEEP_KEYS = (
     "sample_contrastive_pairs",  # empty corpus: zero-doc rank frame
     # round-14 additions:
     "events_cep_gapped",         # empty stream: no suffix, no rows
+    "sim_ann_ivfpq",             # empty corpus: degenerate codebook
+    # -> stable-schema empty frame (the pq_adc/ivf_kmeans posture)
     # round-13 additions:
     "events_cep_pattern",        # empty stream: no windows, no rows
     "sink_dynamic_partition_overwrite",  # all-empty layout: the

@@ -302,6 +302,8 @@ def test_ann_recall_golden(spark):
         "lsh",
         "lsh_multiprobe",
         "lsh_int8_quant",
+        "pq_adc",
+        "ivfpq_adc",
     }
     for r in got.values():
         assert r["n_probes"] == 20 and r["k"] == 10
@@ -322,6 +324,22 @@ def test_ann_recall_golden(spark):
     # float-LSH recall exactly (sim_quantized_recall separately shows
     # int8 ranking fidelity ~1.0 on the exact path)
     assert got["lsh_int8_quant"]["recall_at_k"] == 0.1
+    # PQ/ADC legs (r14): quantized L2 ranking against the exact-cosine
+    # baseline prices metric mismatch + quantization together (flat),
+    # and cell restriction on top of that (ivfpq = FAISS IVFADC).
+    assert got["pq_adc"]["recall_at_k"] == 0.34
+    assert got["ivfpq_adc"]["recall_at_k"] == 0.315
+    # cell restriction can only DROP candidates relative to flat PQ —
+    # ivfpq's candidate set is a subset, so its recall can't exceed it
+    assert (
+        got["ivfpq_adc"]["recall_at_k"] <= got["pq_adc"]["recall_at_k"]
+    )
+    # ...and a subset of the trained cell's members, so it can't beat
+    # the exact-ranked trained-IVF leg either
+    assert (
+        got["ivfpq_adc"]["recall_at_k"]
+        <= got["ivf_kmeans"]["recall_at_k"]
+    )
     # the exact baseline dominates any ANN: recall is a fraction of it
     assert got["ivf"]["recall_at_k"] > got["lsh"]["recall_at_k"]
     # multi-probe's whole point: strictly more recall than single-probe

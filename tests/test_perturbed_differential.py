@@ -103,6 +103,7 @@ def pddb(perturbed_dir):
 PERTURBED_KEYS = [
     # round-14 additions (new operators join every corpus layer)
     "events_cep_gapped",
+    "sim_ann_ivfpq",
     # round-13 additions
     "events_cep_pattern",
     "sink_dynamic_partition_overwrite",

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from map_reduce_subnet_spark.operators import QUERIES
 from map_reduce_subnet_spark.plans import (
     count_exchanges,
@@ -399,6 +401,36 @@ def test_cep_pattern_is_one_exchange_one_window(spark):
     assert "hashpartitioning(user_id" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2, plan
+
+
+def test_ivfpq_serving_scan_is_partition_pruned(spark):
+    """sim_ann_ivfpq's serving scan must be the inverted-list fetch
+    it advertises: the index is written PARTITIONED BY cell_id, so
+    the literal probe-cell filter must appear as a PartitionFilter
+    (static prune — only the probe's directory is read) and the
+    ranking must reach TakeOrdered with ZERO exchanges (no join on
+    the serving path). Guarded like the other cached-artifact lints:
+    build the index, then lint the ranked sub-plan."""
+    from map_reduce_subnet_spark.operators.llm import (
+        PQ_PROBE_ID,
+        _pq_serving_state,
+        ivfpq_index_cached,
+    )
+
+    st = _pq_serving_state(spark, SF_DIR)
+    assert st is not None, "fixture codebook became degenerate"
+    idx = ivfpq_index_cached(spark, SF_DIR, _by_sub=st["by_sub"])
+    assert idx is not None
+    ranked = (
+        idx.where(F.col("cell_id") == F.lit(3))
+        .where(F.col("vec_id") != PQ_PROBE_ID)
+        .orderBy("vec_id")
+        .limit(5)
+    )
+    plan = formatted_plan(ranked)
+    assert "PartitionFilters: [isnotnull(cell_id" in plan, plan
+    assert count_exchanges(ranked) == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_cep_gapped_is_one_exchange_one_sort_two_windows(spark):
