@@ -56,6 +56,7 @@ _SWEEP_PRIORITY = [
     # r8 backfill tranche):
     "events_cep_gapped",
     "sim_ann_ivfpq",
+    "multimodal_probe_mp4",
     # (1) changed this round — the wide-domain two-limb sum port
     # plus sim_ann_recall's two new ADC legs (pq_adc / ivfpq_adc):
     "sim_ann_recall",
@@ -112,7 +113,6 @@ _SWEEP_PRIORITY = [
     "stream_pit_join_true",
     "stream_tumbling_true",
     "text_fingerprint",
-    "text_hashing_vectorizer",
 ]
 
 

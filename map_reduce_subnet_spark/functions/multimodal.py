@@ -1088,3 +1088,234 @@ def average_hash(img: np.ndarray, grid: int = 8) -> tuple[int, int]:
     lo = sum(1 << i for i in range(32) if bits[i])
     hi = sum(1 << (i - 32) for i in range(32, n) if bits[i])
     return int(hi), int(lo)
+
+
+# --- MP4 / ISO-BMFF container probe (r14, VERDICT r13 #6) ----------
+#
+# The WAV/RIFF discipline applied to video: the CONTAINER is a
+# pure-bytes box grammar (ISO/IEC 14496-12 — size+fourcc headers,
+# containers nest), so track layout, codec fourccs, timescales and
+# durations parse without any codec library. Only the CODEC PAYLOAD
+# decode stays behind decode_media's NotImplementedError gate — this
+# moves the honest boundary from "video is a stub" to "codec payload
+# decode is the stub", which is where every metadata-extraction /
+# corpus-audit stage of a training pipeline actually operates.
+
+_MP4_MOVIE_TIMESCALE = 600  # the classic QuickTime movie timescale
+_MP4_VIDEO_TS = 90_000
+_MP4_AUDIO_TS = 48_000
+_MP4_VIDEO_CODECS = ("avc1", "hvc1", "vp09")
+_MP4_AUDIO_CODECS = ("mp4a", "opus")
+# container boxes the prober recurses into (stsd is handled apart:
+# its children follow an 8-byte version/entry-count header)
+_MP4_CONTAINERS = frozenset(
+    {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+)
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def mp4_params(seed: int) -> dict:
+    """The deterministic parameter program shared by synthesize_mp4
+    and the regenerating SQL oracle (multimodal_probe_mp4): every
+    value is integer arithmetic on the seed, and every division is
+    exact (duration units are multiples of 300; 90000 and 48000 are
+    both multiples of the 600-unit movie timescale)."""
+    n_tracks = 1 + seed % 3
+    dur_units = 600 + (seed % 60) * 300
+    tracks = []
+    for k in range(n_tracks):
+        video = k % 2 == 0
+        tracks.append(
+            {
+                "video": video,
+                "codec": (
+                    _MP4_VIDEO_CODECS[(seed + k) % 3]
+                    if video
+                    else _MP4_AUDIO_CODECS[(seed + k) % 2]
+                ),
+                "mdhd_ts": _MP4_VIDEO_TS if video else _MP4_AUDIO_TS,
+                "mdhd_dur": dur_units
+                * ((_MP4_VIDEO_TS if video else _MP4_AUDIO_TS)
+                   // _MP4_MOVIE_TIMESCALE),
+            }
+        )
+    return {
+        "n_tracks": n_tracks,
+        "timescale": _MP4_MOVIE_TIMESCALE,
+        "dur_units": dur_units,
+        "duration_ms": dur_units * 1000 // _MP4_MOVIE_TIMESCALE,
+        "tracks": tracks,
+        "mdat_bytes": 64 + seed % 128,
+    }
+
+
+_MP4_UNITY_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+)
+
+
+def synthesize_mp4(seed: int) -> bytes:
+    """Deterministic minimal ISO-BMFF file: ftyp + moov(mvhd +
+    trak(tkhd + mdia(mdhd + hdlr + minf(stbl(stsd(entry)))))×n) +
+    mdat. Sample entries are header-minimal (8-byte reserved body
+    after the fourcc) — the prober reads layout and fourccs, never
+    codec payloads, so spec-complete avc1C/esds configs would be dead
+    bytes here."""
+    import struct
+
+    p = mp4_params(seed)
+    ftyp = _mp4_box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42"
+    )
+    traks = b""
+    for tid, t in enumerate(p["tracks"], start=1):
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">I", 7)  # v0, flags enabled|in-movie|preview
+            + struct.pack(">II", 0, 0)       # ctime, mtime
+            + struct.pack(">I", tid)
+            + b"\x00" * 4
+            + struct.pack(">I", p["dur_units"])
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0 if t["video"] else 0x0100, 0)
+            + _MP4_UNITY_MATRIX
+            + struct.pack(
+                ">II",
+                (640 << 16) if t["video"] else 0,
+                (480 << 16) if t["video"] else 0,
+            ),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            struct.pack(">I", 0)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", t["mdhd_ts"], t["mdhd_dur"])
+            + struct.pack(">Hh", 0x55C4, 0),  # 'und', predefined
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            struct.pack(">I", 0)
+            + b"\x00" * 4
+            + (b"vide" if t["video"] else b"soun")
+            + b"\x00" * 12
+            + b"h\x00",  # null-terminated name
+        )
+        entry = _mp4_box(t["codec"].encode("ascii"), b"\x00" * 8)
+        stsd = _mp4_box(
+            b"stsd", struct.pack(">II", 0, 1) + entry
+        )
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        traks += _mp4_box(b"trak", tkhd + mdia)
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", p["timescale"], p["dur_units"])
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)      # volume 1.0
+        + b"\x00" * 10
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", p["n_tracks"] + 1),
+    )
+    moov = _mp4_box(b"moov", mvhd + traks)
+    mdat = _mp4_box(
+        b"mdat",
+        bytes((seed * 31 + i) % 251 for i in range(p["mdat_bytes"])),
+    )
+    return ftyp + moov + mdat
+
+
+
+
+def _mp4_children(payload: bytes):
+    """Iterate (fourcc, body) of the boxes packed in ``payload``.
+    Strict: a truncated or zero-size box header raises (a probe that
+    silently stops mid-walk reports a wrong track count)."""
+    import struct
+
+    pos = 0
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        if size < 8 or pos + size > len(payload):
+            raise ValueError(f"bad box size {size} for {btype!r}")
+        yield btype, payload[pos + 8 : pos + size]
+        pos += size
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Pure-bytes ISO-BMFF probe: walk the box tree and report the
+    container metadata a corpus-audit stage needs — track count,
+    movie timescale/duration, per-track handler + sample-entry codec
+    fourcc + media timescale/duration, mdat byte count. No codec
+    decode anywhere (that remains decode_media's documented gate)."""
+    import struct
+
+    top = list(_mp4_children(payload))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (missing leading ftyp)")
+    out = {
+        "timescale": None,
+        "dur_units": None,
+        "tracks": [],
+        "mdat_bytes": 0,
+    }
+
+    def walk_trak(body):
+        t = {"handler": None, "codec": None, "mdhd_ts": None,
+             "mdhd_dur": None}
+        for btype, b in _mp4_children(body):
+            if btype != b"mdia":
+                continue
+            for mtype, mb in _mp4_children(b):
+                if mtype == b"mdhd":
+                    if mb[0] != 0:
+                        raise ValueError("mdhd v1 unsupported")
+                    t["mdhd_ts"], t["mdhd_dur"] = struct.unpack_from(
+                        ">II", mb, 12
+                    )
+                elif mtype == b"hdlr":
+                    t["handler"] = mb[8:12].decode("ascii")
+                elif mtype == b"minf":
+                    for ntype, nb in _mp4_children(mb):
+                        if ntype != b"stbl":
+                            continue
+                        for stype, sb in _mp4_children(nb):
+                            if stype != b"stsd":
+                                continue
+                            (n_entries,) = struct.unpack_from(
+                                ">I", sb, 4
+                            )
+                            if n_entries >= 1:
+                                fourcc, _ = next(
+                                    _mp4_children(sb[8:])
+                                )
+                                t["codec"] = fourcc.decode("ascii")
+        return t
+
+    for btype, body in top:
+        if btype == b"mdat":
+            out["mdat_bytes"] += len(body)
+        elif btype == b"moov":
+            for mtype, mb in _mp4_children(body):
+                if mtype == b"mvhd":
+                    if mb[0] != 0:
+                        raise ValueError("mvhd v1 unsupported")
+                    out["timescale"], out["dur_units"] = (
+                        struct.unpack_from(">II", mb, 12)
+                    )
+                elif mtype == b"trak":
+                    out["tracks"].append(walk_trak(mb))
+    return out

@@ -8278,3 +8278,111 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adist"), F.asc("vec_id"))
         .limit(PQ_TOPK)
     )
+
+
+@query(
+    "multimodal_probe_mp4",
+    oracle="""
+WITH p AS (
+    SELECT doc_id,
+           1 + doc_id % 3 AS n_tracks,
+           600 + (doc_id % 60) * 300 AS dur_units
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tracks AS BIGINT) AS n_tracks,
+       CAST(600 AS BIGINT) AS movie_timescale,
+       CAST((dur_units * 1000) // 600 AS BIGINT) AS duration_ms,
+       CAST((n_tracks + 1) // 2 AS BIGINT) AS n_video,
+       CAST(n_tracks // 2 AS BIGINT) AS n_audio,
+       array_to_string(list_transform(range(0, n_tracks), k ->
+           CASE WHEN k % 2 = 0
+                THEN ['avc1', 'hvc1', 'vp09'][((doc_id + k) % 3) + 1]
+                ELSE ['mp4a', 'opus'][((doc_id + k) % 2) + 1]
+           END), ',') AS codecs,
+       CAST(64 + doc_id % 128 AS BIGINT) AS mdat_bytes
+FROM p
+""",
+)
+# regenerating-oracle discipline (the multimodal_decode_wav pattern):
+# the synthetic container's parameters are a pure-integer program of
+# doc_id (functions/multimodal.py::mp4_params), so the oracle
+# recomputes the expected metadata without touching bytes — a hash
+# match proves the ISO-BMFF box walk (sizes, nesting, fourccs,
+# big-endian header fields) extracted exactly what was packed.
+def multimodal_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF CONTAINER PROBE (VERDICT r13 next-round #6): each
+    doc gets a deterministic minimal MP4 — ftyp + moov(mvhd +
+    n_tracks × trak(tkhd + mdia(mdhd + hdlr + minf/stbl/stsd))) +
+    mdat — and a mapInPandas stage walks the box tree pure-bytes
+    (ISO/IEC 14496-12 size+fourcc grammar, the WAV/RIFF discipline
+    applied to video containers), emitting track count, movie
+    timescale, exact duration in ms, video/audio track split, the
+    per-track sample-entry codec fourccs in track order, and the mdat
+    payload byte count. This is the metadata-extraction stage every
+    video-corpus audit runs (what codecs, how long, how many
+    streams?) and it needs NO codec library — only the codec PAYLOAD
+    decode remains behind functions/multimodal.py::decode_media's
+    NotImplementedError gate, which this operator narrows from
+    "video is a stub" to "codec payload decode is the stub".
+
+    Synthesis + probe live module-level in functions/multimodal.py
+    (synthesize_mp4 / probe_mp4 / mp4_params) and ship BY VALUE via
+    cloudpickle.register_pickle_by_value (the _png_media_cached
+    pattern — module-level functions otherwise pickle by reference
+    and the driver's workers lack this repo on sys.path).
+
+    Scale shape: synthesis and probe are one narrow mapInPandas pass
+    — constant memory per Arrow batch, no shuffle ever sees the
+    binary column; per-blob work is O(bytes) header walking. The
+    exact-ms duration arithmetic is integer (dur_units are multiples
+    of 300, so ×1000/600 is exact), mirrored by the oracle."""
+    from pyspark import cloudpickle as _cp
+
+    from map_reduce_subnet_spark.functions import multimodal as _mm
+
+    _cp.register_pickle_by_value(_mm)
+    synthesize, probe = _mm.synthesize_mp4, _mm.probe_mp4
+
+    def probe_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id)
+                got = probe(synthesize(seed))
+                tracks = got["tracks"]
+                rows.append(
+                    (
+                        seed,
+                        len(tracks),
+                        got["timescale"],
+                        got["dur_units"] * 1000 // got["timescale"],
+                        sum(1 for t in tracks if t["handler"] == "vide"),
+                        sum(1 for t in tracks if t["handler"] == "soun"),
+                        ",".join(t["codec"] for t in tracks),
+                        got["mdat_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_tracks",
+                    "movie_timescale",
+                    "duration_ms",
+                    "n_video",
+                    "n_audio",
+                    "codecs",
+                    "mdat_bytes",
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        probe_batches,
+        schema="doc_id long, n_tracks long, movie_timescale long, "
+        "duration_ms long, n_video long, n_audio long, codecs string, "
+        "mdat_bytes long",
+    )

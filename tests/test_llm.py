@@ -1848,3 +1848,43 @@ def test_dedup_fuzzy_blocked_planted(spark, tmp_path):
     )
     # (0,2) is distance 0 -> excluded; doc 1 pairs with both copies
     assert got == [(0, 1, 2), (1, 2, 2)], got
+
+
+def test_mp4_probe_parity_and_rejections():
+    """probe_mp4(synthesize_mp4(seed)) must report exactly the
+    mp4_params program for every field (the regenerating-oracle
+    contract multimodal_probe_mp4 hashes), and the box walk must be
+    STRICT: truncated headers, oversized boxes, and a missing leading
+    ftyp raise instead of silently under-reporting tracks."""
+    import pytest as _pytest
+
+    from map_reduce_subnet_spark.functions.multimodal import (
+        mp4_params,
+        probe_mp4,
+        synthesize_mp4,
+    )
+
+    for seed in range(0, 200, 7):
+        p = mp4_params(seed)
+        got = probe_mp4(synthesize_mp4(seed))
+        assert got["timescale"] == p["timescale"]
+        assert got["dur_units"] == p["dur_units"]
+        assert got["mdat_bytes"] == p["mdat_bytes"]
+        assert len(got["tracks"]) == p["n_tracks"]
+        for gt, et in zip(got["tracks"], p["tracks"]):
+            assert gt["handler"] == ("vide" if et["video"] else "soun")
+            assert gt["codec"] == et["codec"]
+            assert gt["mdhd_ts"] == et["mdhd_ts"]
+            assert gt["mdhd_dur"] == et["mdhd_dur"]
+        # exact-ms arithmetic: dur_units are multiples of 300, so
+        # x1000/600 never truncates
+        assert (p["dur_units"] * 1000) % p["timescale"] == 0
+
+    payload = synthesize_mp4(11)
+    with _pytest.raises(ValueError):
+        probe_mp4(payload[:-5])  # truncated final box
+    with _pytest.raises(ValueError):
+        probe_mp4(payload[8:])  # leading ftyp gone
+    with _pytest.raises(ValueError):
+        # zero-size box header: size field of the first box zeroed
+        probe_mp4(b"\x00" * 4 + payload[4:])

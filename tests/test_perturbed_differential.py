@@ -104,6 +104,7 @@ PERTURBED_KEYS = [
     # round-14 additions (new operators join every corpus layer)
     "events_cep_gapped",
     "sim_ann_ivfpq",
+    "multimodal_probe_mp4",
     # round-13 additions
     "events_cep_pattern",
     "sink_dynamic_partition_overwrite",
