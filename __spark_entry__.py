@@ -57,9 +57,11 @@ _SWEEP_PRIORITY = [
     "events_cep_gapped",
     "sim_ann_ivfpq",
     "multimodal_probe_mp4",
-    # (1) changed this round — the wide-domain two-limb sum port
-    # plus sim_ann_recall's two new ADC legs (pq_adc / ivfpq_adc):
+    # (1) changed this round — the wide-domain two-limb sum port,
+    # sim_ann_recall's two new ADC legs (pq_adc / ivfpq_adc), and
+    # dedup_fuzzy_blocked's second (tail-words) block key:
     "sim_ann_recall",
+    "dedup_fuzzy_blocked",
     # (clears the r13 EXTREME_DRIFT pins; agg_salted_hotkey via the
     # functions/skew.py::salted_sum rewrite) and the rolling-quantile
     # domain halve (ADVICE r13):
@@ -112,7 +114,6 @@ _SWEEP_PRIORITY = [
     "sim_cosine_topk",
     "stream_pit_join_true",
     "stream_tumbling_true",
-    "text_fingerprint",
 ]
 
 

@@ -7392,7 +7392,7 @@ def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FUZZY_BLOCK_WORDS = 4  # block key = md5(first 4 words)
+FUZZY_BLOCK_WORDS = 4  # per block key: 4 words (head + tail passes)
 FUZZY_MAX_DIST = 16  # edit budget; Spark computes O(len·budget)
 FUZZY_MAX_CHARS = 4096  # per-pair cost bound: levenshtein is O(len²)
 
@@ -7403,21 +7403,38 @@ FUZZY_MAX_CHARS = 4096  # per-pair cost bound: levenshtein is O(len²)
 WITH tok AS (
     SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
 ),
-cand AS (
+base AS (
     -- participation preconditions (mirrored on the Spark side):
-    -- >= {FUZZY_BLOCK_WORDS} words (the block key needs them),
+    -- >= {FUZZY_BLOCK_WORDS} words (the block keys need them),
     -- <= {FUZZY_MAX_CHARS} chars (bounds the O(len²) verify),
     -- ASCII only (strlen bytes = length chars): DuckDB's levenshtein is
     -- BYTE-level while Spark's is CODEPOINT-level — identical
     -- exactly on 1-byte-per-char text (measured r13:
     -- 'héllo wörld' vs 'hello world' is 4 bytes / 2 codepoints)
-    SELECT doc_id,
-           md5(array_to_string(
-               list_slice(w, 1, {FUZZY_BLOCK_WORDS}), ' ')) AS bk
-    FROM tok
+    SELECT doc_id, w FROM tok
     WHERE len(w) >= {FUZZY_BLOCK_WORDS}
       AND length(text) <= {FUZZY_MAX_CHARS}
       AND strlen(text) = length(text)
+),
+cand AS (
+    -- TWO block keys per doc (r14, the second-pass buy-back the r13
+    -- docstring promised): md5 over the FIRST and the LAST
+    -- {FUZZY_BLOCK_WORDS} words, namespaced 'h:'/'t:' so the two key
+    -- spaces can never merge a bucket. An edit inside the head words
+    -- moves the doc out of its head block but (almost always) not
+    -- out of its tail block, and vice versa — the multi-band LSH
+    -- recall trade, at exactly 2x the blocking work. The keys come
+    -- from ONE scan via unnest, not a UNION of two subtrees (the r12
+    -- prefix-dedup lesson: UNION made Spark duplicate the whole
+    -- candidate-generation subtree)
+    SELECT doc_id, unnest([
+        md5('h:' || array_to_string(
+            list_slice(w, 1, {FUZZY_BLOCK_WORDS}), ' ')),
+        md5('t:' || array_to_string(
+            list_slice(w, len(w) - {FUZZY_BLOCK_WORDS} + 1, len(w)),
+            ' '))
+    ]) AS bk
+    FROM base
 ),
 capped AS (
     SELECT doc_id, bk FROM (
@@ -7427,7 +7444,11 @@ capped AS (
     ) WHERE rn <= {LSH_BUCKET_CAP}
 ),
 pairs AS (
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    -- DISTINCT: a pair whose texts agree on BOTH block keys arrives
+    -- from two buckets; with one key per doc (r13) no dedup was
+    -- needed, with two it is (the dedup_near_minhash multi-band
+    -- shape)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM capped a JOIN capped b
       ON a.bk = b.bk AND a.doc_id < b.doc_id
 ),
@@ -7466,13 +7487,17 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact's job — distance 0 — is excluded by the lower bound).
 
     Candidate generation is BLOCKED, never pairwise: a small-edit
-    pair almost always shares its first {FUZZY_BLOCK_WORDS} words, so
-    docs bucket on md5(first-{FUZZY_BLOCK_WORDS}-words) with the
-    LSH_BUCKET_CAP lowest-id cap (_capped_buckets); only in-bucket
-    pairs are verified. Edits inside the first words move a doc to
-    another block — the standard blocking recall trade, bought back
-    in production with a second key pass (e.g. last-{FUZZY_BLOCK_WORDS}
-    words), exactly how multi-band LSH buys recall.
+    pair almost always agrees on its first OR its last
+    {FUZZY_BLOCK_WORDS} words, so each doc emits TWO namespaced block
+    keys — md5('h:' + head words) and md5('t:' + tail words), r14 —
+    with the LSH_BUCKET_CAP lowest-id cap per bucket
+    (_capped_buckets); only in-bucket pairs are verified, after a
+    pair-level dedup (a pair agreeing on both keys arrives twice —
+    the multi-band LSH shape dedup_near_minhash already runs). The
+    second key is the buy-back the r13 single-key version documented:
+    an edit inside the head words no longer loses the pair unless the
+    tail words were ALSO edited (measured on the sf1 rehearsal
+    corpus: see the recall note at the end of this docstring).
 
     Participation preconditions (identical both engines): at least
     {FUZZY_BLOCK_WORDS} words; at most {FUZZY_MAX_CHARS} chars (the
@@ -7485,28 +7510,57 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-feature precondition pattern).
 
     Scale shape: one corpus shuffle on the block key (the capped
-    groupBy); each doc has exactly ONE block key, so no pair appears
-    twice and no distinct is needed; the rare pair table joins back
-    to the corpus broadcast-side (AQE); the verify runs Spark's
-    thresholded levenshtein — O(len·{FUZZY_MAX_DIST}) per pair, not
-    O(len²), returning -1 past the budget (filtered, matching the
-    oracle's full-distance BETWEEN)."""
+    groupBy over the exploded ×2 key stream) plus one tiny pair-table
+    dedup shuffle; the rare pair table joins back to the corpus
+    broadcast-side (AQE); the verify runs Spark's thresholded
+    levenshtein — O(len·{FUZZY_MAX_DIST}) per pair, not O(len²),
+    returning -1 past the budget (filtered, matching the oracle's
+    full-distance BETWEEN).
+
+    Measured recall buy-back (r14, the sf1 rehearsal corpus with
+    planted head-edit near-dups — scripts/scale_rehearsal.py): the
+    head key alone misses every pair whose edit falls inside the
+    first {FUZZY_BLOCK_WORDS} words; the tail pass recovers exactly
+    those (verified-pair delta recorded in NOTES "R14 FUZZY RECALL"),
+    at 2x blocking work and unchanged verify cost per surviving
+    pair."""
     d = load_table(spark, sf_dir, "documents")
     w = tx.words("text")
-    cand = d.where(
+    base = d.where(
         (F.size(w) >= FUZZY_BLOCK_WORDS)
         & (F.length("text") <= FUZZY_MAX_CHARS)
         & (F.octet_length("text") == F.length("text"))
-    ).select(
-        F.md5(F.concat_ws(" ", F.slice(w, 1, FUZZY_BLOCK_WORDS))).alias(
-            "bk"
-        ),
-        "doc_id",
+    ).select("doc_id", w.alias("w"))
+    # both keys from ONE scan via explode (map-side ×2), never a
+    # union of two candidate subtrees (the r12 prefix-dedup lesson)
+    head_key = F.md5(
+        F.concat(
+            F.lit("h:"),
+            F.concat_ws(" ", F.slice(F.col("w"), 1, FUZZY_BLOCK_WORDS)),
+        )
+    )
+    tail_key = F.md5(
+        F.concat(
+            F.lit("t:"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("w"),
+                    F.size("w") - F.lit(FUZZY_BLOCK_WORDS - 1),
+                    F.lit(FUZZY_BLOCK_WORDS),
+                ),
+            ),
+        )
+    )
+    cand = base.select(
+        "doc_id", F.explode(F.array(head_key, tail_key)).alias("bk")
     )
     buckets = _capped_buckets(cand, ["bk"], "doc_id")
-    pairs = buckets.select(
-        F.explode(_bucket_pairs(F.col("ids"))).alias("p")
-    ).select("p.a_id", "p.b_id")
+    pairs = (
+        buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
     a = d.select(
         F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
     )

@@ -454,13 +454,17 @@ def test_cep_gapped_is_one_exchange_one_sort_two_windows(spark):
     assert "unboundedfollowing$" not in plan, plan
 
 
-def test_fuzzy_blocked_is_two_shuffles_broadcast_verify(spark):
+def test_fuzzy_blocked_is_three_shuffles_broadcast_verify(spark):
     """dedup_fuzzy_blocked must keep the truncation-dedup shape plus
-    its verify repartition: exactly TWO hash exchanges — the capped
-    block-key groupBy, and the deliberate repartition that spreads
-    the O(pairs·len·budget) levenshtein across the cluster (without
-    it the verify inherits the byte-planned documents-scan
-    parallelism: ONE task at rehearsal scale — SCALE.md lesson 1).
+    its verify repartition: exactly THREE hash exchanges — the capped
+    block-key groupBy (over the ×2 exploded head/tail key stream,
+    r14), the PAIR-LEVEL dedup the second block key makes necessary
+    (a pair agreeing on both keys arrives from two buckets; the
+    dedup shuffles only the tiny (a_id, b_id) table), and the
+    deliberate repartition that spreads the O(pairs·len·budget)
+    levenshtein across the cluster (without it the verify inherits
+    the byte-planned documents-scan parallelism: ONE task at
+    rehearsal scale — SCALE.md lesson 1).
     The rare pair table rides broadcasts to both text fetches; never
     a cartesian. The let-bound explode must also hold: no plan-level
     Filter carrying a levenshtein (Catalyst would fold it into the
@@ -468,7 +472,7 @@ def test_fuzzy_blocked_is_two_shuffles_broadcast_verify(spark):
     it eagerly per probe)."""
     df = q(spark, "dedup_fuzzy_blocked")
     plan = formatted_plan(df)
-    assert count_exchanges(df) == 2, plan
+    assert count_exchanges(df) == 3, plan
     assert not has_cartesian(df), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SinglePartition" not in plan, plan
