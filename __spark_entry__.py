@@ -55,6 +55,7 @@ _SWEEP_PRIORITY = [
     # rotation policy (each displaces one slot from the END of the
     # r8 backfill tranche):
     "events_cep_gapped",
+    "stream_cep_gapped_true",
     "sim_ann_ivfpq",
     "multimodal_probe_mp4",
     # (1) changed this round — the wide-domain two-limb sum port,
@@ -113,7 +114,6 @@ _SWEEP_PRIORITY = [
     "scan_binaryfile_media",
     "sim_cosine_topk",
     "stream_pit_join_true",
-    "stream_tumbling_true",
 ]
 
 

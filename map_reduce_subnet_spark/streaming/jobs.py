@@ -1577,3 +1577,185 @@ def stream_cep_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def cep_gapped_stream(ev: DataFrame) -> DataFrame:
+    """Live NON-CONTIGUOUS bounded-gap CEP (the r14 state-store twin
+    of operators/streaming_batch.py::events_cep_gapped): per-user
+    state is the honest event BUFFER a gapped pattern needs — the
+    views still awaiting their first following click, and the
+    (view, click) pairs still awaiting their first following
+    purchase — with GAP-based eviction keeping it bounded by the
+    user's event rate × CEP_GAP_US, not O(1) like the contiguous
+    twin's last-two-events (a gapped match can stay open for the
+    whole gap window; that extra state IS the price of dropping
+    adjacency, and this operator makes it explicit).
+
+    Skip-till-next replay, processing each user's events in
+    (ts_us, event_id) sequence order:
+      * view    → buffer it (awaiting its first following click);
+      * click   → it is THE first following click for every buffered
+                  view: views within CEP_GAP_US become open pairs,
+                  the rest die (no backtracking — the as-of
+                  contract); the view buffer clears either way;
+      * purchase→ it is THE first following purchase for every open
+                  pair: pairs within CEP_GAP_US emit a match row
+                  (append mode — exactly once, when the closing
+                  event arrives), the rest die; open pairs clear.
+    End of batch: drop buffered views / open pairs whose gap window
+    has already passed relative to the newest event time seen
+    (monotone arrival makes the eviction safe — see the
+    ARRIVAL-ORDER PRECONDITION on cep_pattern_stream, which applies
+    verbatim here).
+
+    Epoch microseconds come from unix_micros IN-PLAN (timezone-proof,
+    the cep_pattern_stream discipline)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from map_reduce_subnet_spark.operators.streaming_batch import (
+        CEP_GAP_US,
+        CEP_STAGES,
+    )
+
+    stages = tuple(CEP_STAGES)
+    gap = int(CEP_GAP_US)
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
+
+    def match_gapped(key, pdf_iter, state):
+        # closure: shipped by value; executors don't import this repo
+        import pandas as pd
+
+        if state.exists:
+            vts, vid, pvts, pvid, pcts, pcid = state.get
+            views = list(zip(vts, vid))
+            pairs = list(zip(pvts, pvid, pcts, pcid))
+        else:
+            views, pairs = [], []
+        rows = pd.concat(list(pdf_iter)).sort_values(
+            ["ts_us", "event_id"]
+        )
+        out = []
+        max_ts = None
+        for t, ts, eid in zip(
+            rows["event_type"], rows["ts_us"], rows["event_id"]
+        ):
+            ts, eid = int(ts), int(eid)
+            max_ts = ts if max_ts is None else max(max_ts, ts)
+            if t == stages[0]:
+                views.append((ts, eid))
+            elif t == stages[1]:
+                pairs.extend(
+                    (v_ts, v_id, ts, eid)
+                    for v_ts, v_id in views
+                    if ts - v_ts <= gap
+                )
+                views = []
+            elif t == stages[2]:
+                out.extend(
+                    (key[0], v_id, c_id, eid, v_ts, ts - v_ts)
+                    for v_ts, v_id, c_ts, c_id in pairs
+                    if ts - c_ts <= gap
+                )
+                pairs = []
+        if max_ts is not None:
+            views = [v for v in views if max_ts - v[0] <= gap]
+            pairs = [p for p in pairs if max_ts - p[2] <= gap]
+        state.update(
+            (
+                [v[0] for v in views],
+                [v[1] for v in views],
+                [p[0] for p in pairs],
+                [p[1] for p in pairs],
+                [p[2] for p in pairs],
+                [p[3] for p in pairs],
+            )
+        )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "anchor_event_id",
+                "mid_event_id",
+                "close_event_id",
+                "anchor_ts_us",
+                "span_us",
+            ],
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        match_gapped,
+        outputStructType=(
+            "user_id LONG, anchor_event_id LONG, mid_event_id LONG, "
+            "close_event_id LONG, anchor_ts_us LONG, span_us LONG"
+        ),
+        stateStructType=(
+            "vts ARRAY<LONG>, vid ARRAY<LONG>, pvts ARRAY<LONG>, "
+            "pvid ARRAY<LONG>, pcts ARRAY<LONG>, pcid ARRAY<LONG>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+from map_reduce_subnet_spark.operators.streaming_batch import (  # noqa: E402
+    CEP_GAPPED_ORACLE as _CEP_GAPPED_ORACLE,
+)
+
+
+@query("stream_cep_gapped_true", oracle=_CEP_GAPPED_ORACLE)
+def stream_cep_gapped_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming GAPPED CEP — the state-store twin of
+    events_cep_gapped, driven over FOUR time-contiguous micro-batches
+    (the stream_cep_true harness verbatim): the events fixture is
+    split into 4 files fed one per trigger (ascending mtimes), so a
+    match whose view lands in batch k, click in k+1 and purchase in
+    k+2 is only found if the buffered views / open pairs survive in
+    the state store across triggers — the property the contiguous
+    twin proves for 2-event state, proved here for the gapped
+    buffer. Append-mode emission = each match exactly once, when its
+    closing purchase arrives, so the union of batches equals the
+    batch twin's full-fixture answer and ONE oracle
+    (CEP_GAPPED_ORACLE) certifies both keys."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    tbl = pq_mod.read_table(f"{sf_dir}/events.parquet")
+    pdf_order = (
+        tbl.select(["ts", "event_id"])
+        .to_pandas()
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .index
+    )
+    tbl = tbl.take(pa.array(pdf_order, type=pa.int64()))
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"mrs_cepg_batches_{uuid.uuid4().hex[:12]}",
+    )
+    os.makedirs(src)
+    n_files = 4
+    step = (tbl.num_rows + n_files - 1) // n_files
+    now = _time.time()
+    try:
+        for i in range(n_files):
+            p = os.path.join(src, f"part{i}.parquet")
+            pq_mod.write_table(tbl.slice(i * step, step), p)
+            os.utime(p, (now + i, now + i))  # mtime order = time order
+        ev = _read_events_stream(
+            spark,
+            os.path.join(src, "part0.parquet"),
+            src,
+            maxFilesPerTrigger="1",
+        )
+        sink = _run_to_memory(
+            cep_gapped_stream(ev), spark, output_mode="append"
+        )
+        rows = sink.collect()
+        schema = sink.schema
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -309,6 +309,8 @@ _EMPTY_SWEEP_KEYS = (
     "sim_ann_ivfpq",             # empty corpus: degenerate codebook
     # -> stable-schema empty frame (the pq_adc/ivf_kmeans posture)
     "multimodal_probe_mp4",      # empty documents: no blobs, no rows
+    "stream_cep_gapped_true",    # 4 empty micro-batch files: empty
+    # buffers, no state, no rows
     # round-13 additions:
     "events_cep_pattern",        # empty stream: no windows, no rows
     "sink_dynamic_partition_overwrite",  # all-empty layout: the

@@ -659,3 +659,79 @@ def test_cep_state_carries_partial_match_across_batches(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, 10, 12, base, 2 * m)], got
+
+
+def test_cep_gapped_state_buffers_across_batches(spark, tmp_path):
+    """The gapped twin's reason to exist: a NON-ADJACENT pattern whose
+    stages land in three different micro-batches (view in batch 0,
+    click in batch 1 — with an interloper between them, — purchase in
+    batch 2) must still fire, which needs the buffered-views / open-
+    pairs state to survive two trigger boundaries. Also pins the
+    skip-till-next no-backtracking rule across a boundary (the first
+    click after a view is its match even when a later, in-gap click
+    arrives in the next batch) and append-mode exactly-once."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_subnet_spark.streaming.jobs import (
+        _read_events_stream,
+        _run_to_memory,
+        cep_gapped_stream,
+    )
+
+    base = 1_700_000_000_000_000  # µs
+    h = 3_600_000_000  # one hour (CEP_GAP_US = 12 h)
+    # user 1: view | interloper+click | purchase — fires across three
+    # batches despite non-adjacency.
+    # user 2: view, click@1h (its FIRST click), then click@2h in the
+    # next batch and a purchase 13h after the FIRST click but within
+    # 12h of the SECOND: skip-till-next means the first click owns
+    # the match and its purchase window expires — NO row (a
+    # backtracking engine would wrongly fire via the second click).
+    f0 = [
+        (10, base + 0 * h, 1, "view"),
+        (20, base + 0 * h, 2, "view"),
+        (21, base + 1 * h, 2, "click"),
+    ]
+    f1 = [
+        (11, base + 1 * h, 1, "error"),
+        (12, base + 2 * h, 1, "click"),
+        (22, base + 2 * h, 2, "click"),
+    ]
+    f2 = [
+        (13, base + 3 * h, 1, "purchase"),
+        (23, base + 14 * h, 2, "purchase"),
+    ]
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+
+    src = tmp_path / "cepg_batches"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate((f0, f1, f2)):
+        p = str(src / f"part{i}.parquet")
+        pq_mod.write_table(tbl(rows), p)
+        os.utime(p, (now + i, now + i))
+    ev = _read_events_stream(
+        spark, str(src / "part0.parquet"), str(src), maxFilesPerTrigger="1"
+    )
+    got = sorted(
+        tuple(r)
+        for r in _run_to_memory(
+            cep_gapped_stream(ev), spark, output_mode="append"
+        ).collect()
+    )
+    assert got == [(1, 10, 12, 13, base, 3 * h)], got
