@@ -487,15 +487,24 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over the per-user (ts, event_id) sequence. The oracle encodes the
 # (ts_us, event_id) sequence key as a zero-padded 19+19-char string so
 # MIN() over a window is lexicographic = sequence order in DuckDB
-# (struct-ordered MIN is Spark-side only); both encodings are the
-# same total order because epoch-µs and event ids are nonnegative
-# int64s on every fixture (asserted by the harness schema).
+# (struct-ordered MIN is Spark-side only). Both components are BIASED
+# by +5e18 before padding: a bare lpad breaks on NEGATIVE values
+# (lexicographic '-...' ordering is wrong AND the decode substr can't
+# re-parse a mid-string sign — caught by the r14 negative-domain
+# layer's pre-1970 plants), while biased values are positive 19-digit
+# integers whose string order IS numeric order over the whole
+# |value| < 4.2e18 domain (epoch-µs spans ±2.9e17, ids are row
+# numbers — both orders of magnitude inside; beyond it DuckDB's
+# BIGINT addition aborts loudly).
+CEP_KEY_BIAS = 5_000_000_000_000_000_000
+
 CEP_GAPPED_ORACLE = f"""
 WITH seq AS (
     SELECT user_id, event_id, event_type,
            epoch_us(ts) AS ts_us,
-           lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0')
-               || lpad(CAST(event_id AS VARCHAR), 19, '0') AS k
+           lpad(CAST(epoch_us(ts) + {CEP_KEY_BIAS} AS VARCHAR), 19, '0')
+               || lpad(CAST(event_id + {CEP_KEY_BIAS} AS VARCHAR),
+                       19, '0') AS k
     FROM events
 ), p1 AS (
     -- earliest purchase strictly AFTER each row in sequence order
@@ -521,14 +530,18 @@ WITH seq AS (
 )
 SELECT user_id,
        event_id AS anchor_event_id,
-       CAST(substr(ck, 20, 19) AS BIGINT) AS mid_event_id,
-       CAST(substr(ck, 58, 19) AS BIGINT) AS close_event_id,
+       CAST(substr(ck, 20, 19) AS BIGINT) - {CEP_KEY_BIAS}
+           AS mid_event_id,
+       CAST(substr(ck, 58, 19) AS BIGINT) - {CEP_KEY_BIAS}
+           AS close_event_id,
        ts_us AS anchor_ts_us,
-       CAST(substr(ck, 39, 19) AS BIGINT) - ts_us AS span_us
+       (CAST(substr(ck, 39, 19) AS BIGINT) - {CEP_KEY_BIAS}) - ts_us
+           AS span_us
 FROM p2
 WHERE event_type = '{CEP_STAGES[0]}'
   AND ck IS NOT NULL
-  AND CAST(substr(ck, 1, 19) AS BIGINT) - ts_us <= {CEP_GAP_US}
+  AND (CAST(substr(ck, 1, 19) AS BIGINT) - {CEP_KEY_BIAS}) - ts_us
+      <= {CEP_GAP_US}
   AND substr(ck, 39, 1) != '~'
   AND CAST(substr(ck, 39, 19) AS BIGINT)
       - CAST(substr(ck, 1, 19) AS BIGINT) <= {CEP_GAP_US}
@@ -576,9 +589,11 @@ def events_cep_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes.
 
     Exactness: string equality + BIGINT epoch-µs arithmetic (the
-    sessionize_events discipline); the oracle's padded-string
-    encoding and the engine's struct ordering realize the same total
-    order over nonnegative (ts_us, event_id).
+    sessionize_events discipline); the oracle's BIASED padded-string
+    encoding (see CEP_KEY_BIAS) and the engine's struct ordering
+    realize the same total order over the whole |value| < 4.2e18
+    domain — pre-epoch (negative-µs) events included, pinned by the
+    negative-domain layer.
 
     Grounding: ordered request/response step sequences per peer
     (reference neurons/miner.py:151-169, validator.py:120-141), as

@@ -1811,8 +1811,9 @@ def test_dedup_fuzzy_blocked_planted(spark, tmp_path):
     contract: a small-edit pair fires with its exact distance; exact
     duplicates (distance 0) are excluded; a same-block pair beyond
     the 16-edit budget is excluded; a first-word typo moves the doc
-    to ANOTHER block so it never pairs (the documented blocking
-    recall trade); non-ASCII and <4-word docs don't participate."""
+    out of its HEAD block but the TAIL key recovers it (r14 — the
+    measured buy-back this doc class exists for); non-ASCII and
+    <4-word docs don't participate."""
     import pandas as pd
 
     from map_reduce_subnet_spark.operators import QUERIES
@@ -1826,7 +1827,8 @@ def test_dedup_fuzzy_blocked_planted(spark, tmp_path):
             ["completely"] * 12                      #    way past budget
         ),
         "teh quick brown fox jumps over the lazy dog tonight",  # 4:
-        # first-word typo -> different block, never paired
+        # first-word typo -> out of the head block; the tail key
+        # ("over the lazy dog tonight" words agree) pairs it anyway
         base + " café",                         # 5: non-ASCII
         "one two three",                             # 6: < 4 words
     ]
@@ -1847,7 +1849,16 @@ def test_dedup_fuzzy_blocked_planted(spark, tmp_path):
         for r in QUERIES["dedup_fuzzy_blocked"](spark, str(d)).collect()
     )
     # (0,2) is distance 0 -> excluded; doc 1 pairs with both copies
-    assert got == [(0, 1, 2), (1, 2, 2)], got
+    # via the head block; doc 4 (head-typo) pairs with 0/1/2 via the
+    # TAIL block: levenshtein(teh, the) = 2, so (0,4) and (2,4) are
+    # 2, and (1,4) compounds the jmups edit to 4
+    assert got == [
+        (0, 1, 2),
+        (0, 4, 2),
+        (1, 2, 2),
+        (1, 4, 4),
+        (2, 4, 2),
+    ], got
 
 
 def test_mp4_probe_parity_and_rejections():

@@ -376,7 +376,8 @@ PERTURBED_ONLY_KEYS = [
     # skew-split assertion lives in tests/test_plans.py (sf0.01), NOT
     # in the query, so on any corpus the key is a plain result
     # differential (the isolated-session AQE confs only change the
-    # physical strategy, never the rows). 230/230 keys covered.
+    # physical strategy, never the rows). Full registry covered
+    # (tests/test_caps.py pins the enumeration).
     "join_skew_aqe",
 ]
 
