@@ -122,14 +122,13 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
 #
 #   q = ROUND(x·1e6)          -- micro-unit quantization, computed in
 #                             -- DOUBLE: the multiply is the same IEEE
-#                             -- op on both engines, and ROUND(double)
+#                             -- op on both engines, and the rounding
 #                             -- is half-away-from-zero on both
-#                             -- (std::round in DuckDB; Spark's
-#                             -- HALF_UP over the shortest repr agrees
-#                             -- everywhere: exact .5 ties are
-#                             -- shortest-repr-exact, near-ties stay
-#                             -- on their side because the repr is
-#                             -- within ulp/2; ≥2^53 it is identity).
+#                             -- (std::round in DuckDB; Spark runs
+#                             -- _round_half_away below — the same
+#                             -- function as ROUND, spelled in plain
+#                             -- double ops because Spark's ROUND
+#                             -- pays a per-row BigDecimal).
 #                             -- q is an INTEGER-VALUED double.
 #   h = FLOOR(q / 2^shift)    -- power-of-two scaling is exact; floor
 #   l = q − h·2^shift         -- exact (result representable ⇒ IEEE
@@ -162,10 +161,36 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
 WIDE_SHIFT = 40
 
 
+def _round_half_away(p: Column) -> Column:
+    """ROUND(p) — half away from zero — as plain double arithmetic.
+
+    Spark's ROUND on a double goes through BigDecimal.valueOf (a
+    per-row Double.toString allocation); this spelling computes the
+    identical function in codegen-friendly ops (measured r14: the
+    wide-sum microbench dropped 1.79 s → 1.26 s at sf0.1). Why it is
+    the SAME function: for |p| < 2^53 the fractional part
+    a − floor(a) is an exactly-representable double (a's ulp ≤ 0.5),
+    ×2 is exact, and floor of that is 1 iff frac ≥ 0.5 — half-up on
+    the magnitude = half away from zero, Spark HALF_UP and C++
+    std::round alike (shortest-repr vs exact-value rounding cannot
+    disagree: an exact .5 tie is shortest-repr-exact, and a near-tie's
+    repr stays on its side because it is within ulp/2). For
+    |p| ≥ 2^53 doubles are integers and the CASE takes the identity
+    branch — which also keeps floor's LONG return type away from
+    values it cannot hold. NULL propagates through every branch."""
+    a = F.abs(p)
+    fa = F.floor(a).cast("double")
+    q0 = F.when(
+        a < F.lit(9007199254740992.0),  # 2^53
+        fa + F.floor((a - fa) * F.lit(2.0)).cast("double"),
+    ).otherwise(a)
+    return F.when(p < 0, -q0).otherwise(q0)
+
+
 def _wide_limbs(c: Column, shift: int) -> tuple[Column, Column]:
     scale = float(2**shift)
     l_digits = len(str(2**shift))
-    q = F.round(c * F.lit(1e6))
+    q = _round_half_away(c * F.lit(1e6))
     h = F.floor(q / F.lit(scale))
     l = q - h.cast("double") * F.lit(scale)
     return h.cast("decimal(15,0)"), l.cast(f"decimal({l_digits},0)")
