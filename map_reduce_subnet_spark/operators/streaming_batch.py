@@ -495,7 +495,14 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integers whose string order IS numeric order over the whole
 # |value| < 4.2e18 domain (epoch-µs spans ±2.9e17, ids are row
 # numbers — both orders of magnitude inside; beyond it DuckDB's
-# BIGINT addition aborts loudly).
+# BIGINT addition aborts loudly). The purchase-suffix decodes
+# (positions 39, 58) use TRY_CAST, not CAST: on a click with no later
+# purchase those positions carry the '~' sentinel, and the WHERE guard
+# `substr(ck,39,1) != '~'` only protects a plain CAST under
+# left-to-right conjunct evaluation — which is not contractual in SQL
+# (ADVICE r14 #1). TRY_CAST yields NULL on the sentinel, and NULL
+# arithmetic/comparison filters the row identically, so correctness no
+# longer depends on the optimizer's conjunct ordering.
 CEP_KEY_BIAS = 5_000_000_000_000_000_000
 
 CEP_GAPPED_ORACLE = f"""
@@ -532,10 +539,10 @@ SELECT user_id,
        event_id AS anchor_event_id,
        CAST(substr(ck, 20, 19) AS BIGINT) - {CEP_KEY_BIAS}
            AS mid_event_id,
-       CAST(substr(ck, 58, 19) AS BIGINT) - {CEP_KEY_BIAS}
+       TRY_CAST(substr(ck, 58, 19) AS BIGINT) - {CEP_KEY_BIAS}
            AS close_event_id,
        ts_us AS anchor_ts_us,
-       (CAST(substr(ck, 39, 19) AS BIGINT) - {CEP_KEY_BIAS}) - ts_us
+       (TRY_CAST(substr(ck, 39, 19) AS BIGINT) - {CEP_KEY_BIAS}) - ts_us
            AS span_us
 FROM p2
 WHERE event_type = '{CEP_STAGES[0]}'
@@ -543,7 +550,7 @@ WHERE event_type = '{CEP_STAGES[0]}'
   AND (CAST(substr(ck, 1, 19) AS BIGINT) - {CEP_KEY_BIAS}) - ts_us
       <= {CEP_GAP_US}
   AND substr(ck, 39, 1) != '~'
-  AND CAST(substr(ck, 39, 19) AS BIGINT)
+  AND TRY_CAST(substr(ck, 39, 19) AS BIGINT)
       - CAST(substr(ck, 1, 19) AS BIGINT) <= {CEP_GAP_US}
 """
 
