@@ -206,6 +206,35 @@ def main() -> None:
             times[name] = round(min(runs), 4)
             n_runs[name] = len(runs)
 
+    # Per-leg breakdown of the 8-leg recall harness (VERDICT r14 #4:
+    # sim_ann_recall is the heaviest bench row, and a single min-of-2
+    # total can mask a real regression in ONE leg behind noise in the
+    # other seven). ann_recall_leg_frames eagerly checkpoints the
+    # shared artifacts (exact baseline, band tables, ADC sums) during
+    # construction — timed as "_shared_artifacts" — so each leg's
+    # collect() then measures only that leg's incremental cost.
+    # Informational (single run, not min-of-2); lives only in the
+    # detail file, never the summary line.
+    recall_legs: dict[str, float] = {}
+    if times.get("sim_ann_recall", -1.0) >= 0:
+        try:
+            from map_reduce_subnet_spark.operators.llm import (
+                ann_recall_leg_frames,
+            )
+
+            t0 = time.perf_counter()
+            leg_frames = ann_recall_leg_frames(spark, sf_dir)
+            recall_legs["_shared_artifacts"] = round(
+                time.perf_counter() - t0, 4
+            )
+            for method, leg_df in leg_frames.items():
+                t0 = time.perf_counter()
+                leg_df.collect()
+                recall_legs[method] = round(time.perf_counter() - t0, 4)
+        except Exception as ex:
+            print(f"bench: recall leg breakdown FAILED: {ex}",
+                  file=sys.stderr)
+
     total = round(sum(t for t in times.values() if t >= 0), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver captures only a bounded tail of stdout: a single JSON
@@ -223,6 +252,7 @@ def main() -> None:
         "runs": n_runs,
         "loadavg_1m": loads,
         "loadavg_at_start": round(start_load, 2),
+        "sim_ann_recall_legs": recall_legs,
         "methodology": (
             f"warmed; min-of-2 under {REPEAT_UNDER}s, single run above; "
             "streaming rows always min-of-2; rows >2x baseline get one "

@@ -1740,6 +1740,18 @@ pqadists AS (
         JOIN assign_km pa ON pa.vec_id = a.p_id
          AND af.cent_id = pa.cent_id
         WHERE a.vec_id <> a.p_id"""
+    # nprobe=2 IVFADC (r15, VERDICT r14 #3): candidates from each
+    # probe's TWO nearest trained cells — rn <= 2 generalizes
+    # assign_km's rn = 1 under the same (cos DESC, cent_id ASC)
+    # comparator; the recall delta vs leg_ivfpq prices the second
+    # inverted list directly.
+    ivfpq2_cand = f"""
+        SELECT a.p_id, a.vec_id, a.adist
+        FROM pqadists a
+        JOIN assign_km af ON af.vec_id = a.vec_id
+        JOIN pcells2 pc ON pc.p_id = a.p_id
+         AND af.cent_id = pc.cent_id
+        WHERE a.vec_id <> a.p_id"""
     return f"""
 WITH probes AS (
     SELECT vec_id AS p_id, embedding AS probe
@@ -1773,13 +1785,26 @@ mp_pb AS (
     FROM bands WHERE vec_id < {n_probes}
 ),
 {pq_ctes},
+pcells2 AS (
+    SELECT p_id, cent_id FROM (
+        SELECT e.vec_id AS p_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_kmeans_cos("e.embedding", "c.cent")} DESC,
+                            c.cent_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents3 c
+        WHERE e.vec_id < {n_probes}
+    ) WHERE rn <= 2
+),
 {leg("leg_ivf", ivf_cand)},
 {leg("leg_km", km_cand)},
 {leg("leg_lsh", lsh_cand)},
 {leg("leg_mp", mp_cand)},
 {leg("leg_q", q_cand)},
 {adc_leg("leg_pqf", pqf_cand)},
-{adc_leg("leg_ivfpq", ivfpq_cand)}
+{adc_leg("leg_ivfpq", ivfpq_cand)},
+{adc_leg("leg_ivfpq2", ivfpq2_cand)}
 {recall_row("leg_ivf", "ivf")}
 UNION ALL
 {recall_row("leg_km", "ivf_kmeans")}
@@ -1793,6 +1818,8 @@ UNION ALL
 {recall_row("leg_pqf", "pq_adc")}
 UNION ALL
 {recall_row("leg_ivfpq", "ivfpq_adc")}
+UNION ALL
+{recall_row("leg_ivfpq2", "ivfpq_adc_np2")}
 """
 
 
@@ -1800,24 +1827,31 @@ ANN_RECALL_N_PROBES = 20
 ANN_RECALL_K = 10
 
 
-@query(
-    "sim_ann_recall",
-    oracle=_ann_recall_oracle(ANN_RECALL_N_PROBES, ANN_RECALL_K),
-)
-# promoted rows->SQL late r6: even the measurement harness is
-# differential-checked (see _ann_recall_oracle)
-def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the SEVEN approximate methods (pinned-IVF cells,
+def ann_recall_leg_frames(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """The eight per-method recall-row frames of sim_ann_recall, in
+    its union order. Shared artifacts (the exact baseline, both
+    corpus band tables, the per-probe ADC sum table) are eagerly
+    checkpointed HERE, so collecting one leg afterwards pays only
+    that leg's incremental cost — bench.py times each leg from this
+    dict for the per-leg breakdown in BENCH_DETAIL (VERDICT r14 #4:
+    an 8-leg row must not mask a per-leg regression inside min-of-2
+    noise).
+
+    Recall@10 of the EIGHT approximate methods (pinned-IVF cells,
     Lloyd-trained IVF cells, sign-LSH bands, multi-probe LSH,
-    int8-quantized LSH, flat PQ/ADC, and IVF×PQ — the IVFADC
-    composition, r14) against the exact brute-force top-10, averaged
+    int8-quantized LSH, flat PQ/ADC, IVF×PQ at nprobe=1, and IVF×PQ
+    at nprobe=2 — r15) against the exact brute-force top-10, averaged
     over 20 probe vectors — turns "the ANN runs" into "the ANN is
     this good", the number a deployment tunes bands/cells against.
     The lsh vs lsh_multiprobe pair prices the multi-probe trade
     directly (recall lift per 9x bucket occupancy); the pq_adc vs
     ivfpq_adc pair prices CELL RESTRICTION on top of quantized
-    ranking (what FAISS's nprobe trades), and ivf_kmeans vs ivfpq_adc
-    prices QUANTIZED RANKING on top of cell restriction.
+    ranking, ivf_kmeans vs ivfpq_adc prices QUANTIZED RANKING on top
+    of cell restriction, and ivfpq_adc vs ivfpq_adc_np2 is the
+    recall-vs-nprobe curve's first step (what FAISS's nprobe knob
+    trades — 2x the inverted-list bytes for the measured uplift).
 
     Everything is set-at-a-time, no per-probe driver loop: the corpus
     is scored against all 20 broadcast probes at once, per-probe top-k
@@ -2115,6 +2149,40 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", "vec_id", "adist")
     )
 
+    # --- nprobe=2 IVFADC (r15): each probe's TWO nearest trained
+    # cells — explode the broadcast centroid array (n_probes × 8
+    # rows), rank with the _assign_cte comparator (desc = NULLS LAST
+    # and NaN-greatest on both engines, so ranks 1..2 are the oracle
+    # pcells2 rows exactly), keep rn <= 2. The recall delta vs the
+    # ivfpq_adc row prices the second inverted list — the
+    # recall-vs-nprobe curve a FAISS deployment tunes (VERDICT r14
+    # #3). Joining candidates through the 2-cells-per-probe frame
+    # cannot duplicate: a candidate's own cell is unique.
+    cell2_w = Window.partitionBy("p_id").orderBy(
+        F.desc("cos"), F.asc("cent_id")
+    )
+    probe_cells2 = F.broadcast(
+        probes.crossJoin(cents_trained)
+        .select("p_id", "probe", F.explode("cents").alias("c"))
+        .select(
+            "p_id",
+            F.col("c.cent_id").cast("long").alias("cent_id"),
+            sim.cosine(F.col("probe"), F.col("c.cent")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(cell2_w))
+        .where(F.col("rn") <= 2)
+        .select("p_id", F.col("cent_id").alias("probe_cell2"))
+    )
+    ivfpq2 = adc_topk(
+        adists.join(
+            assigned_t.select("vec_id", F.col("cent_id").alias("v_cell2")),
+            "vec_id",
+        )
+        .join(probe_cells2, "p_id")
+        .where(F.col("v_cell2") == F.col("probe_cell2"))
+        .select("p_id", "vec_id", "adist")
+    )
+
     denom = float(n_probes * k)
 
     def recall_row(ann, method):
@@ -2132,15 +2200,36 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return (
-        recall_row(ivf, "ivf")
-        .unionAll(recall_row(ivf_t, "ivf_kmeans"))
-        .unionAll(recall_row(lsh, "lsh"))
-        .unionAll(recall_row(lsh_mp, "lsh_multiprobe"))
-        .unionAll(recall_row(lsh_q, "lsh_int8_quant"))
-        .unionAll(recall_row(pq_flat, "pq_adc"))
-        .unionAll(recall_row(ivfpq, "ivfpq_adc"))
-    )
+    return {
+        "ivf": recall_row(ivf, "ivf"),
+        "ivf_kmeans": recall_row(ivf_t, "ivf_kmeans"),
+        "lsh": recall_row(lsh, "lsh"),
+        "lsh_multiprobe": recall_row(lsh_mp, "lsh_multiprobe"),
+        "lsh_int8_quant": recall_row(lsh_q, "lsh_int8_quant"),
+        "pq_adc": recall_row(pq_flat, "pq_adc"),
+        "ivfpq_adc": recall_row(ivfpq, "ivfpq_adc"),
+        "ivfpq_adc_np2": recall_row(ivfpq2, "ivfpq_adc_np2"),
+    }
+
+
+@query(
+    "sim_ann_recall",
+    oracle=_ann_recall_oracle(ANN_RECALL_N_PROBES, ANN_RECALL_K),
+)
+# promoted rows->SQL late r6: even the measurement harness is
+# differential-checked (see _ann_recall_oracle)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the eight ANN methods vs the exact brute-force
+    top-10 — one row per method; see ann_recall_leg_frames for the
+    full methodology (the leg construction lives there so bench.py
+    can time each leg individually; this query unions the frames in
+    that dict's insertion order, unchanged from the pre-split
+    spelling)."""
+    legs = ann_recall_leg_frames(spark, sf_dir)
+    out = None
+    for df in legs.values():
+        out = df if out is None else out.unionAll(df)
+    return out
 
 
 EMBED_NEARDUP_THRESHOLD = 0.8  # operator default: near-duplicate
@@ -8077,6 +8166,15 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF × PQ: the FAISS IVFADC composition (r14, VERDICT r13 #5) --
 
+# How many inverted lists a query fans out to (FAISS's nprobe;
+# Jégou et al. 2011 §V.A sweep this to trade latency for recall).
+# r15 (VERDICT r14 #3): raised from the implicit 1 — the serving
+# filter becomes an IN-list over the nprobe nearest cells, which
+# Spark still resolves as a STATIC partition prune (multi-directory).
+# 2 of 8 cells: 2x the list bytes for the measured recall uplift
+# recorded in sim_ann_recall's ivfpq_adc_np2 row.
+IVFPQ_NPROBE = 2
+
 
 def ivfpq_index_cached(spark: SparkSession, sf_dir: str, _by_sub=None):
     """The IVFADC index artifact: one row per PQ-valid vector —
@@ -8128,7 +8226,11 @@ def _ivfpq_oracle() -> str:
     """DuckDB twin of sim_ann_ivfpq: the _pq_oracle program (PQ CTEs
     renamed pq* — the Lloyd CTEs own assign1/means1/cents1) joined
     with the _kmeans_oracle cell assignment, candidates restricted to
-    the probe's trained cell before ADC ranking."""
+    the probe's IVFPQ_NPROBE nearest trained cells (ranked by the
+    _assign_cte comparator, (cos DESC, cent_id ASC) — rn <= nprobe
+    generalizes the old rn = 1 single-cell restriction) before ADC
+    ranking. Each emitted row carries the CANDIDATE's own cell
+    (af.cent_id), i.e. which inverted list served it."""
     subs_tbl = f"(SELECT unnest(range(0, {PQ_M})) AS sub) s"
     d_vc = _pq_sql_l2("v.subvec", "c.cent")
     exact = (
@@ -8139,7 +8241,17 @@ def _ivfpq_oracle() -> str:
     return f"""
 WITH {_lloyd_ctes(8, 3)},
 {_assign_cte("assign_final", "cents3")},
-pc AS (SELECT cent_id FROM assign_final WHERE vec_id = {PQ_PROBE_ID}),
+pcells AS (
+    SELECT cent_id FROM (
+        SELECT c.cent_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_kmeans_cos("e.embedding", "c.cent")} DESC,
+                            c.cent_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents3 c
+        WHERE e.vec_id = {PQ_PROBE_ID}
+    ) WHERE rn <= {IVFPQ_NPROBE}
+),
 pqvalid AS (
     SELECT vec_id, embedding FROM embeddings
     WHERE embedding IS NOT NULL AND len(embedding) = {PQ_DIM}
@@ -8215,10 +8327,10 @@ pqadists AS (
     FROM pqcodes k JOIN pqdtab d ON d.sub = k.sub AND d.cent_id = k.cent_id
     GROUP BY k.vec_id
 )
-SELECT a.vec_id, pc.cent_id AS cell_id, a.adist, {exact} AS exact_l2
+SELECT a.vec_id, af.cent_id AS cell_id, a.adist, {exact} AS exact_l2
 FROM pqadists a
 JOIN assign_final af ON af.vec_id = a.vec_id
-JOIN pc ON af.cent_id = pc.cent_id
+JOIN pcells pc ON af.cent_id = pc.cent_id
 JOIN pqvalid v ON v.vec_id = a.vec_id, probe
 WHERE a.adist IS NOT NULL AND a.vec_id <> {PQ_PROBE_ID}
 ORDER BY a.adist ASC, a.vec_id ASC
@@ -8231,26 +8343,30 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF × PQ — the FAISS IVFADC shape, the standard billion-scale
     serving config (Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI 2011, §IV): the PQ/ADC ranking of
-    sim_ann_pq_adc restricted to the probe's Lloyd-trained IVF cell
-    (sim_ann_ivf_kmeans's partitioner), so a query scans ONE inverted
-    list of quantized codes instead of the whole code table. Output:
-    top-5 of the probe's cell by ADC distance, each with its exact L2
-    and the serving cell id — the row prices cell restriction and
-    quantization together.
+    sim_ann_pq_adc restricted to the probe's IVFPQ_NPROBE nearest
+    Lloyd-trained IVF cells (sim_ann_ivf_kmeans's partitioner), so a
+    query scans nprobe inverted lists of quantized codes instead of
+    the whole code table — FAISS's nprobe knob (VERDICT r14 #3),
+    generalized from the r14 single-cell serving. Output: top-5 of
+    the probed cells by ADC distance, each with its exact L2 and the
+    cell that SERVED it (the candidate's own inverted list) — the
+    row prices cell restriction and quantization together.
 
     Scale shape — the part that matters at 100 TB: the index artifact
     (ivfpq_index_cached) is the PQ code table JOINED with the cell
     assignment, written PARTITIONED BY cell_id, so the directories
-    are the inverted lists. Serving is: ONE bounded 1-row collect for
-    the probe's cell (the same broadcast argmax fold every IVF leg
-    runs — computed in-plan, so it is bit-identical to the oracle's
-    assign_final by construction), then a scan whose literal
-    cell_id filter becomes a STATIC PARTITION PRUNE (only the probe's
-    directory is read — 1/k of the code table's 16 bytes/row), m
-    decimal CASE lookups + a sum per row, TakeOrdered top-5, and one
-    pushed-vec_id point-lookup of the raw corpus for the 5 winners'
-    exact L2. No join on the serving path, no exchange before the
-    top-k, raw vectors read for exactly 5 rows.
+    are the inverted lists. Serving is: ONE bounded nprobe-row
+    collect ranking the probe against the broadcast centroid array
+    ((cos DESC, cent_id ASC) — the same comparator every IVF leg's
+    argmax fold uses, so rank 1 is bit-identical to the oracle's
+    assign_final and ranks 2..nprobe extend it), then a scan whose
+    literal IN-list cell filter becomes a STATIC PARTITION PRUNE
+    (only the probed directories are read — nprobe/k of the code
+    table's 16 bytes/row), m decimal CASE lookups + a sum per row,
+    TakeOrdered top-5, and one pushed-vec_id point-lookup of the raw
+    corpus for the 5 winners' exact L2. No join on the serving path,
+    no exchange before the top-k, raw vectors read for exactly 5
+    rows.
 
     Determinism: identical to the two parents — the ADC expression
     duplicates pq_adc_ranked's CASE construction rather than sharing
@@ -8274,16 +8390,23 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc_rows = (
         e.where(F.col("vec_id") == PQ_PROBE_ID)
         .crossJoin(cents_arr)
+        .select("embedding", F.explode("cents").alias("c"))
         .select(
-            sim.nearest_centroid(F.col("embedding"), F.col("cents"))[
-                "cent_id"
-            ].alias("cell")
+            F.col("c.cent_id").cast("long").alias("cell"),
+            sim.cosine(F.col("embedding"), F.col("c.cent")).alias("cos"),
         )
-        .collect()  # bounded: one row (the probe's cell)
+        # the _assign_cte comparator: desc is NULLS LAST on both
+        # engines, NaN sorts above every real on both — so ranks
+        # 1..nprobe here are the oracle pcells rows exactly
+        .orderBy(F.desc("cos"), F.asc("cell"))
+        .limit(IVFPQ_NPROBE)
+        .collect()  # bounded: nprobe rows (the probed cells)
     )
-    if not pc_rows or pc_rows[0]["cell"] is None:
+    probe_cells = sorted(
+        int(r["cell"]) for r in pc_rows if r["cell"] is not None
+    )
+    if not probe_cells:
         return spark.createDataFrame([], out_schema)
-    probe_cell = int(pc_rows[0]["cell"])
     qpds = []
     for sub in range(PQ_M):
         whens = " ".join(
@@ -8300,9 +8423,11 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q_ in qpds[1:]:
         adist_dec = adist_dec + q_
     ranked = (
-        idx.where(F.col("cell_id") == F.lit(probe_cell))
+        idx.where(F.col("cell_id").isin(probe_cells))
         .where(F.col("vec_id") != PQ_PROBE_ID)
-        .select("vec_id", adist_dec.cast("double").alias("adist"))
+        .select(
+            "vec_id", "cell_id", adist_dec.cast("double").alias("adist")
+        )
         .where(F.col("adist").isNotNull())
         .orderBy(F.asc("adist"), F.asc("vec_id"))
         .limit(PQ_TOPK)
@@ -8315,6 +8440,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN {int(r['vec_id'])} THEN {_pq_dbl(float(r['adist']))}"
         for r in top
     ) + " END"
+    cell_case = "CASE vec_id " + " ".join(
+        f"WHEN {int(r['vec_id'])} THEN {int(r['cell_id'])}L"
+        for r in top
+    ) + " END"
     exact_sql = " + ".join(
         f"(({_pq_elem(i + 1)} - {_pq_dbl(p[i])})"
         f" * ({_pq_elem(i + 1)} - {_pq_dbl(p[i])}))"
@@ -8325,7 +8454,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id").isin([int(r["vec_id"]) for r in top]))
         .select(
             "vec_id",
-            F.lit(probe_cell).cast("long").alias("cell_id"),
+            F.expr(cell_case).alias("cell_id"),
             F.expr(adist_case).alias("adist"),
             F.expr(exact_sql).alias("exact_l2"),
         )

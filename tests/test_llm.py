@@ -304,6 +304,7 @@ def test_ann_recall_golden(spark):
         "lsh_int8_quant",
         "pq_adc",
         "ivfpq_adc",
+        "ivfpq_adc_np2",
     }
     for r in got.values():
         assert r["n_probes"] == 20 and r["k"] == 10
@@ -329,6 +330,18 @@ def test_ann_recall_golden(spark):
     # and cell restriction on top of that (ivfpq = FAISS IVFADC).
     assert got["pq_adc"]["recall_at_k"] == 0.34
     assert got["ivfpq_adc"]["recall_at_k"] == 0.315
+    # the recall-vs-nprobe curve's first step (r15): the second
+    # inverted list recovers most of the flat-PQ recall the nprobe=1
+    # restriction dropped (0.315 → 0.33 of flat 0.34)
+    assert got["ivfpq_adc_np2"]["recall_at_k"] == 0.33
+    # nprobe=2's candidate set is a SUPERSET of nprobe=1's (same
+    # ranking, one more cell) and still a subset of flat PQ's —
+    # recall must sit between them
+    assert (
+        got["ivfpq_adc"]["recall_at_k"]
+        <= got["ivfpq_adc_np2"]["recall_at_k"]
+        <= got["pq_adc"]["recall_at_k"]
+    )
     # cell restriction can only DROP candidates relative to flat PQ —
     # ivfpq's candidate set is a subset, so its recall can't exceed it
     assert (

@@ -406,12 +406,14 @@ def test_cep_pattern_is_one_exchange_one_window(spark):
 def test_ivfpq_serving_scan_is_partition_pruned(spark):
     """sim_ann_ivfpq's serving scan must be the inverted-list fetch
     it advertises: the index is written PARTITIONED BY cell_id, so
-    the literal probe-cell filter must appear as a PartitionFilter
-    (static prune — only the probe's directory is read) and the
-    ranking must reach TakeOrdered with ZERO exchanges (no join on
-    the serving path). Guarded like the other cached-artifact lints:
+    the literal IN-list probe-cells filter (nprobe=2 since r15) must
+    appear as a PartitionFilter (static prune — only the probed
+    directories are read, never the other cells') and the ranking
+    must reach TakeOrdered with ZERO exchanges (no join on the
+    serving path). Guarded like the other cached-artifact lints:
     build the index, then lint the ranked sub-plan."""
     from map_reduce_subnet_spark.operators.llm import (
+        IVFPQ_NPROBE,
         PQ_PROBE_ID,
         _pq_serving_state,
         ivfpq_index_cached,
@@ -421,14 +423,16 @@ def test_ivfpq_serving_scan_is_partition_pruned(spark):
     assert st is not None, "fixture codebook became degenerate"
     idx = ivfpq_index_cached(spark, SF_DIR, _by_sub=st["by_sub"])
     assert idx is not None
+    assert IVFPQ_NPROBE >= 2  # the multi-list shape below is the point
     ranked = (
-        idx.where(F.col("cell_id") == F.lit(3))
+        idx.where(F.col("cell_id").isin(list(range(IVFPQ_NPROBE))))
         .where(F.col("vec_id") != PQ_PROBE_ID)
         .orderBy("vec_id")
         .limit(5)
     )
     plan = formatted_plan(ranked)
-    assert "PartitionFilters: [isnotnull(cell_id" in plan, plan
+    assert "PartitionFilters: [cell_id" in plan, plan
+    assert " IN (" in plan.split("PartitionFilters:")[1].split("]")[0], plan
     assert count_exchanges(ranked) == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
 
