@@ -311,6 +311,9 @@ _EMPTY_SWEEP_KEYS = (
     "multimodal_probe_mp4",      # empty documents: no blobs, no rows
     "stream_cep_gapped_true",    # 4 empty micro-batch files: empty
     # buffers, no state, no rows
+    # round-15 additions:
+    "stream_cep_gapped_ooo",     # empty replay: no advancer file is
+    # written (nothing to flush), empty reorder buffers, no rows
     # round-13 additions:
     "events_cep_pattern",        # empty stream: no windows, no rows
     "sink_dynamic_partition_overwrite",  # all-empty layout: the

@@ -735,3 +735,84 @@ def test_cep_gapped_state_buffers_across_batches(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, 10, 12, 13, base, 3 * h)], got
+
+
+def test_cep_gapped_ooo_boundary_match_out_of_order(spark, tmp_path):
+    """The OOO twin's reason to exist (VERDICT r14 #2): a match whose
+    stages arrive in REVERSE order across three trigger boundaries
+    (purchase in batch 0, click in batch 1, view in batch 2 — each
+    arrival within the 1 h reorder window of the newest event seen)
+    must still fire EXACTLY ONCE, with the stages matched in EVENT
+    order. User 2 is the discriminating counter-case: its events
+    ARRIVE as view, click, purchase — the order that made the
+    monotone twins fire — but their EVENT times run view, purchase,
+    click, so a correct sequencer must NOT match (the purchase
+    precedes the click in event time; an engine that folds arrivals
+    as-if-newest would wrongly emit here). The final watermark-
+    advancer file (user -1, non-stage type) lets the no-data batch
+    seal the tail via EventTimeTimeout."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_subnet_spark.streaming.jobs import (
+        CEP_OOO_DELAY_US,
+        _read_events_stream,
+        _run_to_memory,
+        cep_gapped_ooo_stream,
+    )
+
+    base = 1_700_000_000_000_000  # µs
+    m = 60_000_000  # one minute (reorder window = 60 of these)
+    # user 1 event times: view@0, click@10m, purchase@20m —
+    # DELIVERED reversed (purchase, click, view across batches 0-2).
+    # Lateness at each arrival: click 10m, view 20m — inside 1 h.
+    # user 2 event times: view@0, purchase@5m, click@10m — DELIVERED
+    # view, click, purchase (click arrives before the earlier-
+    # timestamped purchase).
+    f0 = [
+        (12, base + 20 * m, 1, "purchase"),
+        (20, base + 0 * m, 2, "view"),
+    ]
+    f1 = [
+        (11, base + 10 * m, 1, "click"),
+        (22, base + 10 * m, 2, "click"),
+    ]
+    f2 = [
+        (10, base + 0 * m, 1, "view"),
+        (21, base + 5 * m, 2, "purchase"),
+    ]
+    adv_ts = base + 20 * m + CEP_OOO_DELAY_US + 1_000_000
+    f3 = [(-1, adv_ts, -1, "__advance__")]
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+
+    src = tmp_path / "cepooo_batches"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate((f0, f1, f2, f3)):
+        p = str(src / f"part{i}.parquet")
+        pq_mod.write_table(tbl(rows), p)
+        os.utime(p, (now + i, now + i))
+    ev = _read_events_stream(
+        spark, str(src / "part0.parquet"), str(src), maxFilesPerTrigger="1"
+    )
+    got = sorted(
+        tuple(r)
+        for r in _run_to_memory(
+            cep_gapped_ooo_stream(ev), spark, output_mode="append"
+        ).collect()
+    )
+    assert got == [(1, 10, 11, 12, base, 20 * m)], got
