@@ -52,7 +52,7 @@ _SWEEP_PRIORITY = [
     # (0) NEW in r15 — never driver-swept, category (1) of the
     # rotation policy (uncommented as each lands this round):
     "stream_cep_gapped_ooo",
-    # "multimodal_decode_mjpeg", # pending: MJPEG-in-MP4 frame decode
+    "multimodal_decode_mjpeg",
     # (1) changed this round — the shared gapped-CEP oracle's
     # TRY_CAST hardening (ADVICE r14 #1: sentinel-exposed casts no
     # longer rely on conjunct evaluation order) touches both CEP

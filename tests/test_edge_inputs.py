@@ -314,6 +314,8 @@ _EMPTY_SWEEP_KEYS = (
     # round-15 additions:
     "stream_cep_gapped_ooo",     # empty replay: no advancer file is
     # written (nothing to flush), empty reorder buffers, no rows
+    "multimodal_decode_mjpeg",   # empty documents: empty media
+    # table, zero frames, stable schema
     # round-13 additions:
     "events_cep_pattern",        # empty stream: no windows, no rows
     "sink_dynamic_partition_overwrite",  # all-empty layout: the
