@@ -153,6 +153,17 @@ QUERY_SET = [
     "table_constraint_audit",
     "agg_trend_ols",
     "privacy_dp_count_laplace",
+    # r15: the two new operators + the nprobe-changed ANN pair. OOO
+    # CEP's 10x question is the REORDER-BUFFER population (event rate
+    # x the 1 h reorder window per user) on top of the gapped state,
+    # across the same 4-file replay; MJPEG's is x10 demux+decode
+    # payloads scan-locally (frames never cross a shuffle);
+    # sim_ann_ivfpq at nprobe=2 must still serve via static partition
+    # prune — two inverted-list directories instead of one, cold
+    # build unchanged and fixture-cached.
+    "stream_cep_gapped_ooo",
+    "multimodal_decode_mjpeg",
+    "sim_ann_ivfpq",
 ]
 
 COPY_TABLES = [

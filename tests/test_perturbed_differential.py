@@ -101,6 +101,10 @@ def pddb(perturbed_dir):
 # per-fixture cache they share so the expensive subtrees (shingle /
 # candidate-pair materialization) build once and amortize.
 PERTURBED_KEYS = [
+    # round-15 additions (new operators join every corpus layer;
+    # stream_cep_gapped_ooo is excluded with the other *_true
+    # streaming keys by the module-docstring rule)
+    "multimodal_decode_mjpeg",
     # round-14 additions (new operators join every corpus layer)
     "events_cep_gapped",
     "sim_ann_ivfpq",
