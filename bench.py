@@ -63,6 +63,13 @@ REPEAT_UNDER = 12.0  # sec: first-run times below this get a 2nd run
 # to noise (NOTES.md measurement traps).
 
 SLOW_FACTOR = 2.0  # recorded/baseline ratio that triggers one re-run
+
+# Keys whose FIRST run may build a fixture cache (the persisted-index
+# discipline) always get >= 2 runs even above REPEAT_UNDER, so the
+# recorded min is the warm serving path — the deployment's steady
+# state — not the one-time build. (Streaming rows get the same
+# treatment below for their trigger/startup floor.)
+ALWAYS_TWO_RUNS = {"sim_ann_recall"}
 LOAD_GATE = 12.0  # 1-min load average below which the bench starts
 LOAD_WAIT_S = 240.0  # max seconds to wait for the gate, then proceed
 
@@ -165,7 +172,9 @@ def main() -> None:
         # sample(s) (n_runs records how many survived); only
         # 0-successes records a failure.
         loads[name] = round(os.getloadavg()[0], 2)
-        is_streaming = name.startswith("stream_")
+        is_streaming = (
+            name.startswith("stream_") or name in ALWAYS_TWO_RUNS
+        )
         runs: list[float] = []
         want = 2
         while len(runs) < want:
