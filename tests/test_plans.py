@@ -487,3 +487,18 @@ def test_fuzzy_blocked_is_three_shuffles_broadcast_verify(spark):
         blk for blk in plan.split("\n\n") if "Join condition" in blk
     ]
     assert all("levenshtein" not in blk for blk in joins), joins
+
+
+def test_mjpeg_decode_is_shuffle_free_scan_local(spark):
+    """multimodal_decode_mjpeg's plan must be the scan-local media
+    decode it advertises: one scan of the cached media table feeding
+    the Arrow-batched Python stage directly — ZERO exchanges (the
+    binary payload column must never cross a shuffle; a stray
+    repartition here ships every MP4 blob over the wire at 100 TB)
+    and no join anywhere (demux+decode is per-row)."""
+    df = q(spark, "multimodal_decode_mjpeg")
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert "MapInPandas" in plan, plan
+    assert not has_cartesian(df), plan
+    assert not has_broadcast_join(df), plan

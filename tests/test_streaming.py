@@ -816,3 +816,104 @@ def test_cep_gapped_ooo_boundary_match_out_of_order(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, 10, 11, 12, base, 20 * m)], got
+
+
+def test_cep_gapped_ooo_matches_batch_under_random_bounded_delivery(
+    spark, tmp_path
+):
+    """Property pin for the OOO twin: on a seeded random event corpus,
+    TWO different bounded-lateness delivery permutations (fresh
+    uniform jitter per event, strictly inside the 1 h reorder window)
+    must both reproduce the BATCH events_cep_gapped answer exactly —
+    the match set is a function of event time only, never of arrival
+    order. This is the property the monotone twins could not state."""
+    import os
+    import time as _time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_subnet_spark.operators import QUERIES
+    from map_reduce_subnet_spark.streaming.jobs import (
+        CEP_OOO_DELAY_US,
+        _read_events_stream,
+        _run_to_memory,
+        cep_gapped_ooo_stream,
+    )
+
+    rng = np.random.RandomState(20260817)
+    n = 600
+    base = 1_700_000_000_000_000  # µs
+    span = 6 * 3_600_000_000  # 6 h of event time
+    ts = base + np.sort(rng.randint(0, span, size=n).astype("int64"))
+    users = rng.randint(0, 25, size=n).astype("int64")
+    types = rng.choice(
+        ["view", "click", "purchase", "error"], size=n, p=[0.3, 0.3, 0.2, 0.2]
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users),
+            "event_type": pa.array(types),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    fixture = tmp_path / "fixture"
+    fixture.mkdir()
+    pq_mod.write_table(tbl, str(fixture / "events.parquet"))
+    want = sorted(
+        tuple(r)
+        for r in QUERIES["events_cep_gapped"](spark, str(fixture)).collect()
+    )
+    assert want, "degenerate corpus: no matches to protect"
+
+    jitter_bound = CEP_OOO_DELAY_US // 2
+    for perm in range(2):
+        order = np.lexsort(
+            (
+                np.arange(n),
+                ts + rng.randint(0, jitter_bound, size=n).astype("int64"),
+            )
+        )
+        shuffled = tbl.take(pa.array(order, type=pa.int64()))
+        src = tmp_path / f"delivery{perm}"
+        src.mkdir()
+        now = _time.time()
+        n_files = 4
+        step = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            p = str(src / f"part{i}.parquet")
+            pq_mod.write_table(shuffled.slice(i * step, step), p)
+            os.utime(p, (now + i, now + i))
+        adv = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [int(ts.max()) + CEP_OOO_DELAY_US + 1_000_000],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__advance__"]),
+                "value": pa.array([1.0]),
+                "props": pa.array(["{}"]),
+            }
+        )
+        p = str(src / f"part{n_files}.parquet")
+        pq_mod.write_table(adv, p)
+        os.utime(p, (now + n_files, now + n_files))
+        ev = _read_events_stream(
+            spark,
+            str(src / "part0.parquet"),
+            str(src),
+            maxFilesPerTrigger="1",
+        )
+        got = sorted(
+            tuple(r)
+            for r in _run_to_memory(
+                cep_gapped_ooo_stream(ev), spark, output_mode="append"
+            ).collect()
+        )
+        assert got == want, f"permutation {perm} diverged"
