@@ -154,6 +154,14 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
 #
 # Cost: two decimal partial sums instead of one, plus four codegen'd
 # per-row double ops — same shuffle shape, still map-side combinable.
+# A single-limb spelling (one DECIMAL(28,0) cast of the whole q) was
+# probed r15 and is NOT possible: Spark's double→decimal cast
+# converts the double's SHORTEST DECIMAL REPR (Double.toString)
+# while DuckDB converts the exact binary value, so even scale-0
+# casts diverge wherever shortest-repr ≠ exact value — measured
+# 274/320 divergent across 1e10..9.99e27 — and the two agree only on
+# integers < 2^53, which is precisely what the limb split guarantees.
+# The split is the correctness mechanism, not overhead.
 # dsum stays the default (cheaper, exact inside |x| ≤ 1e9 where every
 # fixture and realistic corpus lives); dsum_wide is for keys whose
 # DIFFERENTIAL CONTRACT must hold out to the band edge (the r13
