@@ -38,11 +38,13 @@ SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE, r15 edition (VERDICT r14 #1) ---
-    # r15 composition, auditable sum: 2 new + 4 changed + 13 (full
-    # r8-vintage remainder) + 31 (of the 33-key r9-vintage cohort)
-    # = 50 = SWEEP_CAP. The two r9 keys deferred to r16 (cap
-    # arithmetic, not suspicion — both hash-matched in r9):
-    # table_constraint_audit, udtf_cogrouped_map. Cohorts are
+    # r15 composition, auditable sum: 3 new + 4 changed + 13 (full
+    # r8-vintage remainder) + 30 (of the 33-key r9-vintage cohort)
+    # = 50 = SWEEP_CAP. The three r9 keys deferred to r16 (cap
+    # arithmetic, not suspicion — all hash-matched in r9):
+    # table_constraint_audit, udtf_cogrouped_map,
+    # window_topk_per_group (displaced from the tranche END by the
+    # late-landing third new key, per the rotation policy). Cohorts are
     # COMPUTED from the CORRECTNESS_r01..r14 union (latest green row
     # per key), not hand-copied. The changed-key rule is mechanized:
     # scripts/fingerprints.py records key -> md5(oracle + engine
@@ -50,9 +52,10 @@ _SWEEP_PRIORITY = [
     # fingerprint changed without the key appearing here.
     #
     # (0) NEW in r15 — never driver-swept, category (1) of the
-    # rotation policy (uncommented as each lands this round):
+    # rotation policy:
     "stream_cep_gapped_ooo",
     "multimodal_decode_mjpeg",
+    "stream_cep_ooo",
     # (1) changed this round — the shared gapped-CEP oracle's
     # TRY_CAST hardening (ADVICE r14 #1: sentinel-exposed casts no
     # longer rely on conjunct evaluation order) touches both CEP
@@ -78,7 +81,7 @@ _SWEEP_PRIORITY = [
     "text_quality",
     "text_term_freq",
     "text_token_count",
-    # (3) the r9-vintage cohort, 31 of 33 (see deferral note above):
+    # (3) the r9-vintage cohort, 30 of 33 (see deferral note above):
     "agg_ema",
     "array_funcs",
     "array_hof",
@@ -109,7 +112,6 @@ _SWEEP_PRIORITY = [
     "window_lag_delta",
     "window_percent_rank",
     "window_running_sum",
-    "window_topk_per_group",
 ]
 
 

@@ -2029,3 +2029,147 @@ def stream_cep_gapped_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def cep_ooo_stream(ev: DataFrame) -> DataFrame:
+    """OUT-OF-ORDER live CONTIGUOUS CEP — cep_pattern_stream with its
+    ARRIVAL-ORDER PRECONDITION removed, completing the OOO family
+    (the gapped variant landed first; the mechanism is the same
+    watermark-sealed reorder buffer, here in front of the O(1)
+    last-two-events machine). Contiguous semantics are MORE sensitive
+    to arrival order than gapped ones: an interloper folded
+    as-if-newest doesn't just shift a match, it decides adjacency —
+    so the discriminating failure of the monotone fold is fabricating
+    a match that the event-time order breaks (pinned by test).
+
+    Buffer/seal/flush contract identical to cep_gapped_ooo_stream
+    (watermark seal in (ts_us, event_id) order, too-late arrivals
+    dropped, EventTimeTimeout + advancer-file tail flush); machine
+    state is the in-order twin's last-two tuple and — unlike the
+    gapped buffer — needs no eviction (O(1) per user, kept for the
+    stream's lifetime exactly like the in-order twin)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from map_reduce_subnet_spark.operators.streaming_batch import (
+        CEP_SPAN_US,
+        CEP_STAGES,
+    )
+
+    stages = tuple(CEP_STAGES)
+    span = int(CEP_SPAN_US)
+    ev = ev.withWatermark("ts", "1 hour")  # = CEP_OOO_DELAY_US
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
+
+    def match_cep_ooo(key, pdf_iter, state):
+        # closure: shipped by value; executors don't import this repo
+        import pandas as pd
+
+        if state.exists:
+            (rts, rid, rtp, t1, t2, ts1, ts2, id1, id2) = state.get
+            buf = list(zip(rts, rid, rtp))
+        else:
+            buf = []
+            t1 = t2 = None
+            ts1 = ts2 = id1 = id2 = -1
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms * 1000  # µs
+        for rows in pdf_iter:
+            for t, ts, eid in zip(
+                rows["event_type"], rows["ts_us"], rows["event_id"]
+            ):
+                ts, eid = int(ts), int(eid)
+                if ts <= wm:
+                    continue  # beyond the reorder window: dropped
+                buf.append((ts, eid, t))
+        buf.sort(key=lambda r: (r[0], r[1]))
+        sealed = [r for r in buf if r[0] <= wm]
+        buf = [r for r in buf if r[0] > wm]
+        out = []
+        for ts3, id3, t3 in sealed:
+            if (t1, t2, t3) == stages and ts3 - ts1 <= span:
+                out.append((key[0], id1, id3, ts1, ts3 - ts1))
+            t1, t2 = t2, str(t3)
+            ts1, ts2 = ts2, ts3
+            id1, id2 = id2, id3
+        if not buf and t1 is None and t2 is None:
+            state.remove()  # nothing ever sealed or pending
+        else:
+            state.update(
+                (
+                    [r[0] for r in buf],
+                    [r[1] for r in buf],
+                    [r[2] for r in buf],
+                    t1,
+                    t2,
+                    ts1,
+                    ts2,
+                    id1,
+                    id2,
+                )
+            )
+            if buf:
+                target_ms = -(-buf[0][0] // 1000)  # ceil to ms
+                state.setTimeoutTimestamp(max(target_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "anchor_event_id",
+                "close_event_id",
+                "anchor_ts_us",
+                "span_us",
+            ],
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        match_cep_ooo,
+        outputStructType=(
+            "user_id LONG, anchor_event_id LONG, close_event_id LONG, "
+            "anchor_ts_us LONG, span_us LONG"
+        ),
+        stateStructType=(
+            "rts ARRAY<LONG>, rid ARRAY<LONG>, rtp ARRAY<STRING>, "
+            "t1 STRING, t2 STRING, ts1 LONG, ts2 LONG, id1 LONG, id2 LONG"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+@query("stream_cep_ooo", oracle=_CEP_ORACLE)
+def stream_cep_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming CONTIGUOUS CEP over an OUT-OF-ORDER delivery —
+    the stream_cep_gapped_ooo harness verbatim (bounded-jitter
+    4-file replay + watermark-advancer fifth file, see
+    _write_ooo_cep_files) driving cep_ooo_stream, so the contiguous
+    pattern family now also has its no-arrival-order-precondition
+    member and ONE oracle (CEP_ORACLE) certifies all three contiguous
+    keys. Matches emit exactly once when their closing event SEALS;
+    the emitted set is identical to the in-order twins' by the
+    watermark-seal argument (every future arrival is strictly newer
+    than the sealed prefix)."""
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(
+        tempfile.gettempdir(),
+        f"mrs_cepco_batches_{uuid.uuid4().hex[:12]}",
+    )
+    os.makedirs(src)
+    try:
+        _write_ooo_cep_files(sf_dir, src)
+        ev = _read_events_stream(
+            spark,
+            os.path.join(src, "part0.parquet"),
+            src,
+            maxFilesPerTrigger="1",
+        )
+        sink = _run_to_memory(
+            cep_ooo_stream(ev), spark, output_mode="append"
+        )
+        rows = sink.collect()
+        schema = sink.schema
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -164,6 +164,10 @@ QUERY_SET = [
     "stream_cep_gapped_ooo",
     "multimodal_decode_mjpeg",
     "sim_ann_ivfpq",
+    # r15 late: the contiguous OOO twin — same replay and flush
+    # machinery as the gapped one with O(1) machine state; the 10x
+    # question is only the reorder-buffer population.
+    "stream_cep_ooo",
 ]
 
 COPY_TABLES = [

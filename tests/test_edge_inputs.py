@@ -316,6 +316,8 @@ _EMPTY_SWEEP_KEYS = (
     # written (nothing to flush), empty reorder buffers, no rows
     "multimodal_decode_mjpeg",   # empty documents: empty media
     # table, zero frames, stable schema
+    "stream_cep_ooo",            # empty replay: no advancer, empty
+    # reorder buffers, no rows
     # round-13 additions:
     "events_cep_pattern",        # empty stream: no windows, no rows
     "sink_dynamic_partition_overwrite",  # all-empty layout: the

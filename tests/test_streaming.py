@@ -840,6 +840,7 @@ def test_cep_gapped_ooo_matches_batch_under_random_bounded_delivery(
         _read_events_stream,
         _run_to_memory,
         cep_gapped_ooo_stream,
+        cep_ooo_stream,
     )
 
     rng = np.random.RandomState(20260817)
@@ -869,6 +870,13 @@ def test_cep_gapped_ooo_matches_batch_under_random_bounded_delivery(
         for r in QUERIES["events_cep_gapped"](spark, str(fixture)).collect()
     )
     assert want, "degenerate corpus: no matches to protect"
+    # the contiguous OOO twin rides the same delivery permutations
+    # (r15 family completion): its batch twin is the second anchor
+    want_contig = sorted(
+        tuple(r)
+        for r in QUERIES["events_cep_pattern"](spark, str(fixture)).collect()
+    )
+    assert want_contig, "degenerate corpus: no contiguous matches"
 
     jitter_bound = CEP_OOO_DELAY_US // 2
     for perm in range(2):
@@ -916,4 +924,96 @@ def test_cep_gapped_ooo_matches_batch_under_random_bounded_delivery(
                 cep_gapped_ooo_stream(ev), spark, output_mode="append"
             ).collect()
         )
-        assert got == want, f"permutation {perm} diverged"
+        assert got == want, f"permutation {perm} diverged (gapped)"
+        ev2 = _read_events_stream(
+            spark,
+            str(src / "part0.parquet"),
+            str(src),
+            maxFilesPerTrigger="1",
+        )
+        got2 = sorted(
+            tuple(r)
+            for r in _run_to_memory(
+                cep_ooo_stream(ev2), spark, output_mode="append"
+            ).collect()
+        )
+        assert got2 == want_contig, (
+            f"permutation {perm} diverged (contiguous)"
+        )
+
+
+def test_cep_ooo_contiguous_boundary_and_fabrication_guard(
+    spark, tmp_path
+):
+    """The contiguous OOO twin's two obligations: (user 1) a triple
+    whose stages ARRIVE reversed across three trigger boundaries
+    still fires exactly once; (user 2) the discriminating
+    fabrication case — events ARRIVE as view, click, purchase (the
+    adjacency the monotone fold would see and match) but their EVENT
+    times interleave an error between view and click, so the correct
+    sequencer must NOT fire: contiguous semantics make as-if-newest
+    folding fabricate matches, not just shift them."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from map_reduce_subnet_spark.streaming.jobs import (
+        CEP_OOO_DELAY_US,
+        _read_events_stream,
+        _run_to_memory,
+        cep_ooo_stream,
+    )
+
+    base = 1_700_000_000_000_000  # µs
+    m = 60_000_000  # one minute
+    # user 1 event times: view@0, click@10m, purchase@20m — delivered
+    # purchase, click, view. user 2 event times: view@0, error@5m,
+    # click@10m, purchase@15m — delivered view, click, purchase,
+    # error (the error arrives LAST, within the reorder window).
+    f0 = [
+        (12, base + 20 * m, 1, "purchase"),
+        (20, base + 0 * m, 2, "view"),
+        (22, base + 10 * m, 2, "click"),
+    ]
+    f1 = [
+        (11, base + 10 * m, 1, "click"),
+        (23, base + 15 * m, 2, "purchase"),
+    ]
+    f2 = [
+        (10, base + 0 * m, 1, "view"),
+        (21, base + 5 * m, 2, "error"),
+    ]
+    adv_ts = base + 20 * m + CEP_OOO_DELAY_US + 1_000_000
+    f3 = [(-1, adv_ts, -1, "__advance__")]
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+
+    src = tmp_path / "cepco_batches"
+    src.mkdir()
+    now = _time.time()
+    for i, rows in enumerate((f0, f1, f2, f3)):
+        p = str(src / f"part{i}.parquet")
+        pq_mod.write_table(tbl(rows), p)
+        os.utime(p, (now + i, now + i))
+    ev = _read_events_stream(
+        spark, str(src / "part0.parquet"), str(src), maxFilesPerTrigger="1"
+    )
+    got = sorted(
+        tuple(r)
+        for r in _run_to_memory(
+            cep_ooo_stream(ev), spark, output_mode="append"
+        ).collect()
+    )
+    assert got == [(1, 10, 12, base, 20 * m)], got
