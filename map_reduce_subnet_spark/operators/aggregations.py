@@ -174,14 +174,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash, not just a local golden test. The exact leg exists
     only for this verification harness; the production path at scale
     is the sketch alone.
+
+    TWO-LEVEL SPELLING (r15 optimization, guide §2.3 "aggregate
+    before you shuffle"): combining approx_count_distinct with
+    countDistinct in ONE agg makes Spark's distinct-rewrite key the
+    HLL partial by (event_type, user_id) — at rsd=0.01 that is a
+    1639-word (~13 KB) sketch PER DISTINCT PAIR, all shuffled
+    (~1.3 GB at sf0.1; measured 3.0 s isolated, plan committed at
+    plans/r15/agg_approx_distinct_before.txt node (2)). Deduplicating
+    the pairs FIRST and sketching the deduplicated set shuffles
+    16-byte pair rows instead: HLL registers are a max over hashed
+    values, so duplicates cannot move them — the estimate is
+    BIT-IDENTICAL — and count(user_id) over the deduplicated pairs is
+    exactly countDistinct (both ignore NULLs; an all-NULL group still
+    survives as its (event_type, NULL) pair row, so no group is
+    dropped). Measured 3.04 s → 0.5 s at sf0.1; output hash unchanged
+    (diffcheck MATCH at sf0.01 and sf0.1).
     """
-    per = (
+    pairs = (
         load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("n_approx"),
-            F.countDistinct("user_id").alias("n_users_exact"),
-        )
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    per = pairs.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_approx"),
+        F.count("user_id").alias("n_users_exact"),
     )
     tol = F.greatest(F.lit(3.0), F.col("n_users_exact") * 0.05)
     return per.select(

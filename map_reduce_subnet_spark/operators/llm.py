@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from map_reduce_subnet_spark.functions import similarity as sim
 from map_reduce_subnet_spark.functions import text as tx
 from map_reduce_subnet_spark.functions.checkpoint import stable_checkpoint
+from map_reduce_subnet_spark.functions.parallel import scan_parallel
 from map_reduce_subnet_spark.functions.stable import (
     SUM_DECIMAL,
     _bounded,
@@ -1379,7 +1380,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass); candidates come from an equi-join on (band, bucket);
     each candidate's TRUE cosine is computed once (precision exact,
     recall is the LSH trade-off — pinned against numpy in tests)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = scan_parallel(  # r15 opt: floor the 1-row-group scan at core count
+        load_table(spark, sf_dir, "embeddings"), key="vec_id"
+    )
     n_bits, band_bits = 64, 8
     mdf = spark.createDataFrame(
         [(sim.hyperplane_matrix(64, n_bits, 42),)], "m: array<array<double>>"
@@ -1438,7 +1441,9 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. Candidates rise ~9x bucket occupancy, still
     corpus-size-independent; the recall lift is measured as a
     registered row of sim_ann_recall (lsh_multiprobe vs lsh)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = scan_parallel(  # r15 opt: floor the 1-row-group scan at core count
+        load_table(spark, sf_dir, "embeddings"), key="vec_id"
+    )
     n_bits, band_bits = 64, 8
     mdf = spark.createDataFrame(
         [(sim.hyperplane_matrix(64, n_bits, 42),)], "m: array<array<double>>"
@@ -1872,7 +1877,9 @@ def ann_recall_leg_frames(
         is_cached,
     )
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = scan_parallel(  # r15 opt: floor the 1-row-group scan at core count
+        load_table(spark, sf_dir, "embeddings"), key="vec_id"
+    )
     k, n_probes = ANN_RECALL_K, ANN_RECALL_N_PROBES
 
     def shared_artifact(tag: str, build):
@@ -2295,7 +2302,9 @@ def embed_neardup_pairs(
     Each embedding joins back exactly once per side for a single
     cosine evaluation per pair; pairs are deduped on (a_id, b_id)
     only — never on the embedding arrays."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = scan_parallel(  # r15 opt: floor the 1-row-group scan at core count
+        load_table(spark, sf_dir, "embeddings"), key="vec_id"
+    )
     n_bits, band_bits = 64, 8
     # hyperplane matrix as broadcast DATA, not plan literals: 64×64
     # inline literals make analysis/codegen the dominant cost (see
@@ -2797,6 +2806,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # r15 opt note: scan_parallel was tried here and reverted — the
+    # per-row work (len/byte-sum over short payloads) is too light to
+    # amortize the added exchange (0.58 s -> 0.57 s, i.e. flat).
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
@@ -2857,6 +2869,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # r15 opt note: scan_parallel was tried here and reverted — the
+    # frame checksum loop is too light to amortize the added exchange
+    # (0.51 s -> 0.57 s measured at sf0.1).
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return blobs.mapInPandas(
@@ -3227,7 +3242,10 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = scan_parallel(  # r15 opt: parallelize id-derived synth+decode
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        key="doc_id",
+    )
     return d.mapInPandas(
         decode_batches,
         schema="doc_id long, sample_rate long, n_channels long, "
@@ -3243,7 +3261,17 @@ def _png_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthesizer, not the decoder, and would run the compressor
     once per consumer (decode + resize). The payloads are
     deterministic per doc_id (synthesize_png cycles all five PNG
-    filter types), so a cache hit serves identical bytes."""
+    filter types), so a cache hit serves identical bytes.
+
+    Layout (r15 optimization): the id frame is rebalanced across the
+    session's default parallelism BEFORE synthesis, so the cache is
+    written as one file per core instead of inheriting the fixture's
+    single-row-group/single-split layout — the synthesizer runs in
+    parallel at build, and every consumer's Arrow decode stage scans
+    one task per file with ZERO exchanges in the decode query itself
+    (the payload never crosses a shuffle; only doc_ids moved, once,
+    at build). Tag bumped pngmedia→pngmedia2 so a v1 single-file
+    cache can never serve the old layout."""
     from pyspark import cloudpickle as _cp
 
     from map_reduce_subnet_spark.functions import multimodal as _mm
@@ -3251,8 +3279,9 @@ def _png_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixture_cache_dir,
         is_cached,
     )
+    from map_reduce_subnet_spark.functions.parallel import scan_parallel
 
-    cache = fixture_cache_dir(sf_dir, "documents", "pngmedia")
+    cache = fixture_cache_dir(sf_dir, "documents", "pngmedia2")
     if not is_cached(cache):
         _cp.register_pickle_by_value(_mm)
         synthesize = _mm.synthesize_png
@@ -3270,7 +3299,10 @@ def _png_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        d = scan_parallel(
+            load_table(spark, sf_dir, "documents").select("doc_id"),
+            key="doc_id",
+        )
         d.mapInPandas(
             synth_batches, schema="doc_id long, payload binary"
         ).write.mode("overwrite").parquet(cache)
@@ -3421,7 +3453,10 @@ def _gif_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per fixture (functions/cache.py discipline, same rationale as
     _png_media_cached): the decode query should time the DECODER, not
     the synthesizer+LZW-compressor, and the payloads are deterministic
-    per doc_id so a cache hit serves identical bytes."""
+    per doc_id so a cache hit serves identical bytes. Layout: one
+    file per core via the pre-synthesis id rebalance (see
+    _png_media_cached — decode consumers stay zero-exchange but scan
+    in parallel); tag bumped for the layout change."""
     from pyspark import cloudpickle as _cp
 
     from map_reduce_subnet_spark.functions import multimodal as _mm
@@ -3429,8 +3464,9 @@ def _gif_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixture_cache_dir,
         is_cached,
     )
+    from map_reduce_subnet_spark.functions.parallel import scan_parallel
 
-    cache = fixture_cache_dir(sf_dir, "documents", "gifmedia")
+    cache = fixture_cache_dir(sf_dir, "documents", "gifmedia2")
     if not is_cached(cache):
         _cp.register_pickle_by_value(_mm)
         synthesize = _mm.synthesize_gif
@@ -3448,7 +3484,10 @@ def _gif_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        d = scan_parallel(
+            load_table(spark, sf_dir, "documents").select("doc_id"),
+            key="doc_id",
+        )
         d.mapInPandas(
             synth_batches, schema="doc_id long, payload binary"
         ).write.mode("overwrite").parquet(cache)
@@ -3644,7 +3683,10 @@ def _jpeg_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once per fixture (functions/cache.py discipline,
     same rationale as _png_media_cached/_gif_media_cached): the
     decode query should time the DECODER, not the synthesizer+Huffman
-    encoder, and payloads are deterministic per doc_id."""
+    encoder, and payloads are deterministic per doc_id. Layout: one
+    file per core via the pre-synthesis id rebalance (see
+    _png_media_cached — decode consumers stay zero-exchange but scan
+    in parallel); tag bumped for the layout change."""
     from pyspark import cloudpickle as _cp
 
     from map_reduce_subnet_spark.functions import multimodal as _mm
@@ -3652,8 +3694,9 @@ def _jpeg_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixture_cache_dir,
         is_cached,
     )
+    from map_reduce_subnet_spark.functions.parallel import scan_parallel
 
-    cache = fixture_cache_dir(sf_dir, "documents", "jpegmedia")
+    cache = fixture_cache_dir(sf_dir, "documents", "jpegmedia2")
     if not is_cached(cache):
         _cp.register_pickle_by_value(_mm)
         synthesize = _mm.synthesize_jpeg
@@ -3671,7 +3714,10 @@ def _jpeg_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        d = scan_parallel(
+            load_table(spark, sf_dir, "documents").select("doc_id"),
+            key="doc_id",
+        )
         d.mapInPandas(
             synth_batches, schema="doc_id long, payload binary"
         ).write.mode("overwrite").parquet(cache)
@@ -3940,7 +3986,9 @@ def sim_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     transforms, JVM-side); probe vectors stay float (asymmetric
     search, the standard serving setup). Zero vectors keep scale 0 and
     dequantize to zeros instead of dividing by zero."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = scan_parallel(  # r15 opt: floor the 1-row-group scan at core count
+        load_table(spark, sf_dir, "embeddings"), key="vec_id"
+    )
     k, n_probes = ANN_RECALL_K, ANN_RECALL_N_PROBES
     probes = F.broadcast(
         e.where(F.col("vec_id") < n_probes).select(
@@ -4741,6 +4789,9 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    # r15 opt note: scan_parallel was tried here and reverted — the
+    # windowed stats loop is too light to amortize the added exchange
+    # (0.38 s -> 0.63 s measured at sf0.1).
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(
         stat_batches,
@@ -5788,7 +5839,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap mirrors reference blacklist filtering `neurons/miner.py:107-123`.
     """
     w = SPAN_W
-    d = load_table(spark, sf_dir, "documents")
+    # r15 opt: span fingerprinting (one md5 per W-gram, ~n_tokens per
+    # doc) dominated this key and ran on ONE core — the fixture's
+    # single-row-group file is one scan task. Floor the corpus frame
+    # at core count before the span transform; no-op on a real
+    # multi-split layout (functions/parallel.py).
+    d = scan_parallel(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        key="doc_id",
+    )
     base = d.select(
         "doc_id",
         F.split("text", " ").alias("t"),
@@ -6777,6 +6836,9 @@ def multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["first_cut_idx"] = out["first_cut_idx"].astype("Int64")
             yield out
 
+    # r15 opt note: scan_parallel was tried here and reverted — the
+    # per-doc signature loop is too light to amortize the added
+    # exchange (0.43 s -> 0.63 s measured at sf0.1).
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return blobs.mapInPandas(
@@ -8595,7 +8657,10 @@ def multimodal_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = scan_parallel(  # r15 opt: parallelize id-derived synth+decode
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+        key="doc_id",
+    )
     return d.mapInPandas(
         probe_batches,
         schema="doc_id long, n_tracks long, movie_timescale long, "
@@ -8618,7 +8683,10 @@ def _mjpeg_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic MJPEG-in-MP4 media table (doc_id, payload BINARY),
     materialized once per fixture (the _jpeg_media_cached pattern):
     the decode query should time the DEMUX+DECODE, not the
-    synthesizer+encoder, and payloads are deterministic per doc_id."""
+    synthesizer+encoder, and payloads are deterministic per doc_id.
+    Layout: one file per core via the pre-synthesis id rebalance (see
+    _png_media_cached — decode consumers stay zero-exchange but scan
+    in parallel); tag bumped for the layout change."""
     from pyspark import cloudpickle as _cp
 
     from map_reduce_subnet_spark.functions import multimodal as _mm
@@ -8626,8 +8694,9 @@ def _mjpeg_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixture_cache_dir,
         is_cached,
     )
+    from map_reduce_subnet_spark.functions.parallel import scan_parallel
 
-    cache = fixture_cache_dir(sf_dir, "documents", "mjpegmedia")
+    cache = fixture_cache_dir(sf_dir, "documents", "mjpegmedia2")
     if not is_cached(cache):
         _cp.register_pickle_by_value(_mm)
         synthesize = _mm.synthesize_mjpeg_mp4
@@ -8645,10 +8714,11 @@ def _mjpeg_media_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-        d = (
+        d = scan_parallel(
             load_table(spark, sf_dir, "documents")
             .select("doc_id")
-            .where(F.col("doc_id") < MJPEG_DOC_CAP)
+            .where(F.col("doc_id") < MJPEG_DOC_CAP),
+            key="doc_id",
         )
         d.mapInPandas(
             synth_batches, schema="doc_id long, payload binary"
