@@ -38,13 +38,20 @@ SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE, r15 edition (VERDICT r14 #1) ---
-    # r15 composition, auditable sum: 3 new + 4 changed + 13 (full
-    # r8-vintage remainder) + 30 (of the 33-key r9-vintage cohort)
-    # = 50 = SWEEP_CAP. The three r9 keys deferred to r16 (cap
-    # arithmetic, not suspicion — all hash-matched in r9):
-    # table_constraint_audit, udtf_cogrouped_map,
-    # window_topk_per_group (displaced from the tranche END by the
-    # late-landing third new key, per the rotation policy). Cohorts are
+    # r15 composition, auditable sum: 3 new + 18 changed + 13 (full
+    # r8-vintage remainder) + 16 (of the 33-key r9-vintage cohort)
+    # = 50 = SWEEP_CAP. The optimization phase of this round changed
+    # 16 keys' engine programs (scan-parallelism floor, media
+    # cache layout, the agg_approx_distinct dedup-before-sketch
+    # rewrite, pagerank's union-instead-of-join iteration —
+    # OPTIMIZATION_r15.md); one of them (multimodal_decode_mjpeg) is
+    # already swept as NEW, so the changed category grew 4 -> 19
+    # total slots minus that overlap = 18 listed here, displacing 17
+    # r9-cohort keys to r16 (displaced from the tranche END per the
+    # rotation policy; cap arithmetic, not suspicion — all
+    # hash-matched in r9): sim_mmr_diversify onward in the r14 list
+    # plus the three already-deferred table_constraint_audit,
+    # udtf_cogrouped_map, window_topk_per_group. Cohorts are
     # COMPUTED from the CORRECTNESS_r01..r14 union (latest green row
     # per key), not hand-copied. The changed-key rule is mechanized:
     # scripts/fingerprints.py records key -> md5(oracle + engine
@@ -65,6 +72,26 @@ _SWEEP_PRIORITY = [
     "stream_cep_gapped_true",
     "sim_ann_ivfpq",
     "sim_ann_recall",
+    # ... and the 15 keys the r15 OPTIMIZATION phase re-spelled
+    # (OPTIMIZATION_r15.md: scan_parallel floor, *media2 cache
+    # layout, dedup-before-sketch, pagerank union-fold — all
+    # diffcheck-MATCHed from /tmp before commit; the driver rows
+    # here re-certify them):
+    "agg_approx_distinct",
+    "graph_pagerank",
+    "dedup_substring_spans",
+    "embed_neardup_cosine",
+    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
+    "sim_quantized_recall",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    # (multimodal_decode_mjpeg also re-spelled, already swept in (0))
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_image_ahash",
+    "multimodal_image_resize",
+    "multimodal_probe_mp4",
     # (2) the full r8-vintage remainder — the 13 keys whose latest
     # driver row is r8 (judge independently re-verified 10 of these
     # MATCH in r14; this is hygiene):
@@ -81,7 +108,7 @@ _SWEEP_PRIORITY = [
     "text_quality",
     "text_term_freq",
     "text_token_count",
-    # (3) the r9-vintage cohort, 30 of 33 (see deferral note above):
+    # (3) the r9-vintage cohort, 15 of 33 (see deferral note above):
     "agg_ema",
     "array_funcs",
     "array_hof",
@@ -98,20 +125,6 @@ _SWEEP_PRIORITY = [
     "quality_filter_agreement",
     "scan_full",
     "scan_prune_columns",
-    "sim_mmr_diversify",
-    "str_hash",
-    "str_regex",
-    "str_split_explode",
-    "text_bpe_encode",
-    "text_bpe_merges",
-    "text_ccnet_perplexity_bucket",
-    "text_quality_classifier",
-    "text_repetition_ngram",
-    "text_tfidf_topk",
-    "udf_scalar",
-    "window_lag_delta",
-    "window_percent_rank",
-    "window_running_sum",
 ]
 
 
