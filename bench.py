@@ -93,6 +93,19 @@ def _load_baseline() -> dict[str, float]:
         return {}
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — the per-row steal%%
+    in the detail file makes a noisy sample legible as interference
+    (r16: this harness box showed intermittent 10-20%% CPU steal with
+    kernel-time spikes; a wild row with high steal is the HOST's
+    noise, not a plan regression)."""
+    try:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return 0, 0
+
+
 def _wait_for_quiet_machine() -> float:
     """Block until the 1-min load average is below LOAD_GATE or the
     wait budget runs out (the driver always needs an artifact — never
@@ -112,6 +125,7 @@ def _wait_for_quiet_machine() -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "default")
     baseline = _load_baseline()
     start_load = _wait_for_quiet_machine()
     spark = get_spark(app_name="mrs-bench")
@@ -165,6 +179,8 @@ def main() -> None:
     times: dict[str, float] = {}
     n_runs: dict[str, int] = {}
     loads: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    steal_pct: dict[str, float] = {}
     for name in sorted(only or QUERIES):
         fn = QUERIES[name]
         # Sub-threshold queries run twice and record the MIN: a
@@ -180,6 +196,7 @@ def main() -> None:
         # sample(s) (n_runs records how many survived); only
         # 0-successes records a failure.
         loads[name] = round(os.getloadavg()[0], 2)
+        tick0 = _cpu_ticks()
         is_streaming = (
             name.startswith("stream_") or name in ALWAYS_TWO_RUNS
         )
@@ -222,6 +239,14 @@ def main() -> None:
         else:
             times[name] = round(min(runs), 4)
             n_runs[name] = len(runs)
+        # ADVICE r15 #3: keep EVERY sample, not just the min, so a
+        # measurement-policy change (a key entering ALWAYS_TWO_RUNS)
+        # stays separable from an engine change in the round artifact
+        # (cold first run and warm repeats are all on record).
+        samples[name] = [round(r, 4) for r in runs]
+        tick1 = _cpu_ticks()
+        dtot = max(tick1[0] - tick0[0], 1)
+        steal_pct[name] = round(100.0 * (tick1[1] - tick0[1]) / dtot, 1)
 
     # Per-leg breakdown of the 8-leg recall harness (VERDICT r14 #4:
     # sim_ann_recall is the heaviest bench row, and a single min-of-2
@@ -255,18 +280,26 @@ def main() -> None:
     total = round(sum(t for t in times.values() if t >= 0), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver captures only a bounded tail of stdout: a single JSON
-    # line with all ~100 per-query timings (~4.4 KB) was truncated
+    # line with all ~237 per-query timings (~8 KB) was truncated
     # mid-dict in round 1 and never parsed. Keep the LAST stdout line a
-    # compact summary (<1 KB) and put the per-query detail in a file
-    # (plus stderr, for ad-hoc runs that only keep the console). The
-    # detail file lives in a gitignored output dir (env-overridable) —
-    # committing a generated artifact churned the diff every rerun.
+    # compact summary (<1 KB) and put the per-query detail in a file.
+    # The detail file lives in a gitignored output dir (env-overridable)
+    # — committing a generated artifact churned the diff every rerun.
+    # r16 (VERDICT r15 what's-wrong #1/#2): the detail path is stamped
+    # with the run's cpu config so the driver's low-core scaling run
+    # can no longer clobber the main run's per-query record, and the
+    # giant per-query stderr line is GONE — it was what truncated the
+    # driver's captured tail and emptied PERF's per-query comparison
+    # (the summary line's "detail" field is the per-query contract).
     detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
+        "cpus": cpus,
         "queries": times,
         "runs": n_runs,
+        "run_samples": samples,
+        "steal_pct": steal_pct,
         "loadavg_1m": loads,
         "loadavg_at_start": round(start_load, 2),
         "sim_ann_recall_legs": recall_legs,
@@ -282,10 +315,9 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "out"),
     )
     os.makedirs(out_dir, exist_ok=True)
-    detail_path = os.path.join(out_dir, "BENCH_DETAIL.json")
+    detail_path = os.path.join(out_dir, f"BENCH_DETAIL_c{cpus}.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    print(json.dumps(detail["queries"]), file=sys.stderr)
     n_failed = sum(1 for t in times.values() if t < 0)
     # VERDICT r8 #8: the repeat policy must be visible in the round
     # artifact itself. Per-row run counts would re-bloat the summary

@@ -36,7 +36,15 @@ def scan_parallel(df: DataFrame, key: str | None = None) -> DataFrame:
     parallelism (no-op when the source layout is already at least that
     wide). ``key``: optional unique-id column to hash-distribute on;
     omitted = round-robin (Spark sorts each input partition first —
-    SPARK-23207 — so retries are deterministic)."""
+    SPARK-23207 — so retries are deterministic).
+
+    PRECONDITION (ADVICE r15 #2): apply this to PLAIN SCANS only,
+    never downstream of a shuffle. The no-op probe materializes
+    ``df.rdd`` — on an exchange-free scan that is a pure plan
+    translation, but on an AQE plan containing upstream exchanges it
+    would execute the query stages eagerly (running real jobs at
+    build time) just to count partitions. Every current call site is
+    a base-table scan (optionally projected); keep it that way."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
