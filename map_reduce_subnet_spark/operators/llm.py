@@ -1919,6 +1919,13 @@ def ann_recall_leg_frames(
         )
 
     cos_pe = sim.cosine(F.col("embedding"), F.col("probe"))
+    # r16 NOTE (measured, kept OUT): respelling every leg to shuffle
+    # narrow (p_id, vec_id) pairs and join the embeddings back once
+    # per surviving pair (the embed_neardup discipline) was SLOWER
+    # here — interleaved A/B min-of-8: 9.0 s → 13.8 s — because at
+    # recall-harness candidate volumes the 16 extra join stages (2 per
+    # leg × 8 legs) cost more than the payload bytes they save. The
+    # kept optimization is the cell-assignment cache below.
     exact = shared_artifact(
         f"annrecall_exact_{n_probes}x{k}",
         lambda: topk(
@@ -1940,6 +1947,15 @@ def ann_recall_leg_frames(
             )
         )
     )
+    # r16: the per-vector cell assignment IS the IVF index's inverted
+    # list (FAISS IVF stores the vectors BY cell; a deployment builds
+    # it once with the centroids, exactly like lloyd_centroids /
+    # pq_codes_cached) — materialize (vec_id, embedding, cent_id)
+    # once per fixture. Before, the nearest-centroid HOF re-ran over
+    # the whole corpus in every leg that touched cells (4 legs: ivf,
+    # ivf_kmeans, ivfpq_adc, ivfpq_adc_np2); now the ivf legs scan
+    # the artifact and the ADC legs read only its (vec_id, cent_id)
+    # columns (parquet column pruning keeps that read narrow).
     assigned = e.crossJoin(cents_arr).select(
         "vec_id",
         "embedding",
@@ -1947,6 +1963,7 @@ def ann_recall_leg_frames(
             "cent_id"
         ].alias("cent_id"),
     )
+    cells_seed = shared_artifact("annrecall_cellseed", lambda: assigned)
     probe_cells = F.broadcast(
         probes.crossJoin(cents_arr).select(
             "p_id",
@@ -1957,7 +1974,9 @@ def ann_recall_leg_frames(
         )
     )
     ivf = topk(
-        assigned.join(probe_cells, F.col("cent_id") == F.col("probe_cell"))
+        cells_seed.join(
+            probe_cells, F.col("cent_id") == F.col("probe_cell")
+        )
         .where(F.col("vec_id") != F.col("p_id"))
         .select("p_id", "vec_id", cos_pe.alias("cos"))
     )
@@ -1976,6 +1995,7 @@ def ann_recall_leg_frames(
             "cent_id"
         ].alias("cent_id"),
     )
+    cells_t = shared_artifact("annrecall_celllloyd", lambda: assigned_t)
     probe_cells_t = F.broadcast(
         probes.crossJoin(cents_trained).select(
             "p_id",
@@ -1986,7 +2006,7 @@ def ann_recall_leg_frames(
         )
     )
     ivf_t = topk(
-        assigned_t.join(
+        cells_t.join(
             probe_cells_t, F.col("cent_id") == F.col("probe_cell")
         )
         .where(F.col("vec_id") != F.col("p_id"))
@@ -2181,7 +2201,7 @@ def ann_recall_leg_frames(
     pq_flat = adc_topk(adists)
     ivfpq = adc_topk(
         adists.join(
-            assigned_t.select("vec_id", F.col("cent_id").alias("v_cell")),
+            cells_t.select("vec_id", F.col("cent_id").alias("v_cell")),
             "vec_id",
         )
         .join(probe_cells_t.select("p_id", "probe_cell"), "p_id")
@@ -2215,7 +2235,7 @@ def ann_recall_leg_frames(
     )
     ivfpq2 = adc_topk(
         adists.join(
-            assigned_t.select("vec_id", F.col("cent_id").alias("v_cell2")),
+            cells_t.select("vec_id", F.col("cent_id").alias("v_cell2")),
             "vec_id",
         )
         .join(probe_cells2, "p_id")

@@ -158,11 +158,16 @@ def udtf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # r16 (guide §4.1: pass ONLY the columns the function needs —
+    # Spark cannot see that pair_counts reads just num_rows, so every
+    # extra column would be read, shuffled and shipped through Arrow
+    # per group): each side is projected to the bare key before the
+    # cogroup, halving the bytes that cross the Python boundary.
     o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key_id"), "o_orderkey"
+        F.col("o_custkey").alias("key_id")
     )
     ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("key_id"), "event_id"
+        F.col("user_id").alias("key_id")
     )
     return (
         o.groupBy("key_id")

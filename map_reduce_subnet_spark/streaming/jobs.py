@@ -486,15 +486,21 @@ GROUP BY user_id
 def stream_stateful_ema_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cross-micro-batch form of stream_stateful_ema — the
     reference's cross-round state (neurons/validator.py:146) as a
-    driver-checked query: the events fixture is split into 4
-    time-contiguous files fed as 4 micro-batches
+    driver-checked query: the events fixture is split into 2
+    time-contiguous files fed as 2 micro-batches
     (maxFilesPerTrigger=1, ascending mtimes so the file source takes
     them in time order), so each user's EMA state MUST survive in the
     state store between triggers to produce the right answer. The
     final per-user row (max n_events across the per-batch update-mode
     emissions) equals the same closed-form oracle as the single-batch
     job — bit-exact, because the time-contiguous split preserves the
-    global (ts, event_id) fold order.
+    global (ts, event_id) fold order. (r16, guide §1.2/§4: the drain
+    cost is per-trigger — micro-batch planning + state commit + the
+    Python stateful round trip — and the result is split-invariant,
+    so the replay drains in TWO triggers, the minimum that still
+    forces cross-trigger state; the 4-batch shape stays pinned by
+    tests/test_streaming.py::
+    test_stateful_ema_state_carries_across_micro_batches.)
 
     The driver-side file split is fixture plumbing (a deployment's
     stream arrives in time order on its own); state handling is the
@@ -524,7 +530,7 @@ def stream_stateful_ema_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"mrs_ema_batches_{uuid.uuid4().hex[:12]}"
     )
     os.makedirs(src)
-    n_files = 4
+    n_files = 2  # r16: two triggers — the minimum cross-batch drain
     step = (tbl.num_rows + n_files - 1) // n_files
     now = _time.time()
     try:
@@ -770,8 +776,12 @@ WHERE rn = 1
 )
 def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental UPSERT sink via foreachBatch: the event stream
-    arrives as 3 real micro-batches (time-split files,
-    maxFilesPerTrigger=1) and each batch MERGES its per-user latest
+    arrives as 2 real micro-batches (time-split files,
+    maxFilesPerTrigger=1 — r16: latest-wins merges are associative,
+    so the final table is split-invariant and two triggers is the
+    minimum that still proves cross-batch MERGE; per-trigger planning
+    + state-table write was the row's dominant cost, guide §1.2)
+    and each batch MERGES its per-user latest
     row into a keyed parquet state table — latest (ts, event_id) wins.
     This is the production "stream → serving table" pattern
     (foreachBatch + MERGE) that memory/append sinks can't express, and
@@ -813,7 +823,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = os.path.join(root, "src")
     os.makedirs(src)
-    n_files = 3
+    n_files = 2  # r16: two triggers — the minimum cross-batch merge
     step = (tbl.num_rows + n_files - 1) // n_files
     now = _time.time()
     state = {"dir": None, "version": 0}
@@ -898,7 +908,7 @@ def stream_python_source_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL custom Python micro-batch STREAMING source
     (sources/pydatasource.py::SyntheticEventsStreamDataSource, Spark
     4's SimpleDataSourceStreamReader): 5000 deterministic events
-    arrive over 4 micro-batches of ≤1250 rows (offset-bounded reads),
+    arrive over 2 micro-batches of ≤2500 rows (offset-bounded reads),
     aggregated per lang in complete mode — proving offset planning,
     cross-micro-batch aggregation state, and replayable offsets on a
     user-defined source that is not a file or a Kafka topic
@@ -906,14 +916,23 @@ def stream_python_source_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned integer arithmetic, so the DuckDB oracle regenerates the
     whole stream from range(); counts are exact and the sum is
     decimal-stabilized, so the batched arrival order cannot move the
-    result."""
+    result. (r16, guide §1.2: each process_all trigger pays planning
+    + a Python source read + a state commit and the complete-mode
+    aggregate is arrival-split-invariant, so the bounded range drains
+    in the minimum TWO offset-bounded batches; the 4-batch offset
+    walk stays pinned by tests/test_streaming.py::
+    test_python_stream_source_spans_micro_batches.)"""
     from pyspark import cloudpickle as _cp
 
     from map_reduce_subnet_spark.sources import pydatasource as pds
 
     _cp.register_pickle_by_value(pds)
     spark.dataSource.register(pds.SyntheticEventsStreamDataSource)
-    ev = spark.readStream.format("synthetic_events").load()
+    ev = (
+        spark.readStream.format("synthetic_events")
+        .option("batch", str(pds.SYNTH_STREAM_TOTAL // 2))
+        .load()
+    )
     agg = ev.groupBy("lang").agg(
         F.count("*").alias("n_events"), dsum("value", "sum_value")
     )
@@ -1022,7 +1041,14 @@ def stream_python_sink_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="mrs_pystreamsink_")
     ckpt = os.path.join(out, "_ckpt")
     try:
-        ev = spark.readStream.format("synthetic_events").load()
+        # r16: 2 micro-batches (stream_python_source_true's rationale)
+        # — the sink's per-batch commit-log discipline needs >= 2
+        # committed batches to be exercised, which 2 still provides.
+        ev = (
+            spark.readStream.format("synthetic_events")
+            .option("batch", str(pds.SYNTH_STREAM_TOTAL // 2))
+            .load()
+        )
         q = (
             ev.writeStream.format("jsonl_stream_sink")
             .option("path", out)
@@ -1519,15 +1545,20 @@ from map_reduce_subnet_spark.operators.streaming_batch import (  # noqa: E402
 @query("stream_cep_true", oracle=_CEP_ORACLE)
 def stream_cep_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE streaming CEP — the state-store twin of
-    events_cep_pattern, driven over FOUR time-contiguous micro-batches
+    events_cep_pattern, driven over TWO time-contiguous micro-batches
     (the stream_stateful_ema_batches harness): the events fixture is
-    split into 4 files fed one per trigger (ascending mtimes), so any
-    pattern occurrence straddling a file boundary is only found if the
-    per-user last-two-events state survives in the state store between
-    triggers. Append-mode emission = each match exactly once, when its
-    closing event arrives — which is why the union of all batches'
-    emissions equals the batch twin's full-fixture answer and ONE
-    oracle (CEP_ORACLE) certifies both keys.
+    split into 2 files fed one per trigger (ascending mtimes), so any
+    pattern occurrence straddling the file boundary is only found if
+    the per-user last-two-events state survives in the state store
+    between triggers. Append-mode emission = each match exactly once,
+    when its closing event arrives — which is why the union of all
+    batches' emissions equals the batch twin's full-fixture answer and
+    ONE oracle (CEP_ORACLE) certifies both keys. (r16, guide §1.2/§4:
+    the match set is split-invariant, each trigger pays micro-batch
+    planning + a 32-task Python stateful round trip + a state commit,
+    so the replay drains in the minimum two triggers; the 4-batch
+    boundary-straddle property stays pinned by tests/
+    test_streaming.py::test_cep_state_carries_partial_match_across_batches.)
 
     Scale shape: state is O(1) per user (two tuples — type, ts, id),
     the smallest state a 3-stage contiguous CEP can carry; each
@@ -1555,7 +1586,7 @@ def stream_cep_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"mrs_cep_batches_{uuid.uuid4().hex[:12]}"
     )
     os.makedirs(src)
-    n_files = 4
+    n_files = 2  # r16: two triggers — minimum cross-batch CEP state
     step = (tbl.num_rows + n_files - 1) // n_files
     now = _time.time()
     try:
@@ -1705,17 +1736,20 @@ from map_reduce_subnet_spark.operators.streaming_batch import (  # noqa: E402
 @query("stream_cep_gapped_true", oracle=_CEP_GAPPED_ORACLE)
 def stream_cep_gapped_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE streaming GAPPED CEP — the state-store twin of
-    events_cep_gapped, driven over FOUR time-contiguous micro-batches
+    events_cep_gapped, driven over TWO time-contiguous micro-batches
     (the stream_cep_true harness verbatim): the events fixture is
-    split into 4 files fed one per trigger (ascending mtimes), so a
-    match whose view lands in batch k, click in k+1 and purchase in
-    k+2 is only found if the buffered views / open pairs survive in
-    the state store across triggers — the property the contiguous
-    twin proves for 2-event state, proved here for the gapped
-    buffer. Append-mode emission = each match exactly once, when its
-    closing purchase arrives, so the union of batches equals the
-    batch twin's full-fixture answer and ONE oracle
-    (CEP_GAPPED_ORACLE) certifies both keys."""
+    split into 2 files fed one per trigger (ascending mtimes), so a
+    match whose stages straddle the file boundary is only found if
+    the buffered views / open pairs survive in the state store across
+    triggers — the property the contiguous twin proves for 2-event
+    state, proved here for the gapped buffer. Append-mode emission =
+    each match exactly once, when its closing purchase arrives, so
+    the union of batches equals the batch twin's full-fixture answer
+    and ONE oracle (CEP_GAPPED_ORACLE) certifies both keys. (r16:
+    split-invariant match set ⇒ minimum two triggers, same rationale
+    and test pin as stream_cep_true — the multi-boundary straddle
+    lives in tests/test_streaming.py::
+    test_cep_gapped_state_buffers_across_batches.)"""
     import os
     import shutil
     import tempfile
@@ -1737,7 +1771,7 @@ def stream_cep_gapped_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"mrs_cepg_batches_{uuid.uuid4().hex[:12]}",
     )
     os.makedirs(src)
-    n_files = 4
+    n_files = 2  # r16: two triggers — minimum cross-batch CEP state
     step = (tbl.num_rows + n_files - 1) // n_files
     now = _time.time()
     try:
@@ -1937,15 +1971,32 @@ def cep_gapped_ooo_stream(ev: DataFrame) -> DataFrame:
     )
 
 
-def _write_ooo_cep_files(sf_dir: str, src: str, n_files: int = 4) -> None:
+def _write_ooo_cep_files(sf_dir: str, src: str, n_files: int = 2) -> None:
     """Write the OOO delivery replay: the events fixture reordered by
     (ts + jitter(event_id)) — jitter deterministic, bounded by
     CEP_OOO_JITTER_US < CEP_OOO_DELAY_US so nothing is ever late
     beyond the reorder window — split into n_files ascending-mtime
-    parquet files, plus one WATERMARK-ADVANCER file: a single
-    non-stage event (user -1) timestamped delay-past the fixture
-    maximum, so the final no-data batch's watermark passes every real
-    event and the EventTimeTimeout flush seals them all."""
+    parquet files, with one WATERMARK-ADVANCER row appended to the
+    LAST file: a single non-stage event (user -1) timestamped
+    delay-past the fixture maximum, so the no-data batch after the
+    last file's trigger has a watermark past every real event and the
+    EventTimeTimeout flush seals them all.
+
+    r16 trigger economics (guide §1.2/§4): each trigger pays
+    micro-batch planning + a 32-task Python stateful round trip + a
+    state-store commit, and the emitted match set is invariant to how
+    the delivery is split (every event is buffered until the
+    watermark seals it, and the watermark only moves BETWEEN
+    triggers). The replay therefore drains in n_files=2 data triggers
+    + 1 timeout-flush batch instead of the previous 4 + 1 advancer +
+    1 flush — same final rows, half the trigger floors. The advancer
+    rides IN the last data file rather than as its own trigger: while
+    its batch runs the watermark still predates it, so it is buffered
+    exactly as before, and the post-batch watermark step is identical
+    to the one the dedicated advancer batch used to produce. Deeper
+    cross-boundary delivery stays pinned by the 4-file random-split
+    property tests (tests/test_streaming.py::
+    test_cep_gapped_ooo_matches_batch_under_random_bounded_delivery)."""
     import os
     import time as _time
 
@@ -1967,10 +2018,7 @@ def _write_ooo_cep_files(sf_dir: str, src: str, n_files: int = 4) -> None:
     tbl = tbl.take(pa.array(order, type=pa.int64()))
     step = (tbl.num_rows + n_files - 1) // n_files
     now = _time.time()
-    for i in range(n_files):
-        p = os.path.join(src, f"part{i}.parquet")
-        pq_mod.write_table(tbl.slice(i * step, step), p)
-        os.utime(p, (now + i, now + i))  # mtime order = delivery order
+    adv = None
     if tbl.num_rows:
         adv_ts = int(ts_us.max()) + CEP_OOO_DELAY_US + 1_000_000
         adv = pa.table(
@@ -1984,9 +2032,13 @@ def _write_ooo_cep_files(sf_dir: str, src: str, n_files: int = 4) -> None:
             }
         ).select(tbl.schema.names)
         adv = adv.cast(tbl.schema)
-        p = os.path.join(src, f"part{n_files}.parquet")
-        pq_mod.write_table(adv, p)
-        os.utime(p, (now + n_files, now + n_files))
+    for i in range(n_files):
+        part = tbl.slice(i * step, step)
+        if adv is not None and i == n_files - 1:
+            part = pa.concat_tables([part, adv])
+        p = os.path.join(src, f"part{i}.parquet")
+        pq_mod.write_table(part, p)
+        os.utime(p, (now + i, now + i))  # mtime order = delivery order
 
 
 @query("stream_cep_gapped_ooo", oracle=_CEP_GAPPED_ORACLE)
@@ -1995,10 +2047,12 @@ def stream_cep_gapped_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     r15 robustness step the monotone twins document as missing
     (VERDICT r14 #2): the same events fixture is replayed with each
     event displaced by a deterministic bounded jitter
-    (< CEP_OOO_JITTER_US) and split into 4 micro-batch files, so
+    (< CEP_OOO_JITTER_US) and split into 2 micro-batch files, so
     stage events of one match routinely arrive out of sequence and
-    across trigger boundaries — then a fifth watermark-advancer file
-    lets the final no-data batch seal the tail. cep_gapped_ooo_stream
+    across the trigger boundary — a watermark-advancer row in the
+    last file lets the final no-data batch seal the tail (r16: see
+    _write_ooo_cep_files for the trigger economics; the emitted set
+    is delivery-split-invariant). cep_gapped_ooo_stream
     buffers arrivals per user and feeds the gapped state machine only
     the watermark-sealed prefix, so the emitted match set is
     IDENTICAL to the in-order twins' and the shared batch oracle
@@ -2140,7 +2194,7 @@ def cep_ooo_stream(ev: DataFrame) -> DataFrame:
 def stream_cep_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE streaming CONTIGUOUS CEP over an OUT-OF-ORDER delivery —
     the stream_cep_gapped_ooo harness verbatim (bounded-jitter
-    4-file replay + watermark-advancer fifth file, see
+    2-file replay + watermark-advancer row in the last file, see
     _write_ooo_cep_files) driving cep_ooo_stream, so the contiguous
     pattern family now also has its no-arrival-order-precondition
     member and ONE oracle (CEP_ORACLE) certifies all three contiguous
