@@ -37,94 +37,81 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
-    # --- FRESHNESS SCHEDULE, r15 edition (VERDICT r14 #1) ---
-    # r15 composition, auditable sum: 3 new + 18 changed + 13 (full
-    # r8-vintage remainder) + 16 (of the 33-key r9-vintage cohort)
-    # = 50 = SWEEP_CAP. The optimization phase of this round changed
-    # 16 keys' engine programs (scan-parallelism floor, media
-    # cache layout, the agg_approx_distinct dedup-before-sketch
-    # rewrite, pagerank's union-instead-of-join iteration —
-    # OPTIMIZATION_r15.md); one of them (multimodal_decode_mjpeg) is
-    # already swept as NEW, so the changed category grew 4 -> 19
-    # total slots minus that overlap = 18 listed here, displacing 17
-    # r9-cohort keys to r16 (displaced from the tranche END per the
-    # rotation policy; cap arithmetic, not suspicion — all
-    # hash-matched in r9): sim_mmr_diversify onward in the r14 list
-    # plus the three already-deferred table_constraint_audit,
-    # udtf_cogrouped_map, window_topk_per_group. Cohorts are
-    # COMPUTED from the CORRECTNESS_r01..r14 union (latest green row
-    # per key), not hand-copied. The changed-key rule is mechanized:
-    # scripts/fingerprints.py records key -> md5(oracle + engine
-    # source) per round, and tests/test_correctness.py fails if any
-    # fingerprint changed without the key appearing here.
+    # --- FRESHNESS SCHEDULE, r16 edition (VERDICT r15 #7) ---
+    # r16 composition, auditable sum: 0 new + 10 changed + 16 (the
+    # r9-vintage cohort remainder deferred from r15; its 17th key,
+    # udtf_cogrouped_map, is in the changed tranche) + 24 (oldest
+    # backfill: the r11-vintage cohort in sorted order, all
+    # hash-green in CORRECTNESS_r11) = 50 = SWEEP_CAP. Cohorts are
+    # COMPUTED from the CORRECTNESS_r01..r15 union (latest green row
+    # per key), not hand-copied; after this rotation no key's latest
+    # driver row predates r9 except the 23 r11-vintage keys that did
+    # not fit (they lead the r17 backfill). The changed-key rule is
+    # mechanized: scripts/fingerprints.py records key -> md5(oracle +
+    # engine source) per round, and tests/test_correctness.py fails
+    # if any fingerprint changed without the key appearing here.
     #
-    # (0) NEW in r15 — never driver-swept, category (1) of the
-    # rotation policy:
-    "stream_cep_gapped_ooo",
-    "multimodal_decode_mjpeg",
-    "stream_cep_ooo",
-    # (1) changed this round — the shared gapped-CEP oracle's
-    # TRY_CAST hardening (ADVICE r14 #1: sentinel-exposed casts no
-    # longer rely on conjunct evaluation order) touches both CEP
-    # keys; sim_ann_ivfpq gains nprobe>1 multi-cell probing
-    # (VERDICT r14 #3) and sim_ann_recall the recall-vs-nprobe leg:
-    "events_cep_gapped",
+    # (1) changed this round (OPTIMIZATION_r16.md): the streaming
+    # trigger-floor respellings (replay file splits 4->2 / 6->3,
+    # bounded python source drains in 2 offset batches), the
+    # sim_ann_recall IVF cell-assignment artifact, and the
+    # udtf_cogrouped_map input projection:
+    "stream_cep_true",
     "stream_cep_gapped_true",
-    "sim_ann_ivfpq",
+    "stream_cep_ooo",
+    "stream_cep_gapped_ooo",
+    "stream_stateful_ema_batches",
+    "stream_upsert_foreachbatch",
+    "stream_python_source_true",
+    "stream_python_sink_true",
     "sim_ann_recall",
-    # ... and the 15 keys the r15 OPTIMIZATION phase re-spelled
-    # (OPTIMIZATION_r15.md: scan_parallel floor, *media2 cache
-    # layout, dedup-before-sketch, pagerank union-fold — all
-    # diffcheck-MATCHed from /tmp before commit; the driver rows
-    # here re-certify them):
-    "agg_approx_distinct",
-    "graph_pagerank",
-    "dedup_substring_spans",
-    "embed_neardup_cosine",
-    "sim_ann_lsh_topk",
-    "sim_ann_multiprobe_topk",
-    "sim_quantized_recall",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    # (multimodal_decode_mjpeg also re-spelled, already swept in (0))
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
-    "multimodal_image_ahash",
-    "multimodal_image_resize",
-    "multimodal_probe_mp4",
-    # (2) the full r8-vintage remainder — the 13 keys whose latest
-    # driver row is r8 (judge independently re-verified 10 of these
-    # MATCH in r14; this is hygiene):
-    "filter_membership",
-    "project_cast",
-    "project_conditional",
-    "str_basics",
-    "stream_tumbling_true",
-    "text_fingerprint",
-    "text_hashing_vectorizer",
-    "text_langid",
-    "text_lm_bigram_score",
-    "text_lm_unigram_score",
-    "text_quality",
-    "text_term_freq",
-    "text_token_count",
-    # (3) the r9-vintage cohort, 15 of 33 (see deferral note above):
-    "agg_ema",
-    "array_funcs",
-    "array_hof",
-    "date_arith",
-    "diag_skew_report",
-    "graph_kcore",
-    "json_funcs",
-    "map_funcs",
-    "math_funcs",
-    "multimodal_features",
-    "multimodal_scene_cut",
-    "pipeline_sequence_pack",
-    "privacy_dp_count_laplace",
-    "quality_filter_agreement",
-    "scan_full",
-    "scan_prune_columns",
+    "udtf_cogrouped_map",
+    # (2) the r9-vintage cohort remainder, deferred from r15 (VERDICT
+    # r15 #7 — after these, no registered key's latest driver row is
+    # older than r11):
+    "sim_mmr_diversify",
+    "str_hash",
+    "str_regex",
+    "str_split_explode",
+    "table_constraint_audit",
+    "text_bpe_encode",
+    "text_bpe_merges",
+    "text_ccnet_perplexity_bucket",
+    "text_quality_classifier",
+    "text_repetition_ngram",
+    "text_tfidf_topk",
+    "udf_scalar",
+    "window_lag_delta",
+    "window_percent_rank",
+    "window_running_sum",
+    "window_topk_per_group",
+    # (3) backfill: the r11-vintage cohort (oldest remaining rows,
+    # all hash-green in r11), first 24 in sorted order — the
+    # remaining 23 lead the r17 backfill:
+    "agg_minmax_stats",
+    "agg_mode_deterministic",
+    "agg_time_decay",
+    "date_parts",
+    "dedup_cluster",
+    "dedup_containment",
+    "dedup_minhash_est",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_survivors",
+    "funnel_conversion",
+    "join_asof",
+    "join_asof_binned",
+    "join_full_outer",
+    "join_multiway_star",
+    "join_theta_range",
+    "limit_topk",
+    "pipeline_curation_e2e",
+    "quality_dedup_rates",
+    "sample_contrastive_pairs",
+    "sample_stratified_rebalance",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "scan_partition_prune",
 ]
 
 
