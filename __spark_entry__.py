@@ -38,9 +38,9 @@ SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE, r16 edition (VERDICT r15 #7) ---
-    # r16 composition, auditable sum: 0 new + 10 changed + 16 (the
+    # r16 composition, auditable sum: 0 new + 11 changed + 16 (the
     # r9-vintage cohort remainder deferred from r15; its 17th key,
-    # udtf_cogrouped_map, is in the changed tranche) + 24 (oldest
+    # udtf_cogrouped_map, is in the changed tranche) + 23 (oldest
     # backfill: the r11-vintage cohort in sorted order, all
     # hash-green in CORRECTNESS_r11) = 50 = SWEEP_CAP. Cohorts are
     # COMPUTED from the CORRECTNESS_r01..r15 union (latest green row
@@ -54,8 +54,9 @@ _SWEEP_PRIORITY = [
     # (1) changed this round (OPTIMIZATION_r16.md): the streaming
     # trigger-floor respellings (replay file splits 4->2 / 6->3,
     # bounded python source drains in 2 offset batches), the
-    # sim_ann_recall IVF cell-assignment artifact, and the
-    # udtf_cogrouped_map input projection:
+    # sim_ann_recall IVF cell-assignment artifact, the
+    # udtf_cogrouped_map input projection, and the embed_neardup
+    # per-vector norm precompute:
     "stream_cep_true",
     "stream_cep_gapped_true",
     "stream_cep_ooo",
@@ -66,6 +67,7 @@ _SWEEP_PRIORITY = [
     "stream_python_sink_true",
     "sim_ann_recall",
     "udtf_cogrouped_map",
+    "embed_neardup_cosine",
     # (2) the r9-vintage cohort remainder, deferred from r15 (VERDICT
     # r15 #7 — after these, no registered key's latest driver row is
     # older than r11):
@@ -86,8 +88,8 @@ _SWEEP_PRIORITY = [
     "window_running_sum",
     "window_topk_per_group",
     # (3) backfill: the r11-vintage cohort (oldest remaining rows,
-    # all hash-green in r11), first 24 in sorted order — the
-    # remaining 23 lead the r17 backfill:
+    # all hash-green in r11), first 23 in sorted order — the
+    # remaining 24 lead the r17 backfill:
     "agg_minmax_stats",
     "agg_mode_deterministic",
     "agg_time_decay",
@@ -111,7 +113,6 @@ _SWEEP_PRIORITY = [
     "sample_stratified_rebalance",
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
-    "scan_partition_prune",
 ]
 
 

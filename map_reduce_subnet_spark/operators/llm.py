@@ -2350,9 +2350,28 @@ def embed_neardup_pairs(
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    cos = sim.cosine(F.col("ea"), F.col("eb"))
+    # r16 opt (guide §2.3: per-vector work stays per-vector): the norm
+    # is a function of ONE embedding, but cosine() re-derived both
+    # norms per candidate PAIR — 3 interpreted HOF folds per pair where
+    # 1 suffices (candidates ≫ vectors: 70k pairs vs 2k vectors at
+    # sf0.1, and the gap only widens with corpus size). Each side's
+    # norm is computed once per vector on the broadcast frame; the pair
+    # row evaluates only the dot. Bit-identical: na/nb are the SAME
+    # norm expression over the same arrays and try_divide(dot, na*nb)
+    # multiplies the same doubles in the same order as cosine() did.
+    ea = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        sim.norm(F.col("embedding")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        sim.norm(F.col("embedding")).alias("nb"),
+    )
+    cos = F.try_divide(
+        sim.dot(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+    )
     # zero-norm embeddings → try_divide yields NULL (dropped by the
     # threshold's three-valued logic); NaN elements → cosine is NaN and
     # Spark orders NaN greatest, so the explicit isnan guard matters
