@@ -38,9 +38,9 @@ SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE, r16 edition (VERDICT r15 #7) ---
-    # r16 composition, auditable sum: 0 new + 11 changed + 16 (the
+    # r16 composition, auditable sum: 0 new + 14 changed + 16 (the
     # r9-vintage cohort remainder deferred from r15; its 17th key,
-    # udtf_cogrouped_map, is in the changed tranche) + 23 (oldest
+    # udtf_cogrouped_map, is in the changed tranche) + 20 (oldest
     # backfill: the r11-vintage cohort in sorted order, all
     # hash-green in CORRECTNESS_r11) = 50 = SWEEP_CAP. Cohorts are
     # COMPUTED from the CORRECTNESS_r01..r15 union (latest green row
@@ -55,8 +55,9 @@ _SWEEP_PRIORITY = [
     # trigger-floor respellings (replay file splits 4->2 / 6->3,
     # bounded python source drains in 2 offset batches), the
     # sim_ann_recall IVF cell-assignment artifact, the
-    # udtf_cogrouped_map input projection, and the embed_neardup
-    # per-vector norm precompute:
+    # udtf_cogrouped_map input projection, the embed_neardup
+    # per-vector norm precompute, and the no-data-batch opt-out for
+    # the three emit-on-arrival drains:
     "stream_cep_true",
     "stream_cep_gapped_true",
     "stream_cep_ooo",
@@ -68,6 +69,9 @@ _SWEEP_PRIORITY = [
     "sim_ann_recall",
     "udtf_cogrouped_map",
     "embed_neardup_cosine",
+    "stream_stream_join_true",
+    "stream_dedup_true",
+    "stream_dedup_within_watermark_true",
     # (2) the r9-vintage cohort remainder, deferred from r15 (VERDICT
     # r15 #7 — after these, no registered key's latest driver row is
     # older than r11):
@@ -88,8 +92,8 @@ _SWEEP_PRIORITY = [
     "window_running_sum",
     "window_topk_per_group",
     # (3) backfill: the r11-vintage cohort (oldest remaining rows,
-    # all hash-green in r11), first 23 in sorted order — the
-    # remaining 24 lead the r17 backfill:
+    # all hash-green in r11), first 20 in sorted order — the
+    # remaining 27 lead the r17 backfill:
     "agg_minmax_stats",
     "agg_mode_deterministic",
     "agg_time_decay",
@@ -110,9 +114,6 @@ _SWEEP_PRIORITY = [
     "pipeline_curation_e2e",
     "quality_dedup_rates",
     "sample_contrastive_pairs",
-    "sample_stratified_rebalance",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
 ]
 
 

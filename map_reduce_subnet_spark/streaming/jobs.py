@@ -203,6 +203,43 @@ def _run_to_memory(
         spark.catalog.dropTempView(name)
 
 
+def _run_to_memory_emit_on_arrival(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+) -> DataFrame:
+    """:func:`_run_to_memory`, with the engine's final NO-DATA
+    micro-batch disabled (``spark.sql.streaming.noDataMicroBatches
+    .enabled``) for this one drain.
+
+    The no-data batch exists to act on an advanced watermark AFTER the
+    last data batch: it EMITS rows for append-mode aggregations/outer
+    joins and stateful timeouts — those drains must keep it. But for
+    operators that emit every result row on ARRIVAL — inner
+    stream-stream joins, dropDuplicates(WithinWatermark) — it only
+    EVICTS state, and on a terminating drain whose temp checkpoint is
+    discarded that eviction is pure cost (r16 profile: ~2.2-2.9 s of
+    state-store commit across 32 partitions × 4 join state stores for
+    stream_stream_join_true, 0 rows emitted;
+    plans/r16/ssj_nodata_ab.json pins rows_equal between both drain
+    modes for every caller). Callers MUST emit entirely from data
+    batches; each caller's DuckDB oracle MATCH is the pin. At 100 TB
+    the same holds per drain — a continuous deployment amortizes ONE
+    eviction batch over the stream's lifetime, a terminating replay
+    pays it per run for nothing.
+
+    The conf is session-wide, so it is set just before the drain and
+    restored in a finally (queries run sequentially in the bench and
+    the driver's verify; nothing here starts streams concurrently)."""
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_conf = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        return _run_to_memory(stream_df, spark, output_mode)
+    finally:
+        spark.conf.set(conf_key, prev_conf)
+
+
 @query(
     "stream_tumbling_true",
     oracle="""
@@ -308,7 +345,9 @@ def stream_dedup_true(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a doubled input)."""
     ev = _read_event_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
-    return _run_to_memory(
+    # r16: dropDuplicates emits each first occurrence in its own data
+    # batch; the no-data batch only evicts state — skip it.
+    return _run_to_memory_emit_on_arrival(
         deduped.select("event_id", "user_id", "value"), spark
     )
 
@@ -623,7 +662,11 @@ def stream_stream_join_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("p_event_id", "c_event_id", "user_id")
-    return _run_to_memory(joined, spark)
+    # r16: an INNER stream-stream join emits every match in the data
+    # batch that completes it; the trailing no-data batch only evicts
+    # state (profiled: 0 emitted rows, ~2.5 s of store commit) — skip
+    # it on this terminating drain (_run_to_memory_emit_on_arrival).
+    return _run_to_memory_emit_on_arrival(joined, spark)
 
 
 def stream_stateful_topk_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,7 +1160,9 @@ def stream_dedup_within_watermark_true(
     deduped = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return _run_to_memory(
+    # r16: first occurrences are emitted in their data batch; the
+    # no-data batch only evicts state — skip it.
+    return _run_to_memory_emit_on_arrival(
         deduped.select("event_id", "event_type", "value"), spark
     )
 
