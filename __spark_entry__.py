@@ -38,9 +38,9 @@ SWEEP_CAP = 50
 
 _SWEEP_PRIORITY = [
     # --- FRESHNESS SCHEDULE, r16 edition (VERDICT r15 #7) ---
-    # r16 composition, auditable sum: 0 new + 14 changed + 16 (the
+    # r16 composition, auditable sum: 0 new + 18 changed + 16 (the
     # r9-vintage cohort remainder deferred from r15; its 17th key,
-    # udtf_cogrouped_map, is in the changed tranche) + 20 (oldest
+    # udtf_cogrouped_map, is in the changed tranche) + 16 (oldest
     # backfill: the r11-vintage cohort in sorted order, all
     # hash-green in CORRECTNESS_r11) = 50 = SWEEP_CAP. Cohorts are
     # COMPUTED from the CORRECTNESS_r01..r15 union (latest green row
@@ -54,10 +54,13 @@ _SWEEP_PRIORITY = [
     # (1) changed this round (OPTIMIZATION_r16.md): the streaming
     # trigger-floor respellings (replay file splits 4->2 / 6->3,
     # bounded python source drains in 2 offset batches), the
-    # sim_ann_recall IVF cell-assignment artifact, the
-    # udtf_cogrouped_map input projection, the embed_neardup
-    # per-vector norm precompute, and the no-data-batch opt-out for
-    # the three emit-on-arrival drains:
+    # sim_ann_recall IVF cell-assignment artifact (and the second-
+    # session LSH-leg project-before-dedup), the udtf_cogrouped_map
+    # input projection, the embed_neardup per-vector norm precompute,
+    # the no-data-batch opt-out for the three emit-on-arrival drains,
+    # the pagerank nodes-from-trans derivation, the two standalone
+    # LSH top-k project-before-dedup respellings, and the
+    # contrastive-pairs anchors-first negative lookup:
     "stream_cep_true",
     "stream_cep_gapped_true",
     "stream_cep_ooo",
@@ -72,6 +75,10 @@ _SWEEP_PRIORITY = [
     "stream_stream_join_true",
     "stream_dedup_true",
     "stream_dedup_within_watermark_true",
+    "graph_pagerank",
+    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
+    "sample_contrastive_pairs",
     # (2) the r9-vintage cohort remainder, deferred from r15 (VERDICT
     # r15 #7 — after these, no registered key's latest driver row is
     # older than r11):
@@ -92,8 +99,11 @@ _SWEEP_PRIORITY = [
     "window_running_sum",
     "window_topk_per_group",
     # (3) backfill: the r11-vintage cohort (oldest remaining rows,
-    # all hash-green in r11), first 20 in sorted order — the
-    # remaining 27 lead the r17 backfill:
+    # all hash-green in r11), first 16 in sorted order — the
+    # remaining 30 (sample_contrastive_pairs moved up into the
+    # changed tranche; limit_topk / pipeline_curation_e2e /
+    # quality_dedup_rates displaced by the three second-session
+    # changed keys) lead the r17 backfill:
     "agg_minmax_stats",
     "agg_mode_deterministic",
     "agg_time_decay",
@@ -110,10 +120,6 @@ _SWEEP_PRIORITY = [
     "join_full_outer",
     "join_multiway_star",
     "join_theta_range",
-    "limit_topk",
-    "pipeline_curation_e2e",
-    "quality_dedup_rates",
-    "sample_contrastive_pairs",
 ]
 
 

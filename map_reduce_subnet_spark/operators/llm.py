@@ -1409,6 +1409,12 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("probe"),
         )
     )
+    # r16 opt (guide §2.3 — project before the exchange): the cosine
+    # is a pure function of (embedding, probe) and every duplicate
+    # candidate row carries the SAME pair, so compute it BEFORE the
+    # dedup and the exchange moves 16-byte (vec_id, cos) rows instead
+    # of two 64-double arrays per row. Identical results.
+    cos = sim.cosine(F.col("embedding"), F.col("probe"))
     cand = (
         band_frame(e.where(F.col("vec_id") != 42))
         .join(
@@ -1416,13 +1422,11 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("band") == F.col("p_band"))
             & (F.col("bucket") == F.col("p_bucket")),
         )
-        .select("vec_id", "embedding", "probe")
+        .select("vec_id", cos.alias("cos_sim"))
         .dropDuplicates(["vec_id"])
     )
-    cos = sim.cosine(F.col("embedding"), F.col("probe"))
     return (
-        cand.select("vec_id", cos.alias("cos_sim"))
-        .where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
+        cand.where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
@@ -1473,6 +1477,10 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("probe"),
         )
     )
+    # r16 opt: same project-before-the-dedup-exchange reorder as
+    # sim_ann_lsh_topk (the probe embedding is vec 42's for every
+    # candidate row, so the cosine is duplicate-invariant).
+    cos = sim.cosine(F.col("embedding"), F.col("probe"))
     cand = (
         band_frame(e.where(F.col("vec_id") != 42))
         .join(
@@ -1480,13 +1488,11 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("band") == F.col("p_band"))
             & (F.col("bucket") == F.col("p_bucket")),
         )
-        .select("vec_id", "embedding", "probe")
+        .select("vec_id", cos.alias("cos_sim"))
         .dropDuplicates(["vec_id"])
     )
-    cos = sim.cosine(F.col("embedding"), F.col("probe"))
     return (
-        cand.select("vec_id", cos.alias("cos_sim"))
-        .where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
+        cand.where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
@@ -2053,6 +2059,14 @@ def ann_recall_leg_frames(
     corpus_bands = shared_artifact(
         "annrecall_bands", lambda: band_frame(e, "vec_id", "embedding")
     )
+    # r16 opt (guide §2.3 — project before the exchange), all three
+    # LSH legs: the candidate dedup used to shuffle full rows (two
+    # 64-double embedding arrays ≈ 1 KB each) and compute the cosine
+    # AFTER; cosine is a pure function of the (probe, vector) pair, so
+    # every duplicate row carries the SAME value — compute it before
+    # the dropDuplicates and the dedup exchange moves 24-byte
+    # (p_id, vec_id, cos) rows instead. Identical results (the kept
+    # row was arbitrary before and its cosine is the one value).
     lsh_cand = (
         corpus_bands.join(
             probe_bands,
@@ -2060,8 +2074,8 @@ def ann_recall_leg_frames(
             & (F.col("bucket") == F.col("p_bucket")),
         )
         .where(F.col("vec_id") != F.col("p_id"))
-        .dropDuplicates(["p_id", "vec_id"])
         .select("p_id", "vec_id", cos_pe.alias("cos"))
+        .dropDuplicates(["p_id", "vec_id"])
     )
     lsh = topk(lsh_cand)
 
@@ -2087,8 +2101,8 @@ def ann_recall_leg_frames(
             & (F.col("bucket") == F.col("p_bucket_mp")),
         )
         .where(F.col("vec_id") != F.col("p_id"))
-        .dropDuplicates(["p_id", "vec_id"])
         .select("p_id", "vec_id", cos_pe.alias("cos"))
+        .dropDuplicates(["p_id", "vec_id"])
     )
     lsh_mp = topk(lsh_mp_cand)
 
@@ -2112,8 +2126,8 @@ def ann_recall_leg_frames(
             & (F.col("bucket") == F.col("p_bucket")),
         )
         .where(F.col("vec_id") != F.col("p_id"))
-        .dropDuplicates(["p_id", "vec_id"])
         .select("p_id", "vec_id", cos_pe.alias("cos"))
+        .dropDuplicates(["p_id", "vec_id"])
     )
     lsh_q = topk(lsh_q_cand)
 
@@ -7194,6 +7208,25 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(base, "bucket long, bucket_base long")
     )
     wrank = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    # r16 opt (guide §2.3/§3.2 — decide with small rows): negatives
+    # are computed only for the pos ANCHORS instead of for every
+    # corpus doc. The old spelling equi-joined the full rank table
+    # against itself (two corpus-sized exchanges keyed on rank) and
+    # then threw away every non-anchor row in the pos⋈neg join;
+    # joining pos's anchors INTO the rank table first makes both rank
+    # lookups anchor-probed (anchors ≪ corpus at every scale —
+    # duplicates are the exception — so the anchor side broadcasts
+    # and the corpus rank table is never exchanged; AQE falls back to
+    # a shuffled join if a deployment's cluster mass ever outgrows
+    # that). Inner-join algebra, same rows: neg(a) was defined for
+    # EVERY doc a and then inner-joined to pos on anchor_id —
+    # restricting its domain to pos's anchors first removes only rows
+    # the join dropped anyway. Measured flat at fixture scale
+    # (interleaved A/B min-of-5 1.69 vs 1.61 s — corpus too small for
+    # the exchange cut to show); kept for the scale shape, the
+    # embed_neardup r15 no-op precedent. A stable_checkpoint of the
+    # rank table was ALSO tried: the extra materialization job cost
+    # more than the saved recompute at this scale, kept out.
     ranked = (
         hashed.join(offsets, "bucket")
         .withColumn(
@@ -7203,25 +7236,27 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk")
     )
     shift = n_docs // 3
-    neg = (
-        ranked.alias("a")
-        .join(
-            ranked.alias("b"),
-            F.col("b.rnk")
-            == (F.col("a.rnk") + F.lit(shift)) % F.lit(max(n_docs, 1)),
-        )
-        .select(
-            F.col("a.doc_id").alias("anchor_id"),
-            F.col("b.doc_id").alias("negative_id"),
-        )
+    anchor_rnk = pos.join(
+        ranked.select(
+            F.col("doc_id").alias("anchor_id"), F.col("rnk").alias("a_rnk")
+        ),
+        "anchor_id",
+    ).withColumn(
+        "t_rnk",
+        (F.col("a_rnk") + F.lit(shift)) % F.lit(max(n_docs, 1)),
+    )
+    neg = anchor_rnk.join(
+        ranked.select(
+            F.col("doc_id").alias("negative_id"), F.col("rnk").alias("t_rnk")
+        ),
+        "t_rnk",
     )
     m2 = labels.select(
         F.col("anchor_id").alias("negative_id"),
         F.col("label").alias("neg_label"),
     )
     return (
-        pos.join(neg, "anchor_id")
-        .join(m2, "negative_id", "left")
+        neg.join(m2, "negative_id", "left")
         .select(
             "anchor_id",
             "positive_id",
